@@ -1,0 +1,50 @@
+"""Aggregation operators (SURVEY §2.4).
+
+``conditional_min_pivot`` is the analytical heart of the reference's KPI
+query (``notebooks/report.ipynb`` cell 8:11-15): long→wide event-time
+pivot via ``min(when(...))`` — one hash aggregate, map-side partials,
+single shuffle on the group key. ``dq_summary`` replaces the
+reference's 4-actions-per-checkpoint DQ loop
+(``/root/reference/etl/main.py:21-65``) with ONE aggregate pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def conditional_min_pivot(
+    df: DataFrame,
+    group_key: str,
+    label_col: Column | str,
+    value_col: Column | str,
+    labels: dict[str, str],
+) -> DataFrame:
+    """``groupBy(key).agg(min(when(label==L, value)) for each L)``.
+
+    ``labels`` maps label value → output column name. Equivalent to
+    ``groupBy().pivot().min()`` but with a static column list, so the
+    plan needs no distinct-values pre-pass (pivot() without values runs
+    an extra job to discover them — never do that at 100 TB).
+    """
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    aggs = [
+        F.min(F.when(lab == lv, val)).alias(out) for lv, out in labels.items()
+    ]
+    return df.groupBy(group_key).agg(*aggs)
+
+
+def dq_summary(df: DataFrame, null_check_cols: list[str] | None = None) -> DataFrame:
+    """Single-pass data-quality summary: row count + per-column null
+    counts, one row out. The reference issued 1 + N separate ``count()``
+    actions re-executing the full lineage each time; this is one job.
+    """
+    cols = null_check_cols if null_check_cols is not None else df.columns[:3]
+    aggs: list[Column] = [F.count(F.lit(1)).alias("row_count")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"nulls_{c}")
+        )
+    return df.agg(*aggs)

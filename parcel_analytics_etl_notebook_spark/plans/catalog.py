@@ -1,0 +1,106 @@
+"""Query catalog: every named engine capability, as (PySpark fn, ANSI-SQL
+oracle) pairs over the driver's parquet tables.
+
+Contract (``/root/repo/__spark_entry__.py``): each entry's Spark result
+must hash-match its DuckDB oracle at sf0.01 — same column NAMES, same
+types, same values. Conventions that make that hold:
+
+- alias every computed column identically on both sides;
+- integer-ish outputs cast to BIGINT on both sides (Spark ints are
+  int32, DuckDB year()/datediff() are int64 — pick one);
+- float aggregates rounded (`round(x, 4)` ratios, `round(x, 2)` money)
+  on BOTH sides so accumulation-order jitter can't flip the hash;
+- deterministic everything: no uuid(), keyed dedup via row_number with
+  explicit tiebreaks, top-k with unique tiebreak columns.
+
+Queries registered here via :func:`register` surface through
+``queries()`` / ``oracle_sql()``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parcel_analytics_etl_notebook_spark.session import pin_session
+
+
+@dataclass
+class CatalogEntry:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    doc: str
+
+
+_REGISTRY: dict[str, CatalogEntry] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a (spark, sf_dir) -> DataFrame query + oracle."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = CatalogEntry(name, wrapped, oracle, fn.__doc__ or "")
+        return wrapped
+
+    return deco
+
+
+def registry() -> dict[str, CatalogEntry]:
+    _ensure_loaded()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return {n: e.fn for n, e in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {n: e.oracle for n, e in _REGISTRY.items() if e.oracle is not None}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table (parquet scan; pruning/pushdown-friendly).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS,false): Spark reads it as
+    int64 nanos (``nanosAsLong``); convert to a microsecond timestamp —
+    the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP,
+    so oracle comparisons stay exact.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import the query modules (they self-register on import)."""
+    global _LOADED
+    if _LOADED:
+        return
+    # Imported lazily to avoid circular imports at package init.
+    from parcel_analytics_etl_notebook_spark.plans import (  # noqa: F401
+        queries_relational,
+    )
+
+    try:
+        from parcel_analytics_etl_notebook_spark.plans import (  # noqa: F401
+            queries_llm,
+        )
+    except ImportError:
+        pass
+    _LOADED = True

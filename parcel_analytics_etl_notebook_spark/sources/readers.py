@@ -1,0 +1,91 @@
+"""Sources (SURVEY §2.1 S1/S2).
+
+The reference reads a quoted, multiline CSV whose payload column embeds
+JSON with newlines/quotes (``/root/reference/etl/main.py:75-80``) and
+parquet warehouse tables (``notebooks/report.ipynb`` cell 3). Both are
+generalized here; readers take explicit schemas where determinism
+matters (the reference infers CSV columns as strings — same default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from parcel_analytics_etl_notebook_spark.session import pin_session
+
+#: Canonical driver-generated tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_csv_multiline(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+    quote: str = '"',
+    escape: str = '"',
+    sep: str = ",",
+) -> DataFrame:
+    """Quoted multiline CSV scan — parity with the reference's only
+    source (``etl/main.py:75-80``): payload cells may contain embedded
+    newlines and doubled quotes.
+
+    At 100 TB, multiLine CSV is NOT splittable (one file = one task);
+    keep input files small or convert to parquet at the edge.
+    """
+    reader = (
+        spark.read.option("header", header)
+        .option("quote", quote)
+        .option("escape", escape)
+        .option("sep", sep)
+        .option("multiLine", True)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan (``report.ipynb`` cell 3). Column pruning and
+    predicate pushdown reach the scan automatically — keep filters
+    expressed on raw columns so they stay pushable."""
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """JSON-lines scan; explicit schema avoids a full inference pass
+    (which reads the data twice — a non-starter at scale)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TESTDATA_TABLES,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables and (optionally) register each
+    as a temp view so catalog queries can be written in Spark SQL."""
+    pin_session(spark)
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        out[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return out
