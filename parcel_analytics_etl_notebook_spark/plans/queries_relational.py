@@ -424,3 +424,286 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Star-schema fact build (DimShipping/Fact parity — etl/main.py:214-264)
+# --------------------------------------------------------------------------
+@register(
+    "star_fact_orders",
+    oracle=f"""
+SELECT o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice,
+       CASE WHEN EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+            THEN {surrogate_key_sql('o_custkey')} END AS customer_id,
+       {surrogate_key_sql("CAST(CAST(o_orderdate AS DATE) AS VARCHAR)")} AS date_id
+FROM orders
+""",
+)
+def star_fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full star-schema fact build (reference E1 steps 6-8): build a
+    customer dim + date dim with deterministic sha2 keys, then resolve
+    FKs onto the orders fact via broadcast left joins. Unlike the
+    reference's uuid() warehouse (SURVEY §4.3), fact FKs here are
+    reproducible — the oracle recomputes them independently."""
+    from parcel_analytics_etl_notebook_spark.plans.star import (
+        DimSpec,
+        build_date_dim,
+        build_dim,
+        resolve_fk,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    dim_customer = build_dim(
+        customer, DimSpec("customer", ["c_custkey"], ["c_name", "c_mktsegment"])
+    )
+    dim_date = build_date_dim(orders, "o_orderdate")
+    fact = orders.withColumn("o_orderdate_day", F.to_date("o_orderdate"))
+    fact = resolve_fk(
+        fact,
+        dim_customer.withColumnRenamed("c_custkey", "o_custkey"),
+        on=["o_custkey"],
+        dim_key="customer_id",
+    )
+    fact = resolve_fk(
+        fact,
+        dim_date.withColumnRenamed("date", "o_orderdate_day"),
+        on=["o_orderdate_day"],
+        dim_key="date_id",
+    )
+    return fact.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "customer_id",
+        "date_id",
+    )
+
+
+# --------------------------------------------------------------------------
+# Join on computed expression key (J1 — etl/main.py:215-217)
+# --------------------------------------------------------------------------
+@register(
+    "expression_key_join",
+    oracle=f"""
+WITH client_dim AS (
+    SELECT DISTINCT concat_ws('_', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS client_key
+    FROM customer
+    WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+), keyed AS (
+    SELECT client_key, {surrogate_key_sql('client_key')} AS client_id FROM client_dim
+)
+SELECT c_custkey,
+       concat_ws('_', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS client_key,
+       client_id
+FROM customer LEFT JOIN keyed
+  ON concat_ws('_', c_mktsegment, CAST(c_nationkey AS VARCHAR)) = client_key
+""",
+)
+def expression_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join on a COMPUTED key expression (reference J1: probe-side
+    ``concat_ws("_", brand, sign) == dim.client_key``,
+    ``etl/main.py:215-217``). Catalyst still plans an equi-join — the
+    expression is evaluated pre-shuffle on the probe side."""
+    customer = table(spark, sf_dir, "customer")
+    key_expr = F.concat_ws(
+        "_", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+    )
+    client_dim = (
+        customer.filter(F.col("c_mktsegment").isNotNull() & F.col("c_nationkey").isNotNull())
+        .select(key_expr.alias("client_key"))
+        .dropDuplicates()
+        .withColumn("client_id", surrogate_key("client_key"))
+    )
+    return customer.join(
+        F.broadcast(client_dim), key_expr == client_dim.client_key, "left"
+    ).select("c_custkey", key_expr.alias("client_key"), "client_id")
+
+
+# --------------------------------------------------------------------------
+# Range (banded non-equi) join — join-family completion per SURVEY §2.3
+# --------------------------------------------------------------------------
+@register(
+    "value_band_stats",
+    oracle="""
+WITH bands(band, lo, hi) AS (
+    VALUES ('low', 0.0, 50.0), ('mid', 50.0, 100.0), ('high', 100.0, 1000000.0)
+)
+SELECT band,
+       count(*)              AS n_events,
+       round(sum(value), 2)  AS total_value,
+       round(avg(value), 4)  AS avg_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+""",
+)
+def value_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: band events by value against a tiny interval table.
+    Spark plans broadcast-nested-loop — correct here because the build
+    side is 3 rows; for large interval tables use bucketized equi-join
+    (floor(value/width)) instead, never an unbounded theta join."""
+    events = table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 100.0), ("high", 100.0, 1000000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        events.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join (custom operator; oracle = DuckDB native ASOF JOIN)
+# --------------------------------------------------------------------------
+@register(
+    "purchase_asof_view",
+    oracle="""
+WITH purchases AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'
+), views AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       v.ts AS ts_asof,
+       date_diff('second', v.ts, p.ts) AS gap_seconds
+FROM purchases p ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+)
+def purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the most recent view at-or-before
+    it by the same user. Spark lacks ASOF JOIN; the engine's
+    union-and-window operator does it with one shuffle (operators/
+    asof.py). Oracle uses DuckDB's native ASOF LEFT JOIN."""
+    from parcel_analytics_etl_notebook_spark.operators.asof import asof_join_backward
+
+    events = table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = asof_join_backward(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_values=[], suffix="_asof",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_asof")).alias("gap_seconds"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Analytic windows: running totals, lag, moving average (SURVEY §2.5 gap)
+# --------------------------------------------------------------------------
+@register(
+    "running_revenue",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER w_cum, 2)            AS cum_revenue,
+       round(lag(o_totalprice) OVER w_ord, 2)            AS prev_price,
+       round(avg(o_totalprice) OVER w_mov, 4)            AS moving_avg3
+FROM orders
+WINDOW w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w_cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w_mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+)
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window suite per customer: cumulative revenue, previous
+    order price (lag), 3-row moving average — all on one window sort
+    (single shuffle on o_custkey; Spark reuses the sort across frames)."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    order_spec = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w_ord = Window.partitionBy("o_custkey").orderBy(*order_spec)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_mov = w_ord.rowsBetween(-2, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w_cum), 2).alias("cum_revenue"),
+        F.round(F.lag("o_totalprice").over(w_ord), 2).alias("prev_price"),
+        F.round(F.avg("o_totalprice").over(w_mov), 4).alias("moving_avg3"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP hierarchical aggregation (beyond-reference completion, §2.4)
+# --------------------------------------------------------------------------
+@register(
+    "sales_rollup",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       o_orderstatus,
+       count(*)                    AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY ROLLUP (CAST(year(o_orderdate) AS BIGINT), o_orderstatus)
+""",
+)
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (year → status → grand total) in one pass — Spark expands
+    grouping sets map-side; same single shuffle as a flat groupBy."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate").cast("bigint"))
+        .rollup("order_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT (SURVEY §2.7 completions)
+# --------------------------------------------------------------------------
+@register(
+    "nations_customers_and_suppliers",
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+INTERSECT
+SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+""",
+)
+def nations_customers_and_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations present on both sides (distinct semantics)."""
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    return customer.select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey")
+    ).intersect(supplier.select(F.col("s_nationkey").cast("bigint")))
+
+
+@register(
+    "nations_customers_only",
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+EXCEPT
+SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+""",
+)
+def nations_customers_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no suppliers."""
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    # subtract == EXCEPT DISTINCT (exceptAll would keep per-occurrence
+    # multiplicity — different semantics than the SQL oracle)
+    return customer.select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey")
+    ).subtract(supplier.select(F.col("s_nationkey").cast("bigint")))

@@ -37,26 +37,33 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize cell values to comparable primitives
-    def canon(v):
-        if v is None or (isinstance(v, float) and math.isnan(v)):
+def _canon(v):
+    """Canonicalize one cell to a hashable, engine-neutral value."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return None if math.isnan(v) else round(v, 9)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_canon(x) for x in v)
+    try:
+        if pd.isna(v):  # NaT and pandas NA scalars
             return None
-        if isinstance(v, float):
-            return round(v, 9)
-        if hasattr(v, "isoformat"):
-            return v.isoformat()
-        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-            return tuple(canon(x) for x in v)
-        return v
+    except (TypeError, ValueError):
+        pass
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (int,)) or type(v).__name__.startswith(("int", "uint")):
+        return int(v)
+    return v
 
-    out = df.map(canon)
-    if pd.isna(out).all(axis=None) and len(out.columns) == 0:
-        return out
-    return out.sort_values(by=list(out.columns), key=lambda s: s.map(repr)).reset_index(
-        drop=True
-    )
+
+def _rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_canon(v) for v in t)
+        for t in df[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows, key=repr)
 
 
 @dataclass
@@ -76,11 +83,9 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> Com
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
         return CompareResult(name, False, problems)
-    s = _normalize(spark_pdf)
-    o = _normalize(oracle_pdf)
-    for col in s.columns:
-        sv, ov = list(s[col]), list(o[col])
-        for i, (a, b) in enumerate(zip(sv, ov)):
+    cols = sorted(spark_pdf.columns)
+    for i, (a_row, b_row) in enumerate(zip(_rows(spark_pdf), _rows(oracle_pdf))):
+        for col, a, b in zip(cols, a_row, b_row):
             if a == b:
                 continue
             if (
