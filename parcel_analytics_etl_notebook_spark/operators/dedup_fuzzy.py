@@ -1,0 +1,152 @@
+"""Fuzzy/near-duplicate detection (LLM-data-pipeline extension):
+token-shingling, n-gram Jaccard, MinHash signatures + LSH banding,
+SimHash. Everything is built-in array/higher-order functions so the
+whole pipeline is JVM-side and (except where noted) oracle-checkable
+via the shared polynomial hash (operators/textqa.doc_fingerprint).
+
+Scale notes (the reason these shapes were chosen for 100 TB):
+- shingle→hash→explode→band-bucket join touches each doc O(shingles)
+  and each candidate pair once — never the O(n²) cartesian.
+- the band-bucket groupBy shuffles on (band, hash): uniformly
+  distributed, skew-free.
+- exact Jaccard verification runs only on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from parcel_analytics_etl_notebook_spark.functions.textfns import tokens
+from parcel_analytics_etl_notebook_spark.operators.textqa import FP_MOD
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """Contiguous k-token shingles joined by a single space.
+
+    Docs shorter than k tokens yield an empty array (sequence(0, n-k)
+    would be invalid; guarded with a when)."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - k)
+    parts = lambda i: [toks[i + j] for j in range(k)]  # noqa: E731
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    )
+
+
+def poly_hash(col: Column) -> Column:
+    """Polynomial string hash (codepoint rolling hash, mod prime) —
+    shared with the DuckDB oracle, unlike xxhash64/murmur which differ
+    across engines. Used as the base hash for MinHash."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(FP_MOD),
+    )
+
+
+def minhash_signature(shingle_hashes: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: for seed s, h_s(x) = ((2s+1)·x + 7919·s) mod P;
+    signature[s] = min over shingle hashes. Empty shingle set → nulls."""
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.transform(
+        seeds,
+        lambda s: F.array_min(
+            F.transform(
+                shingle_hashes,
+                lambda h: ((2 * s + 1) * h + s * F.lit(7919)) % F.lit(FP_MOD),
+            )
+        ),
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """id + MinHash signature per document."""
+    sh = shingles(tokens(text_col), k)
+    hashed = F.transform(sh, lambda s: poly_hash(s))
+    return df.select(
+        id_col, minhash_signature(hashed, num_hashes).alias("minhash")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` equal bands,
+    bucket docs by (band_idx, band_values), emit intra-bucket pairs.
+    One explode + one shuffle on the bucket key; pair blow-up is bounded
+    by bucket sizes, not n²."""
+    sig_len_expr = F.size(F.col(sig_col))
+    rows_per_band = (sig_len_expr / bands).cast("int")
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.slice(
+                        F.col(sig_col), b * rows_per_band + 1, rows_per_band
+                    ).alias("sig_band"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", F.col("bb.sig_band").cast("array<string>").alias("sig_band"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig_band") == F.col("b.sig_band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates()
+    )
+
+
+def simhash(token_hashes: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint: per bit j, sign of Σ_tokens (±1 by bit j of
+    the token hash); near-identical token multisets land at small
+    Hamming distance. Returns a ``bits``-wide integer.
+
+    ``bits`` unrolls at plan-build time (shift amounts must be Python
+    ints for shiftleft/shiftright) — one codegen'd expression, no UDF.
+    """
+    def bit_sum(j: int) -> Column:
+        # plain closure — a `j=j` default would change the lambda's
+        # arity, which PySpark inspects to bind HOF variables
+        return F.aggregate(
+            token_hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    fp: Column = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(bit_sum(j) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return fp
+
+
+def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:
+    """Hamming distance between two simhash fingerprints."""
+    x = a.bitwiseXOR(b)
+    return sum(
+        F.shiftright(x, j).bitwiseAND(F.lit(1)) for j in range(bits)
+    ).cast("bigint")

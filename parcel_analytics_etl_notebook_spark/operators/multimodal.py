@@ -1,0 +1,101 @@
+"""Multimodal column plumbing (LLM-pipeline extension).
+
+Images/audio/video ride through Spark as opaque ``binary`` columns with
+a typed metadata struct alongside. The Spark-side machinery here —
+schemas, Arrow-batched ``mapInPandas``, partition sizing — is real and
+tested; the actual media decode is STUBBED (this environment has no
+image/audio libraries): ``decode_stub`` derives deterministic fake
+features from the bytes so tests are reproducible, and raises
+``NotImplementedError`` when a real codec is requested.
+
+At scale: binary payloads dominate row size — keep
+``spark.sql.files.maxPartitionBytes`` small enough that a partition of
+payloads fits executor memory, and NEVER collect payload columns; all
+feature extraction happens inside mapInPandas batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Output schema of the feature extractor: id + byte stats + fixed-dim
+#: feature vector (stubbed decode).
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_sha", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def to_binary_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pack a column into an opaque binary payload + metadata struct —
+    the on-wire shape a real image/audio table would have."""
+    return df.select(
+        id_col,
+        F.encode(F.col(text_col), "UTF-8").cast(BinaryType()).alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(F.encode(F.col(text_col), "UTF-8")).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes, mime: str) -> list[float]:
+    """Deterministic fake 'decode + featurize'. Real codecs are not
+    available in this container; anything non-text raises."""
+    if mime != "text/plain":
+        raise NotImplementedError(
+            f"no codec for {mime!r} in this environment — plug a real "
+            "decoder (PIL/torchaudio/decord) here"
+        )
+    digest = hashlib.sha256(payload).digest()
+    return [float(digest[i]) / 255.0 for i in range(FEATURE_DIM)]
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` streams column batches through Python once —
+    the only sanctioned Python hop in the engine; everything before
+    and after stays JVM-side.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_stub(payload, meta["mime"])
+                for payload, meta in zip(pdf["payload"], pdf["meta"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "content_sha": [
+                        hashlib.sha256(p).hexdigest() for p in pdf["payload"]
+                    ],
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (LLM-pipeline extension).
+
+Brute-force cosine top-k is the exact baseline: one broadcast of the
+query vector, one pass over the corpus, TakeOrderedAndProject for the
+top-k — no shuffle at all. The scale path is IVF: a coarse centroid
+assignment prunes the corpus to the nearest buckets before scoring
+(probe cost drops by ~n_centroids/n_probe), trading recall for the
+pruning exactly like FAISS IVF-Flat.
+
+All vector math via higher-order functions in double precision
+(functions/vectors.py) — JVM-side, Arrow-free, oracle-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from parcel_analytics_etl_notebook_spark.functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of a single query vector.
+
+    ``query`` is a 1-row DataFrame (id + vector) — broadcast, so the
+    corpus never shuffles; ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject (per-partition top-k, driver merge).
+    Similarity is rounded before ranking so that accumulation-order
+    jitter can't reorder the boundary; ties break on id.
+    """
+    q = query.select(
+        F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(
+            id_col,
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("__qvec")), round_to
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def assign_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """IVF coarse quantization: attach each vector's nearest centroid
+    (max cosine, ties to the lowest centroid id). The centroid table is
+    tiny and broadcast; cost is |corpus| × |centroids| dot products,
+    all codegen'd — no shuffle."""
+    c = centroids.select(
+        F.col(id_col).alias(centroid_id), F.col(vec_col).alias("__cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(c)).withColumn(
+        "__sim", F.round(cosine_similarity(F.col(vec_col), F.col("__cvec")), 9)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col(centroid_id)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim", "__cvec")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose centroid is among the
+    query's ``n_probe`` nearest centroids. At 100 TB the assignment is
+    precomputed/persisted (partitioned by centroid) so a query touches
+    only n_probe partitions — this is the partition-pruning ANN shape."""
+    assigned = assign_centroids(corpus, centroids, id_col, vec_col)
+    probe_ids = assign_probe_centroids(query, centroids, n_probe, id_col, vec_col)
+    pruned = assigned.join(
+        F.broadcast(probe_ids), on="centroid_id", how="inner"
+    ).drop("centroid_id")
+    return brute_force_topk(pruned, query, k, id_col, vec_col)
+
+
+def assign_probe_centroids(
+    query: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The query's n_probe nearest centroid ids (1-row query)."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cvec")
+    )
+    q = query.select(F.col(vec_col).alias("__qvec"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "centroid_id",
+            F.round(cosine_similarity("__cvec", "__qvec"), 9).alias("__sim"),
+        )
+        .orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+
+
+def cosine_pairs_blocked(
+    df: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold WITHIN a blocking key (e.g. an
+    LSH bucket or label): the self-join shuffles both sides on the
+    block key once, and the quadratic blow-up is bounded per block —
+    the standard embedding-dedup shape at scale. Never call without a
+    blocking key on a large corpus."""
+    a = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    return (
+        a.join(b, on="__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("__blk").alias(block_col),
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("__va", "__vb"), round_to).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

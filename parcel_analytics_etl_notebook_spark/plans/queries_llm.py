@@ -1,0 +1,499 @@
+"""LLM-data-pipeline query catalog (SURVEY §7.6 / BASELINE north star):
+dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity search
+(brute-force + IVF), text analysis (quality, language-ID, token stats,
+fingerprints), multimodal plumbing, sessionization, time rollups.
+
+Oracle-parity notes: cross-engine-identical hashing uses the polynomial
+codepoint hash (see operators/textqa.FP_MOD) rather than xxhash64 —
+DuckDB has no xxhash; float math runs in double with identical
+fold order (Spark ``aggregate`` vs DuckDB ``list_sum``/``list_reduce``)
+and is rounded before ranking/filtering on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parcel_analytics_etl_notebook_spark.functions.textfns import tokens
+from parcel_analytics_etl_notebook_spark.operators.dedup import dedup_exact
+from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
+    lsh_candidate_pairs,
+    poly_hash,
+    shingles,
+    simhash,
+    with_minhash,
+)
+from parcel_analytics_etl_notebook_spark.operators.sessionize import session_stats
+from parcel_analytics_etl_notebook_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_pairs_blocked,
+    ivf_topk,
+)
+from parcel_analytics_etl_notebook_spark.operators.textqa import (
+    LANG_MARKERS,
+    doc_fingerprint,
+    lang_scores,
+    predict_lang,
+    quality_features,
+)
+from parcel_analytics_etl_notebook_spark.plans.catalog import register, table
+
+# Shared SQL fragments for the oracles -------------------------------------
+
+#: tokens of `text` as a DuckDB list
+_SQL_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+#: char-level polynomial hash of a DuckDB VARCHAR expression {0}
+_SQL_POLY = (
+    "CAST(list_reduce(list_prepend('0', string_split({0}, '')), "
+    "(acc, ch) -> CAST((CAST(acc AS BIGINT)*31 + unicode(ch)) % 1000000007 AS VARCHAR)) AS BIGINT)"
+)
+
+#: 3-token shingles of token-list {0}
+_SQL_SHINGLES = (
+    "list_transform(range(1, len({0})-1), i -> {0}[i] || ' ' || {0}[i+1] || ' ' || {0}[i+2])"
+)
+
+#: cosine similarity between two DuckDB FLOAT[] expressions {0}, {1}
+_SQL_COS = (
+    "(list_sum(list_transform(range(1, len({0})+1), i -> CAST({0}[i] AS DOUBLE)*CAST({1}[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, len({0})+1), i -> CAST({0}[i] AS DOUBLE)*CAST({0}[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, len({1})+1), i -> CAST({1}[i] AS DOUBLE)*CAST({1}[i] AS DOUBLE))))))"
+)
+
+
+# --------------------------------------------------------------------------
+# Text quality scoring
+# --------------------------------------------------------------------------
+@register(
+    "text_quality_scores",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents)
+SELECT doc_id,
+       CAST(len(l) AS BIGINT)                    AS n_tokens,
+       CAST(len(list_distinct(l)) AS BIGINT)     AS n_unique_tokens,
+       round(len(list_distinct(l)) / CAST(len(l) AS DOUBLE), 4) AS unique_ratio,
+       round(list_sum(list_transform(l, x -> CAST(length(x) AS DOUBLE))) / len(l), 4) AS avg_token_len,
+       round(len(list_filter(l, x -> x IN ('the', 'a'))) / CAST(len(l) AS DOUBLE), 4) AS stopword_ratio,
+       (len(l) >= 20 AND len(list_distinct(l)) / CAST(len(l) AS DOUBLE) >= 0.3) AS quality_flag
+FROM t
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (token/uniqueness/stopword stats +
+    keep-flag) — the cheap JVM-side pre-filters of a training-data
+    pipeline. One scan, zero shuffles."""
+    return quality_features(table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Token statistics per source
+# --------------------------------------------------------------------------
+@register(
+    "token_stats_by_source",
+    oracle=f"""
+WITH tok AS (
+    SELECT source, doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+)
+SELECT source,
+       count(*)                 AS total_tokens,
+       count(DISTINCT token)    AS distinct_tokens,
+       count(DISTINCT doc_id)   AS n_docs,
+       round(count(*) / CAST(count(DISTINCT doc_id) AS DOUBLE), 4) AS avg_tokens_per_doc
+FROM tok
+GROUP BY source
+""",
+)
+def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: explode tokens → hash agg.
+    The explode happens map-side; the single shuffle carries (source,
+    token) pairs — at 100 TB pre-aggregate per (source, token) first if
+    token cardinality is low."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    return tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.count_distinct("token").alias("distinct_tokens"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.round(
+            F.count(F.lit(1)) / F.count_distinct("doc_id").cast("double"), 4
+        ).alias("avg_tokens_per_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language identification (marker heuristic)
+# --------------------------------------------------------------------------
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"CAST(len(list_filter(l, x -> x IN ({markers}))) AS BIGINT)"
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS l FROM documents),
+s AS (
+    SELECT doc_id, lang,
+           {_lang_score_sql('en')} AS s_en,
+           {_lang_score_sql('de')} AS s_de,
+           {_lang_score_sql('es')} AS s_es,
+           {_lang_score_sql('fr')} AS s_fr,
+           {_lang_score_sql('zh')} AS s_zh
+    FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+            WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+            WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+            ELSE 'zh' END AS predicted_lang,
+       s_en AS en_score
+FROM s
+""",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID with deterministic tie order (en→de→es→
+    fr→zh, 'und' when no hits). Heuristic stand-in for fastText/CLD3 —
+    the point is the JVM-side shape: scores and argmax in one
+    projection, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tokens("text").alias("toks"))
+    scores = lang_scores(F.col("toks"))
+    return t.select(
+        "doc_id",
+        "lang",
+        predict_lang(F.col("toks")).alias("predicted_lang"),
+        scores["en"].cast("bigint").alias("en_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprints (rolling hash)
+# --------------------------------------------------------------------------
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents)
+SELECT doc_id,
+       CAST(list_reduce(list_prepend('0', l),
+            (acc, x) -> CAST((CAST(acc AS BIGINT)*31 + unicode(x)) % 1000000007 AS VARCHAR)) AS BIGINT)
+       AS fingerprint
+FROM t
+""",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash per document — identical
+    token streams collide, any edit shifts the value. Cross-engine
+    reproducible (unlike xxhash64/murmur3)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", doc_fingerprint(tokens("text")).alias("fingerprint")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup via normalized content hash
+# --------------------------------------------------------------------------
+@register(
+    "exact_dedup_documents",
+    oracle=r"""
+SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+       min(doc_id) AS canonical_id,
+       count(*)    AS dup_count
+FROM documents
+GROUP BY 1
+""",
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha256 over normalized text, lowest doc_id is
+    canonical. One shuffle on the (uniformly distributed) hash —
+    the 100-TB-safe shape."""
+    return dedup_exact(table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (exact, shingle-inverted-index join)
+# --------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+sh AS (
+    SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES.format('l')})) AS shingle FROM t
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared,
+       round(shared / (sa.n + sb.n - shared), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE shared / (sa.n + sb.n - shared) >= 0.2
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via an inverted shingle
+    index: explode distinct shingles, self-join on shingle (only
+    colliding docs ever pair — no cartesian), count shared, compute
+    |A∩B|/|A∪B|. The canonical exact-verification stage after LSH."""
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens("text"), 3))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("shared") / (F.col("sa.n") + F.col("sb.n") - F.col("shared"))
+    return (
+        pairs.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.2)
+        .select("id_a", "id_b", "shared", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures (+ LSH candidate pairs, rows-only)
+# --------------------------------------------------------------------------
+@register(
+    "minhash_signatures",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+s AS (SELECT doc_id, {_SQL_SHINGLES.format('l')} AS sh FROM t),
+h AS (SELECT doc_id, list_transform(sh, g -> {_SQL_POLY.format('g')}) AS hh FROM s)
+SELECT doc_id,
+       array_to_string(
+           list_transform(range(0, 16),
+               s -> CAST(list_min(list_transform(hh, x -> ((2*s+1)*x + s*7919) % 1000000007)) AS VARCHAR)),
+           '_') AS minhash
+FROM h
+""",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-hash MinHash signatures over 3-gram shingles (char-level
+    polynomial base hash, affine rehash family). Serialized to a
+    '_'-joined string so the value-hash comparison is representation-
+    stable across engines. Linear scan, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    sig = with_minhash(docs, num_hashes=16)
+    return sig.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("minhash"), lambda x: x.cast("string")), "_"
+        ).alias("minhash"),
+    )
+
+
+@register("lsh_near_dup_pairs", oracle=None)  # non-SQL: banding layout choice
+def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 4 bands × 4 rows — docs agreeing on
+    any full band pair up. The scale path for near-dedup: explode to
+    (band, band-signature) buckets, shuffle once on the bucket key,
+    pair within buckets only."""
+    docs = table(spark, sf_dir, "documents")
+    sig = with_minhash(docs, num_hashes=16)
+    return lsh_candidate_pairs(sig, bands=4).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints
+# --------------------------------------------------------------------------
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+h AS (SELECT doc_id, list_transform(l, tok -> {_SQL_POLY.format('tok')}) AS hh FROM t)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 16),
+            j -> CASE WHEN list_sum(list_transform(hh,
+                           x -> CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                      THEN (1 << j) ELSE 0 END)) AS BIGINT) AS simhash
+FROM h
+""",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document over token hashes: near-identical
+    token multisets land at small Hamming distance. Entirely codegen'd
+    bit arithmetic — the other classic near-dup family besides MinHash."""
+    docs = table(spark, sf_dir, "documents")
+    token_hashes = F.transform(tokens("text"), lambda t: poly_hash(t))
+    return docs.select(
+        "doc_id", simhash(token_hashes, bits=16).alias("simhash")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search: brute-force exact + IVF approximate
+# --------------------------------------------------------------------------
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (
+    SELECT vec_id, round({_SQL_COS.format('embedding', 'qv')}, 6) AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> 0
+)
+SELECT vec_id, cosine FROM sims ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for query vector vec_id=0:
+    broadcast query, one linear pass, TakeOrderedAndProject — zero
+    shuffles. The correctness baseline every ANN variant is judged
+    against."""
+    emb = table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+
+
+@register("ivf_ann_topk", oracle=None)  # approximate by design; rows-only
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 for vec_id=0: vectors 1..8 act as fixed
+    coarse centroids, corpus pruned to the 2 nearest centroid buckets
+    before exact scoring. The partition-pruning ANN shape for 100 TB
+    (assignment precomputed + partitioned by centroid in production)."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 8))
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0),
+        centroids,
+        emb.filter(F.col("vec_id") == 0),
+        k=5,
+        n_probe=2,
+    )
+
+
+@register(
+    "cosine_dedup_pairs",
+    oracle=f"""
+SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_SQL_COS.format('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_SQL_COS.format('a.embedding', 'b.embedding')}, 6) >= 0.4
+""",
+)
+def cosine_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.4) blocked by label: the
+    quadratic join is bounded per block — at scale the block key is an
+    LSH bucket or IVF centroid, same operator."""
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_pairs_blocked(emb, block_col="label", threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing: binary payload + Arrow-batched feature extraction
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha,
+       CAST(8 AS BIGINT) AS feat_dim
+FROM documents
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary pipeline: pack text as a binary payload + typed
+    metadata, run the Arrow-batched mapInPandas feature extractor
+    (stubbed decode — deterministic sha-derived features), emit byte
+    stats + feature dimension. Exercises the real multimodal plumbing:
+    BinaryType schema, batch iteration, vector output column."""
+    from parcel_analytics_etl_notebook_spark.operators.multimodal import (
+        extract_features,
+        to_binary_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    feats = extract_features(to_binary_payload(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "content_sha",
+        F.size("features").cast("bigint").alias("feat_dim"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization (gap-based) + time-bucket rollup
+# --------------------------------------------------------------------------
+@register(
+    "user_sessions_30min",
+    oracle="""
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+m AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+    SELECT user_id, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+    FROM m
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       date_diff('second', min(ts), max(ts)) AS duration_seconds
+FROM s GROUP BY user_id, session_idx
+""",
+)
+def user_sessions_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → boundary
+    marker → running sum → per-session rollup. One shuffle; the batch
+    twin of Structured Streaming's session_window (streaming/)."""
+    events = table(spark, sf_dir, "events")
+    return session_stats(events, key="user_id", ts_col="ts", gap_seconds=1800)
+
+
+@register(
+    "hourly_event_rollup",
+    oracle="""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS event_hour,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value,
+       count(DISTINCT user_id) AS active_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup: date_trunc to the hour +
+    hash agg. At scale this is the continuous-aggregate pattern —
+    partition the sink by the bucket for pruned reads."""
+    events = table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("event_hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count_distinct("user_id").alias("active_users"),
+    )
