@@ -45,19 +45,29 @@ def poly_hash(col: Column) -> Column:
     )
 
 
-def minhash_signature(shingle_hashes: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: for seed s, h_s(x) = ((2s+1)·x + 7919·s) mod P;
-    signature[s] = min over shingle hashes. Empty shingle set → nulls."""
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.transform(
-                shingle_hashes,
-                lambda h: ((2 * s + 1) * h + s * F.lit(7919)) % F.lit(FP_MOD),
-            )
-        ),
-    )
+#: multiplier combining token hashes into a shingle hash (mod FP_MOD);
+#: large enough to mix, small enough that h*MULT stays well inside int64
+SHINGLE_MULT = 1_000_003
+
+
+def shingle_hashes_from_tokens(token_hashes: Column, k: int = 3) -> Column:
+    """k-gram shingle hashes derived from per-token hashes:
+    h(g) = fold of token hashes with SHINGLE_MULT (mod FP_MOD).
+
+    Built with slice+zip_with rather than indexed access inside a
+    transform lambda: element access on an expression-backed array
+    re-inlines (and re-evaluates) the whole producing expression per
+    element — O(shingles·tokens) hidden work. slice/zip_with evaluate
+    the token-hash array a constant number of times per row."""
+    n = F.size(token_hashes)
+    width = n - (k - 1)
+    out = F.slice(token_hashes, 1, width)
+    for j in range(1, k):
+        nxt = F.slice(token_hashes, j + 1, width)
+        out = F.zip_with(
+            out, nxt, lambda a, b: (a * SHINGLE_MULT + b) % F.lit(FP_MOD)
+        )
+    return F.when(n < k, F.array().cast("array<bigint>")).otherwise(out)
 
 
 def with_minhash(
@@ -67,11 +77,30 @@ def with_minhash(
     k: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """id + MinHash signature per document."""
-    sh = shingles(tokens(text_col), k)
-    hashed = F.transform(sh, lambda s: poly_hash(s))
-    return df.select(
-        id_col, minhash_signature(hashed, num_hashes).alias("minhash")
+    """id + MinHash signature per document (array<bigint> of length
+    ``num_hashes``); for seed s, h_s(x) = ((2s+1)·x + 7919·s) mod P and
+    signature[s] = min over shingle hashes. Docs with < k tokens get an
+    all-null signature.
+
+    Shape: explode shingle hashes to rows, then ONE hash aggregate with
+    ``num_hashes`` conditional mins — fully codegen'd, map-side
+    partials, single shuffle on the doc id. (The tempting pure-HOF form
+    — transform(seeds, s -> array_min(...)) — re-evaluates the whole
+    shingle pipeline once per seed per row: 16× the work, interpreted.)
+    """
+    tok_hashes = F.transform(tokens(text_col), lambda t: poly_hash(t))
+    hashed = shingle_hashes_from_tokens(tok_hashes, k)
+    exploded = df.select(id_col, F.explode_outer(hashed).alias("__h"))
+    aggs = [
+        F.min(
+            ((2 * s + 1) * F.col("__h") + s * 7919) % F.lit(FP_MOD)
+        ).alias(f"__m{s}")
+        for s in range(num_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col,
+        F.array(*[f"__m{s}" for s in range(num_hashes)]).alias("minhash"),
     )
 
 
@@ -101,6 +130,9 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", F.col("bb.sig_band").cast("array<string>").alias("sig_band"))
+    # the self-join would otherwise recompute the full signature
+    # pipeline once per side — persist the (small) banded frame
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -142,6 +174,36 @@ def simhash(token_hashes: Column, bits: int = 16) -> Column:
     for j in range(bits):
         fp = fp + F.when(bit_sum(j) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
     return fp
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """id + SimHash fingerprint per document, via explode → one hash
+    aggregate with ``bits`` conditional sums (codegen'd; the pure-HOF
+    :func:`simhash` re-evaluates the token-hash pipeline per bit —
+    fine for arrays already materialized, 16× overhead otherwise)."""
+    tok_hashes = F.transform(tokens(text_col), lambda t: poly_hash(t))
+    exploded = df.select(id_col, F.explode_outer(tok_hashes).alias("__h"))
+    sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"__b{j}")
+        for j in range(bits)
+    ]
+    agg = exploded.groupBy(id_col).agg(*sums)
+    fp: Column = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(
+            F.col(f"__b{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0))
+    return agg.select(id_col, fp.alias("simhash"))
 
 
 def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:

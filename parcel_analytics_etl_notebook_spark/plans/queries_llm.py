@@ -21,7 +21,7 @@ from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
     lsh_candidate_pairs,
     poly_hash,
     shingles,
-    simhash,
+    with_simhash,
     with_minhash,
 )
 from parcel_analytics_etl_notebook_spark.operators.sessionize import session_stats
@@ -223,8 +223,12 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     oracle=f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+hh AS (SELECT doc_id, list_transform(l, tok -> {_SQL_POLY.format('tok')}) AS th FROM t),
 sh AS (
-    SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES.format('l')})) AS shingle FROM t
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(th)-1),
+               i -> ((th[i]*1000003 + th[i+1]) % 1000000007 * 1000003 + th[i+2]) % 1000000007))) AS shingle
+    FROM hh
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
@@ -241,16 +245,25 @@ WHERE shared / (sa.n + sb.n - shared) >= 0.2
 """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs via an inverted shingle
-    index: explode distinct shingles, self-join on shingle (only
-    colliding docs ever pair — no cartesian), count shared, compute
-    |A∩B|/|A∪B|. The canonical exact-verification stage after LSH."""
+    """3-gram Jaccard near-dup pairs via an inverted shingle index:
+    explode distinct shingle HASHES (int64 — narrower shuffle rows than
+    shingle strings), self-join on the hash (only colliding docs ever
+    pair — no cartesian), count shared, compute |A∩B|/|A∪B|. The hash
+    is part of the operator definition (same formula in the oracle), so
+    counts match exactly. The canonical verification stage after LSH."""
+    from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
+        shingle_hashes_from_tokens,
+    )
+
     docs = table(spark, sf_dir, "documents")
+    tok_hashes = F.transform(tokens("text"), lambda t: poly_hash(t))
     sh = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(shingles(tokens("text"), 3))).alias("shingle"),
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        F.explode(
+            F.array_distinct(shingle_hashes_from_tokens(tok_hashes, 3))
+        ).alias("shingle"),
+    ).persist()  # referenced 3× (self-join sides + sizes) — don't re-explode
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).persist()
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(
@@ -281,14 +294,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_signatures",
     oracle=f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
-s AS (SELECT doc_id, {_SQL_SHINGLES.format('l')} AS sh FROM t),
-h AS (SELECT doc_id, list_transform(sh, g -> {_SQL_POLY.format('g')}) AS hh FROM s)
+h AS (SELECT doc_id, list_transform(l, tok -> {_SQL_POLY.format('tok')}) AS hh FROM t),
+s AS (SELECT doc_id,
+             list_transform(range(1, len(hh)-1),
+                 i -> ((hh[i]*1000003 + hh[i+1]) % 1000000007 * 1000003 + hh[i+2]) % 1000000007) AS sh
+      FROM h)
 SELECT doc_id,
        array_to_string(
            list_transform(range(0, 16),
-               s -> CAST(list_min(list_transform(hh, x -> ((2*s+1)*x + s*7919) % 1000000007)) AS VARCHAR)),
+               s -> CAST(list_min(list_transform(sh, x -> ((2*s+1)*x + s*7919) % 1000000007)) AS VARCHAR)),
            '_') AS minhash
-FROM h
+FROM s
 """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,11 +353,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document over token hashes: near-identical
     token multisets land at small Hamming distance. Entirely codegen'd
     bit arithmetic — the other classic near-dup family besides MinHash."""
-    docs = table(spark, sf_dir, "documents")
-    token_hashes = F.transform(tokens("text"), lambda t: poly_hash(t))
-    return docs.select(
-        "doc_id", simhash(token_hashes, bits=16).alias("simhash")
-    )
+    return with_simhash(table(spark, sf_dir, "documents"), bits=16)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,11 @@
+from parcel_analytics_etl_notebook_spark.streaming.sessions import (
+    read_events_stream,
+    streaming_lifecycle_counts,
+    streaming_session_stats,
+)
+
+__all__ = [
+    "read_events_stream",
+    "streaming_lifecycle_counts",
+    "streaming_session_stats",
+]

@@ -1,0 +1,108 @@
+"""Structured Streaming twins of the batch event-lifecycle operators
+(SURVEY §2.9: the reference is pure batch, but its data shape — a
+timestamped event log sessionized per entity — is exactly what
+``session_window`` + watermarks model).
+
+These run with ``Trigger.AvailableNow`` over a parquet directory in
+tests; in production the same code points at Kafka/files and runs
+continuously. Watermarks bound state: late events beyond the watermark
+are dropped rather than growing state forever — the property that makes
+the operator viable on an unbounded 100-TB/day stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parcel_analytics_etl_notebook_spark.session import pin_session
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Stream the driver's events table (parquet directory source).
+
+    Schema is taken from a batch peek (streaming sources require an
+    explicit schema); the int64-nanos ``ts`` is converted exactly like
+    the batch reader (plans/catalog.table).
+    """
+    pin_session(spark)
+    path = f"{sf_dir}/events.parquet"
+    # the streaming file source requires a DIRECTORY; the driver ships
+    # one parquet file per table, so stage a symlink dir (no data copy)
+    import os
+    import tempfile
+
+    if os.path.isfile(path):
+        staged = os.path.join(
+            tempfile.gettempdir(), f"events_stream_{abs(hash(sf_dir))}"
+        )
+        os.makedirs(staged, exist_ok=True)
+        link = os.path.join(staged, "part-0.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        path = staged
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def streaming_session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user gap-based sessions via ``session_window`` — the
+    streaming equivalent of operators/sessionize.session_stats. State
+    per (user, open session); closed by watermark passage."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_lifecycle_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed conditional counts of lifecycle stages — the streaming
+    form of the flagship KPI's label+aggregate chain (tumbling window
+    instead of all-time, since global aggregates don't stream)."""
+    labeled = events.filter(
+        F.col("event_type").isin("signup", "view", "purchase")
+    )
+    return (
+        labeled.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window))
+        .agg(
+            F.sum((F.col("event_type") == "signup").cast("long")).alias("signups"),
+            F.sum((F.col("event_type") == "view").cast("long")).alias("views"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("purchases"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "signups",
+            "views",
+            "purchases",
+            "approx_users",
+        )
+    )

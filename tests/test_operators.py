@@ -1,0 +1,172 @@
+"""Per-operator unit tests on tiny literal DataFrames (SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from parcel_analytics_etl_notebook_spark.functions.keys import surrogate_key
+from parcel_analytics_etl_notebook_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+)
+from parcel_analytics_etl_notebook_spark.operators.asof import asof_join_backward
+from parcel_analytics_etl_notebook_spark.operators.dedup import dedup_first_row
+from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
+    hamming_distance,
+    with_minhash,
+    with_simhash,
+)
+from parcel_analytics_etl_notebook_spark.operators.flatten import flatten_structs
+from parcel_analytics_etl_notebook_spark.operators.multimodal import (
+    decode_stub,
+    extract_features,
+    to_binary_payload,
+)
+from parcel_analytics_etl_notebook_spark.operators.sessionize import sessionize
+from parcel_analytics_etl_notebook_spark.operators.topk import top_k, top_k_per_group
+
+
+def test_flatten_nested_depths(spark):
+    df = spark.createDataFrame(
+        [Row(a=Row(b=Row(c=1, d="x"), e=2.0), f="top")]
+    )
+    flat = flatten_structs(df)
+    assert set(flat.columns) == {"a_b_c", "a_b_d", "a_e", "f"}
+    row = flat.collect()[0]
+    assert (row["a_b_c"], row["a_b_d"], row["a_e"], row["f"]) == (1, "x", 2.0, "top")
+
+
+def test_flatten_include_prunes(spark):
+    df = spark.createDataFrame([Row(a=Row(b=1, c=2), d=3)])
+    flat = flatten_structs(df, include=["a.b"])
+    assert flat.columns == ["a_b"]
+
+
+def test_surrogate_key_null_discrimination(spark):
+    # ("a", NULL) must differ from (NULL, "a") and from ("a", "a")
+    df = spark.createDataFrame(
+        [("a", None), (None, "a"), ("a", "a")], "x string, y string"
+    )
+    keys = [r[0] for r in df.select(surrogate_key("x", "y")).collect()]
+    assert len(set(keys)) == 3
+
+
+def test_dedup_first_row_deterministic(spark):
+    df = spark.createDataFrame(
+        [("k", 2, "b"), ("k", 1, "a"), ("k", 1, "z"), ("j", 5, "q")],
+        "key string, ord int, val string",
+    )
+    out = dedup_first_row(df, ["key"], [F.col("ord"), F.col("val")])
+    got = {r["key"]: (r["ord"], r["val"]) for r in out.collect()}
+    assert got == {"k": (1, "a"), "j": (5, "q")}
+
+
+def test_asof_backward_inclusive_and_unmatched(spark):
+    t = dt.datetime
+    left = spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1, 10, 0, 0), "p1"),
+            (1, t(2024, 1, 1, 12, 0, 0), "p2"),
+            (2, t(2024, 1, 1, 9, 0, 0), "p3"),  # no right rows for key 2
+        ],
+        "k bigint, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1, 10, 0, 0)),  # equal ts → matches p1 (inclusive)
+            (1, t(2024, 1, 1, 11, 0, 0)),
+        ],
+        "k bigint, ts timestamp",
+    )
+    out = asof_join_backward(left, right, on="k", left_ts="ts", right_ts="ts", right_values=[])
+    got = {r["tag"]: r["ts_asof"] for r in out.collect()}
+    assert got["p1"] == t(2024, 1, 1, 10, 0, 0)
+    assert got["p2"] == t(2024, 1, 1, 11, 0, 0)
+    assert got["p3"] is None
+
+
+def test_topk_global_and_grouped(spark):
+    df = spark.createDataFrame(
+        [(g, v) for g in ("a", "b") for v in range(5)], "g string, v int"
+    )
+    top = top_k(df, [F.col("v").desc(), F.col("g")], 3).collect()
+    assert [(r["g"], r["v"]) for r in top] == [("a", 4), ("b", 4), ("a", 3)]
+    per = top_k_per_group(df, ["g"], [F.col("v").desc()], 2)
+    assert per.count() == 4
+    assert per.filter("g = 'a'").agg(F.min("v")).collect()[0][0] == 3
+
+
+def test_sessionize_gap_boundaries(spark):
+    t = dt.datetime
+    df = spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1, 10, 0, 0)),
+            (1, t(2024, 1, 1, 10, 20, 0)),   # same session (gap 20m)
+            (1, t(2024, 1, 1, 11, 0, 0)),    # new session (gap 40m)
+            (2, t(2024, 1, 1, 10, 0, 0)),
+        ],
+        "user bigint, ts timestamp",
+    )
+    out = sessionize(df, "user", "ts", gap_seconds=1800)
+    got = sorted(
+        (r["user"], r["ts"].hour, r["ts"].minute, r["session_idx"])
+        for r in out.collect()
+    )
+    assert got == [(1, 10, 0, 0), (1, 10, 20, 0), (1, 11, 0, 1), (2, 10, 0, 0)]
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([0.0, 0.0], [1.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    rows = df.select(
+        dot("a", "b").alias("d"), cosine_similarity("a", "b").alias("c")
+    ).collect()
+    assert rows[0]["d"] == 1.0 and rows[0]["c"] == 1.0
+    assert rows[1]["d"] == 0.0 and rows[1]["c"] == 0.0
+    assert rows[2]["c"] is None  # zero-norm guard
+
+
+def test_minhash_similar_docs_collide_more(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely different words entirely here now")],
+        "doc_id bigint, text string",
+    )
+    sigs = {r["doc_id"]: r["minhash"] for r in with_minhash(df).collect()}
+    overlap_near = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    overlap_far = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert overlap_near > overlap_far
+    assert len(sigs[1]) == 16
+
+
+def test_simhash_hamming_ordering(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " iota"), (3, "nothing shared at all whatsoever kappa")],
+        "doc_id bigint, text string",
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in with_simhash(df).collect()}
+    pairs = spark.createDataFrame(
+        [(fp[1], fp[2]), (fp[1], fp[3])], "x bigint, y bigint"
+    )
+    d_near, d_far = [
+        r[0]
+        for r in pairs.select(hamming_distance(F.col("x"), F.col("y"))).collect()
+    ]
+    assert d_near <= d_far
+
+
+def test_multimodal_stub(spark):
+    df = spark.createDataFrame([(1, "hello")], "doc_id bigint, text string")
+    out = extract_features(to_binary_payload(df)).collect()[0]
+    assert out["n_bytes"] == 5
+    assert len(out["features"]) == 8
+    assert all(0.0 <= f <= 1.0 for f in out["features"])
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"...", "image/png")

@@ -1,0 +1,176 @@
+"""End-to-end parity test of the parcel warehouse build + KPI report on
+a FIXTURES.md §A fixture: complete lifecycles, missing legs, duplicate
+shipping_ids, null client/shipping keys, malformed JSON, embedded
+newlines/quotes (multiline CSV semantics exercised via the same JSON
+payloads the reference reads)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from parcel_analytics_etl_notebook_spark.plans.parcel import (
+    build_warehouse,
+    dq_checkpoint,
+    kpi_report,
+    parse_events,
+)
+
+
+def _event(
+    code,
+    sub,
+    event_date,
+    shipping_id,
+    brand="BR",
+    sign="SG",
+    coll=(1, "FR"),
+    deliv=(2, "FR"),
+    state=("ST", "2024-01-01", "N", "S1"),
+):
+    return json.dumps(
+        {
+            "event_code": code,
+            "event_date": event_date,
+            "entry_date": event_date,
+            "event_nature": "nature",
+            "event_sub_code": sub,
+            "shipping": {
+                "sign_code": sign,
+                "brand_code_alpha": brand,
+                "collection": {
+                    "prestation_code": "P1",
+                    "round": {"codeAgence": coll[0], "pays": coll[1]},
+                },
+                "paid": "Y",
+                "sav_folder": False,
+                "is_replaced": False,
+                "state": {
+                    "code": state[0],
+                    "date": state[1],
+                    "nature": state[2],
+                    "sousCode": state[3],
+                },
+                "canceled_state": None,
+                "shipping_id": shipping_id,
+                "delivery": {
+                    "prestation_code": "P2",
+                    "round": {"codeAgence": deliv[0], "pays": deliv[1]},
+                },
+                "parcel_number": 1,
+                "shipping_number": 10,
+                "options": None,
+                "parcel_sequence": 1,
+            },
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark):
+    rows = [
+        # S1: complete lifecycle PEC/REL -> TRN/APM -> LIV (3 days, 1 day)
+        (_event("PEC", "REL", "2024-01-01 08:00:00", "S1"),),
+        (_event("TRN", "APM", "2024-01-03 08:00:00", "S1"),),
+        (_event("LIV", None, "2024-01-04 08:00:00", "S1"),),
+        # S2: missing delivery leg (only SENT + PICKED_UP, 2 days)
+        (_event("PEC", "APM", "2024-01-02 10:00:00", "S2"),),
+        (_event("LIV", None, "2024-01-04 10:00:00", "S2"),),
+        # S3: only sent — every duration null
+        (_event("PEC", "REL", "2024-01-05 09:00:00", "S3"),),
+        # S1 duplicate event with "text\nnewline \" quote" embedded
+        (
+            _event("TRN", "XX", "2024-01-03 09:00:00", "S1", brand='B"R\nX'),
+        ),
+        # null client keys → rejected from DimClient
+        (_event("PEC", "REL", "2024-01-06 09:00:00", "S4", brand=None, sign=None),),
+        # null shipping_id → rejected from DimShipping
+        (_event("PEC", "REL", "2024-01-06 10:00:00", None),),
+        # malformed JSON → null struct
+        ("{not valid json",),
+    ]
+    raw = spark.createDataFrame(rows, "event string")
+    flat = parse_events(raw)
+    return build_warehouse(flat), flat
+
+
+def test_flatten_shape(warehouse):
+    _, flat = warehouse
+    assert set(flat.columns) == {
+        "event_code", "event_date", "entry_date", "event_nature",
+        "event_sub_code", "sign_code", "brand_code_alpha",
+        "collection_codeAgence", "collection_pays", "sav_folder",
+        "is_replaced", "state_code", "state_date", "state_nature",
+        "state_subcode", "shipping_id", "delivery_codeAgence",
+        "delivery_pays", "parcel_number", "shipping_number",
+        "parcel_sequence",
+    }
+    # malformed JSON row survives with all-null fields (PERMISSIVE)
+    assert flat.count() == 10
+    assert flat.filter(F.col("event_code").isNull()).count() == 1
+
+
+def test_dim_grains_and_keys(warehouse):
+    tables, _ = warehouse
+    dim_client = tables["DimClient"].collect()
+    # null brand/sign rejected; "BR_SG" and the quoted-brand variant remain
+    keys = {r["client_key"] for r in dim_client}
+    assert "BR_SG" in keys and len(keys) == len(dim_client)
+    # deterministic surrogate keys: rebuild yields identical ids
+    again = {r["client_key"]: r["client_id"] for r in tables["DimClient"].collect()}
+    assert all(again[r["client_key"]] == r["client_id"] for r in dim_client)
+
+    dim_location = tables["DimLocation"]
+    assert dim_location.count() == dim_location.dropDuplicates(
+        ["codeAgence", "pays", "location_type"]
+    ).count()
+    roles = {r["location_type"] for r in dim_location.select("location_type").collect()}
+    assert roles == {"collection", "delivery"}
+
+    # DimShipping: distinct non-null shipping_id
+    ship = tables["DimShipping"]
+    ids = [r["shipping_id"] for r in ship.select("shipping_id").collect()]
+    assert sorted(ids) == ["S1", "S2", "S3", "S4"]
+
+
+def test_fact_referential_integrity(warehouse):
+    tables, _ = warehouse
+    fact = tables["FactShippingEvent"]
+    dim_date = tables["DimDate"]
+    # every non-null fact date_id resolves in DimDate — the property the
+    # reference's uuid() warehouse violated (SURVEY §4.3)
+    unresolved = (
+        fact.join(dim_date, on="date_id", how="left_anti")
+        .filter(F.col("date_id").isNotNull())
+        .count()
+    )
+    assert unresolved == 0
+    # 9 parseable events + 1 malformed row
+    assert fact.count() == 10
+
+
+def test_kpi_report(warehouse):
+    tables, _ = warehouse
+    kpi = kpi_report(tables["FactShippingEvent"]).collect()[0]
+    # S1: delivery 2d, lifecycle 3d, pickup 1d; S2: lifecycle 2d only.
+    # Null-skipping avg semantics: shipments missing a leg drop out of
+    # that average only (reference report.ipynb cell 8).
+    assert kpi["avg_delivery_days"] == 2.0
+    assert kpi["avg_lifecycle_days"] == 2.5  # (3 + 2) / 2
+    assert kpi["avg_pickup_days"] == 1.0
+    # S1, S2, S3, S4 have labeled events; the null-shipping_id row is
+    # excluded by countDistinct's null-skipping
+    assert kpi["total_packages"] == 4
+
+
+def test_dq_checkpoint(warehouse, spark):
+    _, flat = warehouse
+    report = dq_checkpoint(flat, "After Parsing", ["event_code", "shipping_id"])
+    rows = {r["check_name"]: r for r in report.collect()}
+    assert rows["Non-empty dataframe"]["status"] == "PASS"
+    assert rows["No nulls in column 'event_code'"]["status"] == "FAIL"
+    assert set(report.columns) == {
+        "check_point", "check_name", "status", "details", "timestamp",
+    }

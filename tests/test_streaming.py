@@ -1,0 +1,63 @@
+"""Structured Streaming session/lifecycle operators, driven end-to-end
+with Trigger.AvailableNow over the sf0.001 events parquet, checked
+against their batch equivalents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parcel_analytics_etl_notebook_spark.plans.catalog import table
+from parcel_analytics_etl_notebook_spark.streaming.sessions import (
+    read_events_stream,
+    streaming_lifecycle_counts,
+    streaming_session_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_to_memory(stream_df, name: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_sessions_match_batch(spark):
+    stream = read_events_stream(spark, SF)
+    assert stream.isStreaming
+    _run_to_memory(streaming_session_stats(stream, gap="30 minutes"), "sess")
+    got = spark.table("sess")
+    # batch equivalent: session_window works identically on static frames
+    batch = (
+        table(spark, SF, "events")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert got.count() == batch.count() > 0
+    assert got.agg(F.sum("n_events")).collect()[0][0] == 1000  # every event in exactly one session
+
+
+def test_streaming_lifecycle_counts(spark):
+    stream = read_events_stream(spark, SF)
+    _run_to_memory(streaming_lifecycle_counts(stream, window="6 hours"), "lc")
+    got = spark.table("lc")
+    total = got.agg(
+        F.sum("signups").alias("s"), F.sum("views").alias("v"), F.sum("purchases").alias("p")
+    ).collect()[0]
+    batch = (
+        table(spark, SF, "events")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    by_type = {r["event_type"]: r["count"] for r in batch}
+    assert total["s"] == by_type.get("signup", 0)
+    assert total["v"] == by_type.get("view", 0)
+    assert total["p"] == by_type.get("purchase", 0)
