@@ -95,6 +95,7 @@ def _ensure_loaded() -> None:
     # Imported lazily to avoid circular imports at package init.
     from parcel_analytics_etl_notebook_spark.plans import (  # noqa: F401
         queries_relational,
+        queries_relational2,
     )
 
     try:

@@ -1,0 +1,216 @@
+"""Relational catalog, part 2: join-family completions (full outer,
+cross, multi-join analytics), bounds, sketch aggregates, typed JSON
+parsing, CUBE, window ratios."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parcel_analytics_etl_notebook_spark.plans.catalog import register, table
+
+
+@register(
+    "nation_presence_full_outer",
+    oracle="""
+WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS customers
+           FROM customer GROUP BY 1),
+s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey, count(*) AS suppliers
+      FROM supplier GROUP BY 1)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(customers, 0) AS customers,
+       coalesce(suppliers, 0) AS suppliers
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+""",
+)
+def nation_presence_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (§2.3 completion): per-nation customer/supplier
+    counts, preserving nations present on only one side."""
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    c = customer.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("nationkey")
+    ).agg(F.count(F.lit(1)).alias("customers"))
+    s = supplier.groupBy(
+        F.col("s_nationkey").cast("bigint").alias("nationkey")
+    ).agg(F.count(F.lit(1)).alias("suppliers"))
+    return (
+        c.join(s, on="nationkey", how="full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("customers", F.lit(0)).alias("customers"),
+            F.coalesce("suppliers", F.lit(0)).alias("suppliers"),
+        )
+    )
+
+
+@register(
+    "region_status_matrix",
+    oracle="""
+SELECT r_name, o_orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+""",
+)
+def region_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS join (§2.3 completion): the full region × order-status
+    matrix. Only ever sane when one side is tiny — both are here; the
+    plan is a broadcast nested loop over 5×3 rows."""
+    region = table(spark, sf_dir, "region").select("r_name")
+    statuses = table(spark, sf_dir, "orders").select("o_orderstatus").dropDuplicates()
+    return region.crossJoin(statuses)
+
+
+@register(
+    "regional_revenue",
+    oracle="""
+SELECT n_name AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-table join: local-supplier revenue per nation
+    in one region. Catalyst reorders the joins; the region/nation dims
+    broadcast, and the r_name filter prunes before the big fact join."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            supplier,
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "event_date_bounds",
+    oracle="""
+SELECT CAST(min(ts) AS TIMESTAMP) AS first_event,
+       CAST(max(ts) AS TIMESTAMP) AS last_event,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order
+FROM events, orders
+""",
+)
+def event_date_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global min/max time bounds (reference A7 report-scoping query,
+    ``report.ipynb`` cell 8:44-49) across two tables in one pass —
+    scalar aggregates cross-joined (1×1, free)."""
+    events = table(spark, sf_dir, "events")
+    orders = table(spark, sf_dir, "orders")
+    e = events.agg(
+        F.min("ts").alias("first_event"), F.max("ts").alias("last_event")
+    )
+    o = orders.agg(
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    return e.crossJoin(o)
+
+
+@register("approx_distinct_users", oracle=None)  # sketch ≠ exact: rows-only
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user counts per event type — the 100-TB
+    substitute for exact countDistinct (reference A6): no expand, one
+    pass, mergeable sketches. Not oracle-checked (DuckDB's approx
+    sketch differs); the unit test bounds its error vs exact."""
+    events = table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "props_typed_extract",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+""",
+)
+def props_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed from_json over the JSON payload column (reference F1,
+    ``etl/main.py:128``: schema-declared parse, not stringly
+    get_json_object) + predicate on the extracted field."""
+    events = table(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "parsed", F.from_json("props", "k BIGINT")
+    )
+    return parsed.filter(F.col("parsed.k") > 90).select(
+        "event_id", F.col("parsed.k").alias("k")
+    )
+
+
+@register(
+    "status_year_cube",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, CAST(year(o_orderdate) AS BIGINT))
+""",
+)
+def status_year_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping sets in one pass (map-side expand, single
+    shuffle) — completes the grouping-sets family next to ROLLUP."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate").cast("bigint"))
+        .cube("o_orderstatus", "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "order_share_of_customer",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       round(o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_custkey), 6) AS share
+FROM orders
+""",
+)
+def order_share_of_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered analytic window: each order's share of its customer's
+    lifetime spend — partition-total window, no sort needed within the
+    frame (one shuffle on the partition key only)."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") / F.sum("o_totalprice").over(w), 6).alias(
+            "share"
+        ),
+    )
