@@ -509,3 +509,34 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
         F.count_distinct("user_id").alias("active_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-safe token counting (salting demo with exact-equality oracle)
+# --------------------------------------------------------------------------
+@register(
+    "token_counts_salted",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents)
+SELECT token, count(*) AS n
+FROM tok GROUP BY token
+""",
+)
+def token_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token counts via two-phase SALTED aggregation
+    (operators/skew.salted_agg): token frequency is power-law ('the'/'a'
+    dominate), so the partial aggregate fans each hot token over 16 salt
+    buckets before combining. The oracle is the plain groupBy — salting
+    must be a pure shuffle-layout change, never a semantic one."""
+    from parcel_analytics_etl_notebook_spark.operators.skew import salted_agg
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    return salted_agg(
+        tok,
+        keys=["token"],
+        unique_col="doc_id",
+        partial_aggs=[F.count(F.lit(1)).alias("__pn")],
+        final_aggs=lambda: [F.sum("__pn").alias("n")],
+        buckets=16,
+    )

@@ -1,0 +1,105 @@
+"""Scale-hygiene verification: bucketed co-located joins (no Exchange),
+salted join equivalence, AQE coalescing — the knobs SURVEY §4.2/§7.7
+promises for the 100 TB path, proven on the physical plan."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from parcel_analytics_etl_notebook_spark.operators.skew import (
+    salted_join_small,
+    with_salt,
+)
+from parcel_analytics_etl_notebook_spark.plans.catalog import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT any shuffle —
+    the co-located join layout for repeated big-big joins at scale."""
+    orders = table(spark, SF, "orders")
+    customer = table(spark, SF, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    (
+        orders.write.bucketBy(4, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", str(tmp_path / "b_orders"))
+        .saveAsTable("b_orders")
+    )
+    (
+        customer.write.bucketBy(4, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", str(tmp_path / "b_customer"))
+        .saveAsTable("b_customer")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        p = _plan(joined)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # bucket layout replaces the shuffle
+        assert joined.count() == orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting is a pure layout change: row-identical to the plain join."""
+    orders = table(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    status_dim = spark.createDataFrame(
+        [("O", "open"), ("F", "finished"), ("P", "pending")],
+        "o_orderstatus string, status_name string",
+    )
+    salted = salted_join_small(
+        orders, status_dim, on="o_orderstatus", unique_col="o_orderkey", buckets=8
+    )
+    plain = orders.join(status_dim, on="o_orderstatus")
+    assert salted.count() == plain.count()
+    assert (
+        salted.select("o_orderkey", "status_name")
+        .subtract(plain.select("o_orderkey", "status_name"))
+        .count()
+        == 0
+    )
+
+
+def test_salt_is_deterministic_and_bounded(spark):
+    df = with_salt(table(spark, SF, "orders"), "o_orderkey", 16)
+    stats = df.agg(
+        F.min("__salt"), F.max("__salt"), F.count_distinct("__salt")
+    ).collect()[0]
+    assert stats[0] >= 0 and stats[1] <= 15 and stats[2] > 8
+    a = df.select("o_orderkey", "__salt").collect()
+    b = df.select("o_orderkey", "__salt").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_aqe_coalesces_small_shuffle(spark):
+    """With AQE on, a tiny aggregation doesn't keep 8 configured shuffle
+    partitions — runtime coalescing collapses them."""
+    df = table(spark, SF, "orders").groupBy("o_orderstatus").count()
+    df.collect()
+    # AQE rewrites the final plan; the executed plan shows coalesced reads
+    assert "AQEShuffleRead" in df._jdf.queryExecution().executedPlan().toString()
