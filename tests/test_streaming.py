@@ -61,3 +61,43 @@ def test_streaming_lifecycle_counts(spark):
     assert total["s"] == by_type.get("signup", 0)
     assert total["v"] == by_type.get("view", 0)
     assert total["p"] == by_type.get("purchase", 0)
+
+
+def test_stateful_funnel_completions(spark):
+    """applyInPandasWithState funnel: every user with all three stages
+    emits exactly one completion row whose timestamps equal the batch
+    conditional-min pivot."""
+    from parcel_analytics_etl_notebook_spark.streaming.stateful import (
+        funnel_completions,
+    )
+
+    stream = read_events_stream(spark, SF)
+    q = (
+        funnel_completions(stream)
+        .writeStream.format("memory")
+        .queryName("funnel")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["user_id"]: r for r in spark.table("funnel").collect()}
+
+    batch = (
+        table(spark, SF, "events")
+        .filter(F.col("event_type").isin("signup", "view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s"),
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+        )
+        .filter("s IS NOT NULL AND v IS NOT NULL AND p IS NOT NULL")
+        .collect()
+    )
+    expected = {r["user_id"]: r for r in batch}
+    assert set(got) == set(expected) and len(got) > 0
+    for uid, row in expected.items():
+        assert got[uid]["signup_ts"] == row["s"]
+        assert got[uid]["first_view_ts"] == row["v"]
+        assert got[uid]["first_purchase_ts"] == row["p"]
