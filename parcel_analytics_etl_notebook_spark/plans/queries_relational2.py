@@ -214,3 +214,68 @@ def order_share_of_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+@register(
+    "user_event_type_pivot",
+    oracle="""
+SELECT user_id,
+       CAST(coalesce(sum(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS BIGINT) AS clicks,
+       CAST(coalesce(sum(CASE WHEN event_type = 'view'     THEN 1 END), 0) AS BIGINT) AS views,
+       CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchases,
+       CAST(coalesce(sum(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS BIGINT) AS errors
+FROM events
+GROUP BY user_id
+""",
+)
+def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with a STATIC column list (generalizes reference
+    A4). ``pivot(col, values)`` with explicit values — never the
+    value-discovery form, which runs an extra distinct job over 100 TB
+    before the real one."""
+    events = table(spark, sf_dir, "events")
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .count()
+    )
+    return out.select(
+        "user_id",
+        F.coalesce("click", F.lit(0)).cast("bigint").alias("clicks"),
+        F.coalesce("view", F.lit(0)).cast("bigint").alias("views"),
+        F.coalesce("purchase", F.lit(0)).cast("bigint").alias("purchases"),
+        F.coalesce("error", F.lit(0)).cast("bigint").alias("errors"),
+    )
+
+
+@register(
+    "embedding_quantization",
+    oracle="""
+SELECT vec_id,
+       array_to_string(list_transform(embedding,
+           x -> CAST(CAST(greatest(-127, least(127, round(CAST(x AS DOUBLE) * 127.0))) AS BIGINT) AS VARCHAR)),
+           ',') AS q8,
+       round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+FROM embeddings
+""",
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column (+ stored norm
+    for dequantized scoring) — the storage-side half of a vector index:
+    4× smaller vectors, norm kept for cosine reconstruction. Serialized
+    to CSV-string for representation-stable hashing."""
+    from parcel_analytics_etl_notebook_spark.functions.vectors import l2_norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.round(x.cast("double") * 127.0, 0)),
+        ).cast("bigint"),
+    )
+    return emb.select(
+        "vec_id",
+        F.array_join(F.transform(q, lambda v: v.cast("string")), ",").alias("q8"),
+        F.round(l2_norm("embedding"), 6).alias("l2_norm"),
+    )
