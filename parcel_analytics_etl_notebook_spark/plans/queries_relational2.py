@@ -279,3 +279,127 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.transform(q, lambda v: v.cast("string")), ",").alias("q8"),
         F.round(l2_norm("embedding"), 6).alias("l2_norm"),
     )
+
+
+@register(
+    "null_safe_state_join",
+    oracle="""
+WITH d AS (
+    SELECT DISTINCT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS et
+    FROM events
+)
+SELECT e.event_id, d.et
+FROM (SELECT event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS et
+      FROM events) e
+JOIN d ON e.et IS NOT DISTINCT FROM d.et
+WHERE e.event_id < 100
+""",
+)
+def null_safe_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other — the opposite of the reference's J4 semantics where
+    null state keys never join (both behaviors are part of the join
+    surface; the engine exposes both)."""
+    events = table(spark, sf_dir, "events")
+    et = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("event_type")
+    )
+    e = events.select("event_id", et.alias("et")).filter(F.col("event_id") < 100)
+    d = events.select(et.alias("et")).dropDuplicates()
+    return e.join(d, e.et.eqNullSafe(d.et)).select(e.event_id, d.et)
+
+
+@register(
+    "price_percentiles_by_status",
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def price_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles per group (Spark `percentile` ≡
+    SQL quantile_cont). At 100 TB swap for approx_percentile — exact
+    percentiles buffer each group's values; the catalog keeps the exact
+    form because it's oracle-checkable, and the sketch form is the
+    one-line substitution documented here."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "customer_order_history",
+    oracle="""
+SELECT o_custkey,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list made deterministic: aggregation order is arbitrary,
+    so the collected array is SORTED before serialization (the only
+    legitimate way to expose collect_list in a hash-checked pipeline)."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("order_keys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "scd1_customer_refresh",
+    oracle="""
+WITH updates AS (
+    SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000, c_name, 'NEW'
+    FROM customer WHERE c_custkey % 100 = 0
+)
+SELECT c_custkey, c_name, c_mktsegment FROM updates
+UNION ALL
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+""",
+)
+def scd1_customer_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-1 dimension refresh (plans/star.scd1_upsert): a derived
+    update snapshot (10%% segment changes + synthetic inserts) merged
+    over the customer dim — updates win, untouched rows survive, new
+    keys insert. The MERGE INTO equivalent for plain-parquet dims."""
+    from parcel_analytics_etl_notebook_spark.plans.star import scd1_upsert
+
+    customer = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    updates = (
+        customer.filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", "c_name", F.lit("UPDATED").alias("c_mktsegment"))
+        .unionByName(
+            customer.filter(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_name",
+                F.lit("NEW").alias("c_mktsegment"),
+            )
+        )
+    )
+    return scd1_upsert(customer, updates, keys=["c_custkey"])

@@ -80,6 +80,19 @@ def resolve_fk(
     return fact.join(F.broadcast(dim_proj), on=on, how="left")
 
 
+def scd1_upsert(current: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """Type-1 slowly-changing-dimension merge: update rows replace
+    current rows on key match, unmatched current rows survive, new keys
+    insert. Shape: one anti-join (current minus touched keys) + union —
+    both sides shuffle on the key once; with the dim bucketed on the
+    key the anti-join is shuffle-free.
+
+    Batch-engine equivalent of ``MERGE INTO`` (no transactional table
+    format in this environment; on Delta/Iceberg use their MERGE)."""
+    survivors = current.join(updates.select(*keys), on=keys, how="left_anti")
+    return updates.unionByName(survivors)
+
+
 def build_date_dim(df: DataFrame, date_col: Column | str, out_date: str = "date") -> DataFrame:
     """DimDate (``etl/main.py:201-211``): distinct calendar dates with
     derived attributes + deterministic key."""
