@@ -73,6 +73,54 @@ def decode_stub(payload: bytes, mime: str) -> list[float]:
     return [float(digest[i]) / 255.0 for i in range(FEATURE_DIM)]
 
 
+#: Output schema of the frame sampler: one row per sampled "frame".
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, target: int) -> bytes:
+    """Deterministic fake 'resize': keep every ceil(len/target)-th byte
+    so output length ≤ target. A real implementation decodes with
+    PIL/opencv and re-encodes; the Spark-side contract (bytes → smaller
+    bytes, same row) is what's exercised here."""
+    if len(payload) <= target:
+        return payload
+    step = -(-len(payload) // target)
+    return payload[::step]
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for 'video' payloads: emit ``n_frames`` evenly
+    spaced byte-chunks per payload as separate rows (mapInPandas is a
+    flat-map — output rows need not align 1:1 with input). Real decoders
+    (decord/ffmpeg) drop into the same batch loop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_sha": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                chunk = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    frame = payload[i * chunk : (i + 1) * chunk]
+                    if not len(frame):
+                        break
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_sha"].append(hashlib.sha256(bytes(frame)).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

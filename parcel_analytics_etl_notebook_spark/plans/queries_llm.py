@@ -540,3 +540,44 @@ def token_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         final_aggs=lambda: [F.sum("__pn").alias("n")],
         buckets=16,
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish regex tokenization (north-star token counting, second tokenizer)
+# --------------------------------------------------------------------------
+@register(
+    "bpe_ish_token_stats",
+    oracle=r"""
+WITH t AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+') AS pieces
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(pieces) AS BIGINT) AS n_pieces,
+       CAST(len(list_distinct(pieces)) AS BIGINT) AS n_unique_pieces,
+       round(list_sum(list_transform(pieces, p -> CAST(length(p) AS DOUBLE))) / len(pieces), 4)
+           AS avg_piece_len
+FROM t
+""",
+)
+def bpe_ish_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second tokenizer family: BPE-ish regex pieces (letter runs, digit
+    runs, punctuation runs — the GPT-2 pre-tokenizer shape) instead of
+    whitespace splits. Same regex dialect in both engines, verified
+    piece-for-piece."""
+    docs = table(spark, sf_dir, "documents")
+    pieces = F.expr(
+        r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+', 0)"
+    )
+    t = docs.select("doc_id", pieces.alias("pieces"))
+    n = F.size("pieces").cast("bigint")
+    return t.select(
+        "doc_id",
+        n.alias("n_pieces"),
+        F.size(F.array_distinct("pieces")).cast("bigint").alias("n_unique_pieces"),
+        F.round(
+            F.aggregate("pieces", F.lit(0.0), lambda acc, p: acc + F.length(p)) / n,
+            4,
+        ).alias("avg_piece_len"),
+    )

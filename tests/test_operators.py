@@ -170,3 +170,29 @@ def test_multimodal_stub(spark):
     assert all(0.0 <= f <= 1.0 for f in out["features"])
     with pytest.raises(NotImplementedError):
         decode_stub(b"...", "image/png")
+
+
+def test_multimodal_resize_and_frame_sampling(spark):
+    from parcel_analytics_etl_notebook_spark.operators.multimodal import (
+        resize_stub,
+        sample_frames,
+    )
+
+    assert resize_stub(b"0123456789", 4) == b"0369"  # step=ceil(10/4)=3
+    assert resize_stub(b"ab", 4) == b"ab"
+
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, "tiny")], "doc_id bigint, text string"
+    )
+    frames = sample_frames(to_binary_payload(df), n_frames=4)
+    rows = frames.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(per_doc[1]) == 4  # 100 bytes → 4 chunks of 25
+    assert all(r["frame_bytes"] == 25 for r in per_doc[1])
+    assert len(per_doc[2]) == 4  # 4 bytes → chunk=1 → 4 single-byte frames
+    # deterministic: rerun produces identical frame hashes
+    again = {(r["doc_id"], r["frame_idx"]): r["frame_sha"] for r in sample_frames(to_binary_payload(df), 4).collect()}
+    for r in rows:
+        assert again[(r["doc_id"], r["frame_idx"])] == r["frame_sha"]
