@@ -403,3 +403,84 @@ def scd1_customer_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd1_upsert(customer, updates, keys=["c_custkey"])
+
+
+@register(
+    "click_attribution",
+    oracle="""
+WITH purchases AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events WHERE event_type = 'purchase'
+), clicks AS (
+    SELECT user_id, event_id AS click_event_id, CAST(ts AS TIMESTAMP) AS ts
+    FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, round(p.value, 2) AS value,
+       c.click_event_id AS attributed_click,
+       c.ts AS click_ts
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+""",
+)
+def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase attributed to the most
+    recent click at-or-before it (as-of join CARRYING a value column,
+    not just the timestamp). Deterministic because (user_id, ts) is
+    unique within clicks — verified at sf0.01/sf0.1; with duplicate
+    timestamps an explicit tiebreak column would be required."""
+    from parcel_analytics_etl_notebook_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    events = table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_event_id"), "ts"
+    )
+    out = asof_join_backward(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["click_event_id"],
+        suffix="_c",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.col("click_event_id_c").alias("attributed_click"),
+        F.col("ts_c").alias("click_ts"),
+    )
+
+
+@register(
+    "deterministic_sample",
+    oracle="""
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_partkey,
+       round(l_extendedprice, 2) AS l_extendedprice
+FROM lineitem
+WHERE (l_orderkey * 2654435761 + l_linenumber * 40503 + l_partkey) % 100 < 10
+""",
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% sample via a multiplicative hash of the row key —
+    df.sample() is partitioning-dependent and engine-specific, so a
+    hash-checked (and at scale, RERUNNABLE) pipeline samples by key
+    hash instead: stable across runs, engines, and repartitioning.
+    The training-data staple for held-out splits."""
+    li = table(spark, sf_dir, "lineitem")
+    bucket = (
+        F.col("l_orderkey") * F.lit(2654435761)
+        + F.col("l_linenumber") * F.lit(40503)
+        + F.col("l_partkey")
+    ) % 100
+    return li.filter(bucket < 10).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        "l_partkey",
+        F.round("l_extendedprice", 2).alias("l_extendedprice"),
+    )
