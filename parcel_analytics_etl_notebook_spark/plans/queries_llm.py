@@ -581,3 +581,79 @@ def bpe_ish_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_piece_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction (training-data cleaning)
+# --------------------------------------------------------------------------
+@register(
+    "pii_redaction_stats",
+    oracle=r"""
+SELECT doc_id,
+       sha256(regexp_replace(regexp_replace(regexp_replace(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+           '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS redacted_sha,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\d{3}[-.]\d{3}[-.]\d{4}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip
+FROM documents
+""",
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/redact.py): email/phone/IP → type
+    tokens, entirely JVM-side regexp chains, plus per-type counts for
+    the scrub audit. Output carries sha256 of the redacted text (the
+    redacted corpus itself would be the 100-TB sink)."""
+    from parcel_analytics_etl_notebook_spark.operators.redact import redact_documents
+
+    docs = table(spark, sf_dir, "documents")
+    out = redact_documents(docs)
+    return out.select(
+        "doc_id",
+        F.sha2(F.col("redacted_text"), 256).alias("redacted_sha"),
+        F.col("n_email"),
+        F.col("n_phone"),
+        F.col("n_ip"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-modal join: documents ⋈ embeddings
+# --------------------------------------------------------------------------
+@register(
+    "doc_embedding_quality",
+    oracle=f"""
+WITH q AS (
+    SELECT doc_id, {_SQL_TOKS} AS l FROM documents
+)
+SELECT d.doc_id,
+       CAST(len(q.l) AS BIGINT) AS n_tokens,
+       e.label,
+       round(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 6) AS emb_norm
+FROM documents d
+JOIN q ON d.doc_id = q.doc_id
+JOIN embeddings e ON d.doc_id = e.vec_id
+WHERE len(q.l) >= 20
+""",
+)
+def doc_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal link: documents joined to their embedding rows
+    (doc_id = vec_id) with a text-side quality filter and vector-side
+    norm — the canonical 'join the modalities, filter on both' shape of
+    a multimodal training-data pipeline."""
+    from parcel_analytics_etl_notebook_spark.functions.vectors import l2_norm
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    t = docs.select("doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens"))
+    return (
+        t.filter(F.col("n_tokens") >= 20)
+        .join(emb, t.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "label",
+            F.round(l2_norm("embedding"), 6).alias("emb_norm"),
+        )
+    )

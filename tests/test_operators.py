@@ -196,3 +196,36 @@ def test_multimodal_resize_and_frame_sampling(spark):
     again = {(r["doc_id"], r["frame_idx"]): r["frame_sha"] for r in sample_frames(to_binary_payload(df), 4).collect()}
     for r in rows:
         assert again[(r["doc_id"], r["frame_idx"])] == r["frame_sha"]
+
+
+def test_pii_redaction_literals(spark):
+    from parcel_analytics_etl_notebook_spark.operators.redact import redact_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact john.doe+x@example.co.uk or 555-123-4567 at 10.0.0.1"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_documents(df).collect()}
+    assert out[1]["redacted_text"] == "contact <EMAIL> or <PHONE> at <IP>"
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ip"]) == (1, 1, 1)
+    assert out[2]["redacted_text"] == "no pii here at all"
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ip"]) == (0, 0, 0)
+
+
+def test_cosine_pairs_vectorized_matches_hof(spark):
+    """The numpy pandas-UDF scale path returns the same pairs/values as
+    the fold-order-exact HOF form (rounded at 1e-6)."""
+    from parcel_analytics_etl_notebook_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.catalog import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    hof = cosine_pairs_blocked(emb, "label", 0.3).collect()
+    vec = cosine_pairs_blocked(emb, "label", 0.3, vectorized=True).collect()
+    key = lambda r: (r["label"], r["id_a"], r["id_b"])  # noqa: E731
+    assert {key(r): r["cosine"] for r in hof} == {key(r): r["cosine"] for r in vec}
+    assert len(hof) > 0

@@ -88,3 +88,39 @@ def test_flatten_roundtrip_values(spark, rows):
         (r["s_a"], r["s_inner_b"], r["s_inner_c"]) for r in flat.collect()
     )
     assert got == sorted(rows)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(  # left events: (key, ts_offset_seconds)
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=15
+    ),
+    st.lists(  # right events
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=0, max_size=15
+    ),
+)
+def test_asof_matches_python_model(spark, left_rows, right_rows):
+    """As-of backward join == python max(right_ts <= left_ts) per key,
+    for arbitrary key/timestamp structures (incl. duplicates)."""
+    import datetime as dt
+
+    from parcel_analytics_etl_notebook_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    to_ts = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(k, to_ts(s), i) for i, (k, s) in enumerate(left_rows)],
+        "k bigint, ts timestamp, idx bigint",
+    )
+    right = spark.createDataFrame(
+        [(k, to_ts(s)) for k, s in right_rows], "k bigint, ts timestamp"
+    )
+    out = asof_join_backward(left, right, on="k", left_ts="ts", right_ts="ts", right_values=[])
+    got = {r["idx"]: r["ts_asof"] for r in out.collect()}
+    assert len(got) == len(left_rows)
+    for i, (k, s) in enumerate(left_rows):
+        candidates = [rs for rk, rs in right_rows if rk == k and rs <= s]
+        expected = to_ts(max(candidates)) if candidates else None
+        assert got[i] == expected, (i, k, s, got[i], expected)
