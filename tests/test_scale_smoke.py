@@ -1,0 +1,74 @@
+"""Order-of-magnitude scale smoke: core operators on 10M synthesized
+rows (17× the sf0.1 bench table) — proves the shapes hold past the
+test fixtures, not just on 60k rows. Synthetic data from spark.range
+(generated distributed, never on the driver)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from parcel_analytics_etl_notebook_spark.operators.dedup import dedup_first_row
+from parcel_analytics_etl_notebook_spark.operators.sessionize import session_stats
+
+N = 10_000_000
+
+
+@pytest.fixture(scope="module")
+def big_events(spark):
+    """10M events, 100k users, skewed event types, 30-day span."""
+    return (
+        spark.range(N)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 100_000).alias("user_id"),
+            F.timestamp_micros(
+                (F.lit(1704067200000000) + (F.col("id") * 259) % (30 * 86400 * 1_000_000))
+            ).alias("ts"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in ("view", "view", "view", "click", "signup", "purchase")]),
+                (F.col("id") % 6 + 1).cast("int"),
+            ).alias("event_type"),
+            ((F.col("id") * 7919) % 1000 / 10.0).alias("value"),
+        )
+    )
+
+
+def test_lifecycle_pivot_10m(big_events):
+    t0 = time.perf_counter()
+    pivoted = (
+        big_events.filter(F.col("event_type").isin("signup", "view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s"),
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+        )
+    )
+    n = pivoted.count()
+    dt = time.perf_counter() - t0
+    assert n == 100_000
+    assert dt < 120, f"lifecycle pivot took {dt:.1f}s on 10M rows"
+
+
+def test_keyed_dedup_10m(big_events):
+    t0 = time.perf_counter()
+    out = dedup_first_row(
+        big_events.select("user_id", "event_id", "ts"),
+        keys=["user_id"],
+        order_by=[F.col("ts"), F.col("event_id")],
+    )
+    assert out.count() == 100_000
+    assert time.perf_counter() - t0 < 120
+
+
+def test_sessionize_10m(big_events):
+    t0 = time.perf_counter()
+    stats = session_stats(
+        big_events.select("user_id", "ts"), key="user_id", ts_col="ts", gap_seconds=1800
+    )
+    agg = stats.agg(F.sum("n_events").alias("total")).collect()[0]
+    assert agg["total"] == N  # every event in exactly one session
+    assert time.perf_counter() - t0 < 180
