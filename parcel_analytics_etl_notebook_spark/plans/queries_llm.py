@@ -20,9 +20,8 @@ from parcel_analytics_etl_notebook_spark.operators.dedup import dedup_exact
 from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
     lsh_candidate_pairs,
     poly_hash,
-    shingles,
-    with_simhash,
     with_minhash,
+    with_simhash,
 )
 from parcel_analytics_etl_notebook_spark.operators.sessionize import session_stats
 from parcel_analytics_etl_notebook_spark.operators.similarity import (

@@ -18,14 +18,23 @@ N = 10_000_000
 
 @pytest.fixture(scope="module")
 def big_events(spark):
-    """10M events, 100k users, skewed event types, 30-day span."""
+    """10M events: 100k users × 100 events each (rank r = id div 100k).
+
+    Per-user timestamps are built so session boundaries actually occur:
+    ranks 0..50 are 1000s apart (single session), ranks 51..99 are
+    2000s apart (each opens a new session) → exactly 50 sessions/user.
+    """
+    r = F.expr("id div 100000")
+    offset_s = F.when(r <= 50, r * 1000).otherwise(50_000 + (r - 50) * 2000)
     return (
         spark.range(N)
         .select(
             F.col("id").alias("event_id"),
             (F.col("id") % 100_000).alias("user_id"),
             F.timestamp_micros(
-                (F.lit(1704067200000000) + (F.col("id") * 259) % (30 * 86400 * 1_000_000))
+                F.lit(1704067200000000)
+                + offset_s.cast("long") * 1_000_000
+                + (F.col("id") % 100_000) * 7  # stagger users by µs
             ).alias("ts"),
             F.element_at(
                 F.array(*[F.lit(x) for x in ("view", "view", "view", "click", "signup", "purchase")]),
@@ -69,6 +78,10 @@ def test_sessionize_10m(big_events):
     stats = session_stats(
         big_events.select("user_id", "ts"), key="user_id", ts_col="ts", gap_seconds=1800
     )
-    agg = stats.agg(F.sum("n_events").alias("total")).collect()[0]
+    agg = stats.agg(
+        F.sum("n_events").alias("total"), F.count(F.lit(1)).alias("n_sessions")
+    ).collect()[0]
     assert agg["total"] == N  # every event in exactly one session
+    # gaps ≤1800s for ranks 0..50, >1800s after → exactly 50 sessions/user
+    assert agg["n_sessions"] == 100_000 * 50
     assert time.perf_counter() - t0 < 180
