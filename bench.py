@@ -32,12 +32,22 @@ def main() -> None:
         app_name="engine-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        extra_conf={
+            # bench hygiene: no UI/listener bookkeeping across ~55 jobs
+            "spark.ui.enabled": "false",
+            "spark.sql.ui.retainedExecutions": "10",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = catalog.queries()
-    # JVM/codegen warmup on the flagship so q1's number isn't startup cost
+    # JVM/codegen warmup + first-touch of every table (footer reads, nanos
+    # conversion) so per-query numbers measure the plan, not cold scans
     qs["lifecycle_kpis"](spark, sf_dir).collect()
+    from parcel_analytics_etl_notebook_spark.sources.readers import TESTDATA_TABLES
+
+    for t in TESTDATA_TABLES:
+        catalog.table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in sorted(qs):
@@ -45,6 +55,9 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # queries that persist intermediates would otherwise hold executor
+        # memory into later timings — isolate each measurement
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -484,3 +484,47 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         F.round("l_extendedprice", 2).alias("l_extendedprice"),
     )
+
+
+@register(
+    "enriched_orders",
+    oracle="""
+SELECT o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice,
+       c_name AS customer_name,
+       c_mktsegment AS segment,
+       n_name AS customer_nation,
+       r_name AS customer_region,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation   ON c_nationkey = n_nationkey
+LEFT JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderkey % 20 = 0
+""",
+)
+def enriched_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's E2 analysis entry point (report.ipynb cell 5):
+    fact ⟕ dim ⟕ dim ⟕ dim chained LEFT joins with disambiguating
+    renames (J7 + P8). Chained on= joins keep single key columns; all
+    dims broadcast. Sampled by key hash to keep the checked output
+    bounded (the full enrichment is the same plan)."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        orders.filter(F.col("o_orderkey") % 20 == 0)
+        .join(F.broadcast(customer.withColumnRenamed("c_custkey", "o_custkey")), on="o_custkey", how="left")
+        .join(F.broadcast(nation.withColumnRenamed("n_nationkey", "c_nationkey")), on="c_nationkey", how="left")
+        .join(F.broadcast(region.withColumnRenamed("r_regionkey", "n_regionkey")), on="n_regionkey", how="left")
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("customer_nation"),
+            F.col("r_name").alias("customer_region"),
+            F.to_date("o_orderdate").cast("string").alias("order_date"),
+        )
+    )
