@@ -1,0 +1,88 @@
+"""Iterative graph operators: connected components via min-label
+propagation — the standard Spark iterative-algorithm shape (persist the
+frontier, loop joins until fixpoint, unpersist behind you).
+
+Used for near-duplicate GROUP assignment: LSH/Jaccard emit pairs, but
+dedup needs transitive closure (A~B, B~C ⇒ keep one of {A,B,C}).
+Each iteration is one join + one aggregate, both shuffling on the
+vertex id; label values only ever decrease, so convergence is
+monotone and bounded by the graph diameter (≤ log₂ diameter with the
+large-star optimization — plain propagation suffices for the dedup
+graphs here, whose components are tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(vertex, component) with component = min vertex id reachable.
+
+    ``edges`` is undirected input (each pair listed once). Isolated
+    vertices (absent from edges) are the caller's concern — union them
+    in afterwards as their own component if needed.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.dropDuplicates().persist()
+    labels = (
+        sym.select(F.col("a").alias("vertex"))
+        .dropDuplicates()
+        .withColumn("component", F.col("vertex"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        # each vertex adopts min(own, neighbors') component
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.vertex)
+            .groupBy(F.col("a").alias("vertex"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        # localCheckpoint truncates lineage: `labels` feeds two joins per
+        # iteration, so without it the logical plan DOUBLES each round
+        # (2^iters nodes → driver OOM before the data is ever large).
+        # On a cluster prefer reliable checkpoint() to survive executor loss.
+        new_labels = (
+            labels.join(neighbor_min, on="vertex", how="left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="vertex")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dup_groups_from_pairs(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(doc, canonical) for every doc in a multi-doc near-dup group:
+    canonical = min id of the connected component. Downstream dedup
+    keeps rows where doc == canonical (or doc not in this frame)."""
+    comp = connected_components(pairs, src=id_a, dst=id_b)
+    return comp.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("canonical_id")
+    )

@@ -656,3 +656,22 @@ def doc_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(l2_norm("embedding"), 6).alias("emb_norm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup group assignment (iterative connected components; rows-only —
+# iterative fixpoint is not single-statement-SQL-expressible)
+# --------------------------------------------------------------------------
+@register("near_dup_groups", oracle=None)
+def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup groups: Jaccard pairs (≥0.2) as edges →
+    connected components → (doc, canonical=min id of component).
+    The step LSH pipelines need after pair generation — A~B, B~C must
+    collapse to ONE survivor even though A~C was never scored."""
+    from parcel_analytics_etl_notebook_spark.operators.graph import (
+        dup_groups_from_pairs,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.catalog import queries as _qs
+
+    pairs = _qs()["ngram_jaccard_pairs"](spark, sf_dir).select("id_a", "id_b")
+    return dup_groups_from_pairs(pairs).orderBy("doc_id")

@@ -229,3 +229,32 @@ def test_cosine_pairs_vectorized_matches_hof(spark):
     key = lambda r: (r["label"], r["id_a"], r["id_b"])  # noqa: E731
     assert {key(r): r["cosine"] for r in hof} == {key(r): r["cosine"] for r in vec}
     assert len(hof) > 0
+
+
+def test_connected_components_known_graph(spark):
+    from parcel_analytics_etl_notebook_spark.operators.graph import (
+        connected_components,
+    )
+
+    # components: {1,2,3,4} (chain), {10,11}, vertex 20 isolated (absent)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src bigint, dst bigint"
+    )
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from parcel_analytics_etl_notebook_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src bigint, dst bigint"
+    )
+    got = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0} and len(got) == n + 1
