@@ -528,3 +528,118 @@ def enriched_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("o_orderdate").cast("string").alias("order_date"),
         )
     )
+
+
+@register(
+    "daily_rollup_from_hourly",
+    oracle="""
+WITH hourly AS (
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS event_hour,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+)
+SELECT CAST(CAST(date_trunc('day', event_hour) AS DATE) AS VARCHAR) AS event_day,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       round(sum(total_value), 2) AS total_value,
+       count(*) AS active_hours
+FROM hourly GROUP BY 1
+""",
+)
+def daily_rollup_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascaded (hypertable-style) rollup: the day aggregate is computed
+    FROM the hour aggregate, not from raw events — at 100 TB the hourly
+    continuous aggregate is ~10⁴× smaller than the event stream, so
+    every coarser granularity reaggregates the previous tier, never the
+    raw data. (total_value re-rounds the rounded tier, matching how a
+    persisted hourly table would actually feed the daily one.)"""
+    events = table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("event_hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return hourly.groupBy(
+        F.to_date(F.date_trunc("day", "event_hour")).cast("string").alias("event_day")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("total_value"), 2).alias("total_value"),
+        F.count(F.lit(1)).alias("active_hours"),
+    )
+
+
+@register(
+    "stratified_split_documents",
+    oracle="""
+SELECT lang,
+       CAST(coalesce(sum(CASE WHEN (doc_id * 2654435761) % 10 < 8 THEN 1 END), 0) AS BIGINT) AS train_docs,
+       CAST(coalesce(sum(CASE WHEN (doc_id * 2654435761) % 10 >= 8 THEN 1 END), 0) AS BIGINT) AS eval_docs
+FROM documents
+GROUP BY lang
+""",
+)
+def stratified_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/eval split: deterministic hash bucket per doc,
+    counted per stratum (lang). The split column is a pure function of
+    the id — rerunnable, engine-portable, and join-free to apply."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 10
+    return docs.groupBy("lang").agg(
+        F.sum(F.when(bucket < 8, 1).otherwise(0)).cast("bigint").alias("train_docs"),
+        F.sum(F.when(bucket >= 8, 1).otherwise(0)).cast("bigint").alias("eval_docs"),
+    )
+
+
+@register(
+    "order_count_histogram",
+    oracle="""
+WITH per_cust AS (
+    SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT n_orders, count(*) AS n_customers
+FROM per_cust GROUP BY n_orders
+""",
+)
+def order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: the distribution of per-key group sizes
+    (two-level aggregation). This is the query you run BEFORE deciding
+    whether a join/agg key needs salting — a fat tail here means hot
+    keys downstream."""
+    orders = table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "similar_customer_names",
+    oracle="""
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+""",
+)
+def similar_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: Levenshtein pairs within a blocking key
+    (nation) — entity-resolution shape; the metric is engine-portable
+    (identical in DuckDB), the blocking bounds the quadratic term."""
+    customer = table(spark, sf_dir, "customer")
+    a = customer.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = customer.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, on="nk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dist <= 2)
+        .select("id_a", "id_b", dist.cast("bigint").alias("edit_distance"))
+    )
