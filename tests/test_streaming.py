@@ -101,3 +101,23 @@ def test_stateful_funnel_completions(spark):
         assert got[uid]["signup_ts"] == row["s"]
         assert got[uid]["first_view_ts"] == row["v"]
         assert got[uid]["first_purchase_ts"] == row["p"]
+
+
+def test_streaming_dedup_and_foreach_batch_sink(spark, tmp_path):
+    """Duplicate the stream (union with itself) → watermarked streaming
+    dedup must restore exact-once; deliver via foreachBatch parquet."""
+    from parcel_analytics_etl_notebook_spark.streaming.sessions import (
+        streaming_dedup,
+        write_stream_foreach_batch,
+    )
+
+    stream = read_events_stream(spark, SF)
+    doubled = stream.unionByName(stream)  # every event twice
+    deduped = streaming_dedup(doubled)
+    out = str(tmp_path / "out")
+    q = write_stream_foreach_batch(deduped, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    back = spark.read.parquet(out)
+    n_events = table(spark, SF, "events").count()
+    assert back.select("event_id").dropDuplicates().count() == n_events
+    assert back.count() == n_events  # dedup removed the doubling
