@@ -18,12 +18,20 @@ def normalize_text(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization → array<string> (empty string → [])."""
+    """Whitespace tokenization → array<string>.
+
+    NULL and blank text both yield ``[]`` — bare ``split(trim(''),
+    '\\s+')`` would yield ``[""]`` (a phantom empty token) and
+    ``split(NULL)`` would yield NULL (whose ``size()`` is -1 under
+    non-ANSI defaults), so every downstream token count/ratio guards
+    here once instead of each caller special-casing."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.when(
+        c.isNull() | (F.length(F.trim(c)) == 0),
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim(c), r"\s+"))
 
 
 def token_count(col: Column | str) -> Column:
-    """Token count; 0 for empty/blank text."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(tokens(c)))
+    """Token count; 0 for NULL/blank text."""
+    return F.size(tokens(col))

@@ -109,11 +109,21 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     sig_col: str = "minhash",
     bands: int = 4,
+    sig_len: int = 16,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` equal bands,
     bucket docs by (band_idx, band_values), emit intra-bucket pairs.
     One explode + one shuffle on the bucket key; pair blow-up is bounded
-    by bucket sizes, not n²."""
+    by bucket sizes, not n².
+
+    ``sig_len`` must be divisible by ``bands`` — otherwise the trailing
+    ``sig_len % bands`` signature positions would silently never
+    participate in any band (quietly degraded recall)."""
+    if sig_len % bands != 0:
+        raise ValueError(
+            f"signature length {sig_len} is not divisible by bands={bands}: "
+            f"the last {sig_len % bands} MinHash values would be ignored"
+        )
     sig_len_expr = F.size(F.col(sig_col))
     rows_per_band = (sig_len_expr / bands).cast("int")
     banded = sig_df.select(
@@ -131,7 +141,10 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select(id_col, "bb.band", F.col("bb.sig_band").cast("array<string>").alias("sig_band"))
     # the self-join would otherwise recompute the full signature
-    # pipeline once per side — persist the (small) banded frame
+    # pipeline once per side — persist the (small) banded frame.
+    # Deliberately NOT unpersisted here: the result is lazy, so the
+    # cache must outlive this function; long-lived sessions reclaim via
+    # spark.catalog.clearCache() (bench.py does so between queries).
     banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")

@@ -28,6 +28,12 @@ def connected_components(
     ``edges`` is undirected input (each pair listed once). Isolated
     vertices (absent from edges) are the caller's concern — union them
     in afterwards as their own component if needed.
+
+    Raises ``RuntimeError`` if labels haven't converged after
+    ``max_iter`` rounds (returning silently would split components
+    whose diameter exceeds the iteration budget — wrong answers, not
+    slow ones). Plain propagation needs O(diameter) rounds; raise
+    ``max_iter`` for long-chain graphs.
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -39,6 +45,7 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
         .persist()
     )
+    converged = False
     for _ in range(max_iter):
         # each vertex adopts min(own, neighbors') component
         neighbor_min = (
@@ -69,8 +76,14 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(component diameter exceeds the budget) — raise max_iter"
+        )
     return labels
 
 

@@ -59,7 +59,18 @@ def salted_join_small(
 ) -> DataFrame:
     """Skew-safe equi-join: replicate the small side ``buckets``× with
     an exploded salt column, salt the large side deterministically, and
-    join on (key, salt). Exact same rows as the plain join."""
+    join on (key, salt). Row-identical to the plain join for ``inner``
+    and ``left`` (each large row meets exactly one replica per key).
+
+    ``right``/``full`` are rejected: unmatched SMALL-side rows would
+    surface once per replica (buckets× duplication) — use the plain
+    join for those, the small side can't be the skewed one anyway."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join_small supports inner/left joins only, got {how!r}: "
+            "outer-preserving the replicated small side would emit "
+            f"{buckets} copies of every unmatched row"
+        )
     salts = F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("__salt")
     small_rep = small.select("*", salts)
     large_s = with_salt(large, unique_col, buckets)

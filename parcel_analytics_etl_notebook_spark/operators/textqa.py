@@ -39,15 +39,17 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     standard cheap pre-filters of an LLM training-data pipeline."""
     t = tokens(text_col)
     df = df.select(id_col, t.alias("toks"))
-    n = F.size("toks").cast("bigint")
+    n = F.size("toks").cast("bigint")  # 0 for NULL/blank (tokens() guards)
     n_uniq = F.size(F.array_distinct("toks")).cast("bigint")
+    # ratios are NULL for empty docs (guard the /0), flag false
+    safe_n = F.when(n == 0, F.lit(None)).otherwise(n)
     avg_len = F.round(
-        F.aggregate("toks", F.lit(0.0), lambda acc, x: acc + F.length(x)) / n, 4
+        F.aggregate("toks", F.lit(0.0), lambda acc, x: acc + F.length(x)) / safe_n, 4
     )
     stop_ratio = F.round(
-        marker_score(F.col("toks"), LANG_MARKERS["en"][:2]) / n, 4
+        marker_score(F.col("toks"), LANG_MARKERS["en"][:2]) / safe_n, 4
     )
-    uniq_ratio = F.round(n_uniq / n, 4)
+    uniq_ratio = F.round(n_uniq / safe_n, 4)
     return df.select(
         id_col,
         n.alias("n_tokens"),
@@ -55,7 +57,7 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         uniq_ratio.alias("unique_ratio"),
         avg_len.alias("avg_token_len"),
         stop_ratio.alias("stopword_ratio"),
-        ((n >= 20) & (uniq_ratio >= 0.3)).alias("quality_flag"),
+        ((n >= 20) & F.coalesce(uniq_ratio >= 0.3, F.lit(False))).alias("quality_flag"),
     )
 
 

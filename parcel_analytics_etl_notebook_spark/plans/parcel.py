@@ -265,19 +265,34 @@ def build_warehouse(df_flat: DataFrame) -> dict[str, DataFrame]:
         )
         .where(F.col("shipping_id").isNotNull())
     )
+    # tiebreak must be a TOTAL order over the carried attributes: two
+    # same-timestamp events with different states would otherwise make
+    # the surviving state_id partition-dependent — the exact
+    # dropDuplicates hazard this module exists to fix. Remaining ties
+    # are full-row duplicates, where the choice is immaterial.
     dim_shipping = dedup_first_row(
         dim_shipping,
         keys=["shipping_id"],
-        order_by=[F.col("__tiebreak").asc_nulls_last()],
+        order_by=[
+            F.col("__tiebreak").asc_nulls_last(),
+            F.col("client_id").asc_nulls_last(),
+            F.col("collection_location_id").asc_nulls_last(),
+            F.col("delivery_location_id").asc_nulls_last(),
+            F.col("state_id").asc_nulls_last(),
+            F.col("sav_folder").asc_nulls_last(),
+            F.col("is_replaced").asc_nulls_last(),
+            F.col("parcel_number").asc_nulls_last(),
+            F.col("parcel_sequence").asc_nulls_last(),
+        ],
     ).drop("__tiebreak")
 
+    # NOTE: the reference also left-joins DimShipping here
+    # (etl/main.py:249-251) but only keeps d.shipping_id — with a
+    # unique-keyed left join that's a row-preserving no-op, so the
+    # engine projects early instead of paying a dead join per fact
+    # materialization (SURVEY §3 E2 left-join-elimination note).
     fact = (
         d.join(
-            dim_shipping.alias("s").select("shipping_id"),
-            F.col("d.shipping_id") == F.col("s.shipping_id"),
-            "left",
-        )
-        .join(
             F.broadcast(dim_date.alias("dt")),
             F.to_date(F.col("d.event_date")) == F.col("dt.date"),
             "left",

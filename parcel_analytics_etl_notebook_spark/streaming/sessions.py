@@ -31,13 +31,15 @@ def read_events_stream(
     path = f"{sf_dir}/events.parquet"
     # the streaming file source requires a DIRECTORY; the driver ships
     # one parquet file per table, so stage a symlink dir (no data copy)
+    import hashlib
     import os
     import tempfile
 
     if os.path.isfile(path):
-        staged = os.path.join(
-            tempfile.gettempdir(), f"events_stream_{abs(hash(sf_dir))}"
-        )
+        # stable name (NOT hash(): python salts str hashes per process,
+        # which would leak a fresh staging dir every run)
+        digest = hashlib.sha256(sf_dir.encode()).hexdigest()[:16]
+        staged = os.path.join(tempfile.gettempdir(), f"events_stream_{digest}")
         os.makedirs(staged, exist_ok=True)
         link = os.path.join(staged, "part-0.parquet")
         if not os.path.exists(link):
@@ -109,11 +111,15 @@ def streaming_lifecycle_counts(
 
 
 def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Streaming exactly-once-per-id dedup: ``dropDuplicates`` keyed by
-    (event_id) with a watermark bounding the dedup state — without the
-    watermark, state grows unboundedly (every id ever seen). The
-    streaming twin of the batch exact-dedup operators."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+    """Streaming exactly-once-per-id dedup keyed on event_id ALONE
+    (``dropDuplicatesWithinWatermark``): a retried event that was
+    re-stamped with a slightly different timestamp still dedups, and
+    the watermark bounds state (ids older than the window are evicted
+    rather than kept forever). The streaming twin of the batch
+    exact-dedup operators."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def write_stream_foreach_batch(stream: DataFrame, path: str, checkpoint: str):

@@ -258,3 +258,43 @@ def test_connected_components_long_chain_converges(spark):
     )
     got = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
     assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    from parcel_analytics_etl_notebook_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=5)
+
+
+def test_salted_join_rejects_outer(spark):
+    from parcel_analytics_etl_notebook_spark.operators.skew import salted_join_small
+
+    df = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join_small(df, df, on="k", unique_col="v", how="full")
+
+
+def test_tokens_null_and_blank(spark):
+    from parcel_analytics_etl_notebook_spark.functions.textfns import (
+        token_count,
+        tokens,
+    )
+    from parcel_analytics_etl_notebook_spark.operators.textqa import quality_features
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, "one two")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: (r["t"], r["n"]) for r in df.select(
+        "doc_id", tokens("text").alias("t"), token_count("text").alias("n")
+    ).collect()}
+    assert got[1] == ([], 0) and got[2] == ([], 0) and got[3] == (["one", "two"], 2)
+    q = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert q[1]["n_tokens"] == 0 and q[1]["unique_ratio"] is None
+    assert q[1]["quality_flag"] is False
+    assert q[3]["n_tokens"] == 2
