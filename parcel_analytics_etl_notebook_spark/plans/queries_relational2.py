@@ -643,3 +643,128 @@ def similar_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 2)
         .select("id_a", "id_b", dist.cast("bigint").alias("edit_distance"))
     )
+
+
+@register(
+    "late_shipments",
+    oracle="""
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS days_to_ship
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+""",
+)
+def late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic in a join predicate: lineitems shipped more
+    than 90 days after their order (timestamp + INTERVAL comparison —
+    the date-math family the reference only used via datediff)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("bigint")
+            .alias("days_to_ship"),
+        )
+    )
+
+
+@register(
+    "schema_evolution_union",
+    oracle="""
+SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value, 'v1' AS schema_version
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT event_id, event_type, value, 'v2' AS schema_version
+FROM events WHERE event_id % 2 = 1
+""",
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: an old snapshot lacking a column unions
+    with the new schema via unionByName(allowMissingColumns=True) —
+    missing columns null-fill by NAME, never by position (positional
+    union is how silent column swaps happen during migrations)."""
+    events = table(spark, sf_dir, "events")
+    v1 = events.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", F.lit("v1").alias("schema_version")
+    )
+    v2 = events.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "value", F.lit("v2").alias("schema_version")
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
+@register(
+    "first_last_token",
+    oracle=r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents)
+SELECT doc_id, l[1] AS first_token, l[len(l)] AS last_token,
+       CAST(len(l) AS BIGINT) AS n_tokens
+FROM t
+""",
+)
+def first_last_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array element access (element_at, 1-based / negative indices) —
+    the positional-array family: first/last token per document."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_col().alias("toks"))
+    return t.select(
+        "doc_id",
+        F.element_at("toks", 1).alias("first_token"),
+        F.element_at("toks", -1).alias("last_token"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+    )
+
+
+def tokens_col():
+    from parcel_analytics_etl_notebook_spark.functions.textfns import tokens
+
+    return tokens("text")
+
+
+@register(
+    "regional_revenue_sql",
+    oracle="""
+SELECT n_name AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY n_name
+""",
+)
+def regional_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's second query surface: the same logical plan written
+    as a Spark SQL STRING over registered temp views (sources/readers.
+    load_tables) — identical Catalyst plan to the DataFrame form
+    (regional_revenue), proving the two surfaces are interchangeable."""
+    from parcel_analytics_etl_notebook_spark.sources.readers import load_tables
+
+    load_tables(
+        spark, sf_dir,
+        names=("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    )
+    return spark.sql(
+        """
+        SELECT n_name AS nation,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY n_name
+        """
+    )
