@@ -768,3 +768,45 @@ def regional_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@register(
+    "incremental_hourly_rollup",
+    oracle="""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS event_hour,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: an existing rollup (events with
+    even ids) merged with a delta batch (odd ids) by re-aggregating the
+    UNION of partial aggregates — count/sum are mergeable, so the
+    result must equal the full recompute, which IS the oracle. At
+    100 TB the base rollup is never re-read from raw events; each
+    micro-batch merges its partials (rounding happens only after the
+    merge — merging rounded partials would drift)."""
+    events = table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("event_hour"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+
+    base = partial(events.filter(F.col("event_id") % 2 == 0))
+    delta = partial(events.filter(F.col("event_id") % 2 == 1))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_hour", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("total_value"),
+        )
+    )

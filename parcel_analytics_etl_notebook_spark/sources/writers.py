@@ -38,3 +38,53 @@ def write_csv_audit(df: DataFrame, path: str) -> None:
     read-concat-rewrite merge (``etl/main.py:304-315``) — append is
     O(new rows), the reference's rewrite is O(history)."""
     df.coalesce(1).write.mode("append").option("header", True).csv(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed, sorted table sink: co-locates rows by key so repeated
+    big-big joins/aggregations on ``bucket_cols`` run WITHOUT a shuffle
+    (verified in tests/test_scale_hygiene.py: SortMergeJoin with zero
+    Exchange). Bucketing requires saveAsTable (the bucket layout lives
+    in the catalog, not the files)."""
+    writer = (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .option("path", path)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def compact_parquet(spark, path: str, target_files: int) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files (read → repartition → write-aside → swap).
+    Returns the row count (sanity-checked before the swap). The swap is
+    directory-rename based — atomic enough for a maintenance window;
+    table formats (Delta/Iceberg) do this transactionally via OPTIMIZE.
+    """
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_before = df.count()
+    staged = path.rstrip("/") + "__compacting"
+    df.repartition(target_files).write.mode("overwrite").parquet(staged)
+    n_after = spark.read.parquet(staged).count()
+    if n_after != n_before:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row mismatch: {n_before} -> {n_after}; aborted"
+        )
+    old = path.rstrip("/") + "__old"
+    shutil.move(path, old)
+    shutil.move(staged, path)
+    shutil.rmtree(old)
+    return n_after

@@ -81,3 +81,34 @@ def test_approx_distinct_error_bound(spark):
     }
     for et, ex in exact.items():
         assert abs(approx[et] - ex) <= max(2, 0.1 * ex), (et, approx[et], ex)
+
+
+def test_compact_parquet(spark, tmp_path):
+    from parcel_analytics_etl_notebook_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = table(spark, "/root/testdata/sf0.001", "orders")
+    df.repartition(16).write.parquet(path)  # fragment into 16 files
+    import glob as g
+
+    assert len(g.glob(f"{path}/part-*.parquet")) == 16
+    n = compact_parquet(spark, path, target_files=2)
+    assert n == df.count()
+    assert len(g.glob(f"{path}/part-*.parquet")) == 2
+    assert spark.read.parquet(path).count() == n
+
+
+def test_write_bucketed_table_helper(spark, tmp_path):
+    from parcel_analytics_etl_notebook_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS helper_bucketed")
+    df = table(spark, "/root/testdata/sf0.001", "customer")
+    write_bucketed_table(
+        df, "helper_bucketed", str(tmp_path / "bt"), ["c_custkey"], n_buckets=4,
+        sort_cols=["c_custkey"],
+    )
+    back = spark.table("helper_bucketed")
+    assert back.count() == df.count()
+    spark.sql("DROP TABLE IF EXISTS helper_bucketed")
