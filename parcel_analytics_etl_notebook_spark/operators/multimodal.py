@@ -147,3 +147,36 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+#: output schema of the per-group z-score normalizer
+ZSCORE_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("label", LongType()),
+        StructField("z_first", FloatType()),
+    ]
+)
+
+
+def zscore_first_component(df: DataFrame) -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-label z-score of the first
+    embedding component (sample std, ddof=1 — matches SQL stddev_samp).
+    The third pandas API surface next to mapInPandas (stateless batch
+    flat-map) and applyInPandasWithState (streaming state machine):
+    grouped-map sees ONE GROUP AT A TIME as a pandas frame — the shape
+    for per-group model fitting/normalization. Each group must fit in
+    one executor's memory; at 100 TB that means the group key is chosen
+    accordingly (label/shard, never whole-corpus)."""
+    import numpy as np
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = np.array([v[0] for v in pdf["embedding"]], dtype=np.float64)
+        mu = first.mean()
+        sd = first.std(ddof=1)
+        z = (first - mu) / sd if sd > 0 else np.zeros_like(first)
+        return pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "label": pdf["label"], "z_first": z.astype(np.float32)}
+        )
+
+    return df.groupBy("label").applyInPandas(norm, ZSCORE_SCHEMA)

@@ -675,3 +675,35 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = _qs()["ngram_jaccard_pairs"](spark, sf_dir).select("id_a", "id_b")
     return dup_groups_from_pairs(pairs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Grouped-map applyInPandas: per-label z-score normalization
+# --------------------------------------------------------------------------
+@register(
+    "embedding_zscore_by_label",
+    oracle="""
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       round(
+         (CAST(embedding[1] AS DOUBLE) - avg(CAST(embedding[1] AS DOUBLE)) OVER w)
+         / stddev_samp(CAST(embedding[1] AS DOUBLE)) OVER w, 4) AS z_first
+FROM embeddings
+WINDOW w AS (PARTITION BY label)
+""",
+)
+def embedding_zscore_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label z-score of the first embedding component via grouped-
+    map applyInPandas (operators/multimodal.zscore_first_component) —
+    the oracle recomputes it with SQL window avg/stddev_samp, proving
+    the pandas path agrees with the declarative one."""
+    from parcel_analytics_etl_notebook_spark.operators.multimodal import (
+        zscore_first_component,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = zscore_first_component(emb)
+    return out.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.round(F.col("z_first").cast("double"), 4).alias("z_first"),
+    )

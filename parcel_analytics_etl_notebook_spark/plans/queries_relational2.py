@@ -810,3 +810,35 @@ def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("sum_value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "trailing_30d_revenue",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY epoch(o_orderdate)
+           RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
+FROM orders
+""",
+)
+def trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): each order's
+    customer revenue over the trailing 30 DAYS — same-timestamp peers
+    are all in-frame regardless of row order, which is why RANGE (not
+    ROWS) is the correct frame for time windows. Ordered by epoch
+    seconds; one shuffle on the partition key."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d"),
+    )
