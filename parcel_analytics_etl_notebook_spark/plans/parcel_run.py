@@ -1,0 +1,93 @@
+"""Executable end-to-end parcel ETL: the reference's full program
+(``python etl/main.py`` + the report notebook, ``/root/reference``)
+as one engine run — CSV scan → parse/flatten → DQ checkpoints →
+warehouse build → parquet writes → KPI report.
+
+Differences from the reference, all load-bearing (SURVEY §4.3):
+one cached lineage instead of ~30 re-executions, one aggregate pass
+per DQ checkpoint instead of 4 actions, deterministic surrogate keys,
+append-mode audit log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from parcel_analytics_etl_notebook_spark.plans.parcel import (
+    build_warehouse,
+    dq_checkpoint,
+    kpi_report,
+    parse_events,
+)
+from parcel_analytics_etl_notebook_spark.sources.readers import read_csv_multiline
+from parcel_analytics_etl_notebook_spark.sources.writers import (
+    write_csv_audit,
+    write_parquet,
+)
+
+
+def run_parcel_etl(
+    spark: SparkSession,
+    csv_path: str,
+    out_dir: str,
+    target_files: int = 2,
+) -> dict:
+    """Run the full pipeline; returns the KPI dict. Writes the six
+    warehouse tables under ``out_dir`` and the DQ audit log next to
+    them (mirrors the reference's warehouse/ + metadata layout)."""
+    raw = read_csv_multiline(spark, csv_path)
+    dq_frames = [dq_checkpoint(raw, "Before Parsing", raw.columns[:2])]
+
+    flat = parse_events(raw)
+    dq_frames.append(dq_checkpoint(flat, "After Parsing", ["event_code", "shipping_id"]))
+
+    tables = build_warehouse(flat)
+    for name, df in tables.items():
+        dq_frames.append(dq_checkpoint(df, f"After Tables Build: {name}", df.columns[:3]))
+        write_parquet(df, os.path.join(out_dir, name), target_files=target_files)
+
+    audit = dq_frames[0]
+    for extra in dq_frames[1:]:
+        audit = audit.unionByName(extra)
+    write_csv_audit(audit, os.path.join(out_dir, "metadata", "dq_report"))
+
+    kpi = kpi_report(tables["FactShippingEvent"]).collect()[0].asDict()
+    return kpi
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+    import tempfile
+
+    from parcel_analytics_etl_notebook_spark.plans.parcel_fixtures import (
+        write_fixture_csv,
+    )
+    from parcel_analytics_etl_notebook_spark.session import get_spark
+
+    parser = argparse.ArgumentParser(prog="parcel-etl")
+    parser.add_argument("--csv", help="input CSV (default: generate a fixture)")
+    parser.add_argument("--out", default=None, help="warehouse output dir")
+    parser.add_argument("--shipments", type=int, default=200)
+    args = parser.parse_args(argv)
+
+    out_dir = args.out or tempfile.mkdtemp(prefix="parcel_warehouse_")
+    os.makedirs(out_dir, exist_ok=True)
+    csv_path = args.csv
+    if csv_path is None:
+        csv_path = os.path.join(out_dir, "events_raw.csv")
+        n = write_fixture_csv(csv_path, n_shipments=args.shipments)
+        print(f"generated fixture: {csv_path} ({n} rows)")
+
+    spark = get_spark(app_name="parcel-etl")
+    spark.sparkContext.setLogLevel("ERROR")
+    kpi = run_parcel_etl(spark, csv_path, out_dir)
+    print(json.dumps({"warehouse": out_dir, "kpi": kpi}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -174,3 +174,34 @@ def test_dq_checkpoint(warehouse, spark):
     assert set(report.columns) == {
         "check_point", "check_name", "status", "details", "timestamp",
     }
+
+
+def test_run_parcel_etl_end_to_end(spark, tmp_path):
+    """The complete reference program (E1 build + E2 KPIs) through the
+    executable runner: fixture CSV -> warehouse parquet -> DQ audit ->
+    KPI dict, then read the published warehouse back and re-verify
+    referential integrity on disk (the property the reference's uuid()
+    warehouse lost between write actions)."""
+    from parcel_analytics_etl_notebook_spark.plans.parcel_fixtures import (
+        write_fixture_csv,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.parcel_run import run_parcel_etl
+
+    csv_path = str(tmp_path / "raw.csv")
+    write_fixture_csv(csv_path, n_shipments=50)
+    kpi = run_parcel_etl(spark, csv_path, str(tmp_path / "wh"))
+    assert kpi["total_packages"] >= 50
+    assert kpi["avg_delivery_days"] is not None
+
+    fact = spark.read.parquet(str(tmp_path / "wh" / "FactShippingEvent"))
+    dim_date = spark.read.parquet(str(tmp_path / "wh" / "DimDate"))
+    unresolved = (
+        fact.join(dim_date, on="date_id", how="left_anti")
+        .filter(F.col("date_id").isNotNull())
+        .count()
+    )
+    assert unresolved == 0  # on-disk fact->dim integrity holds across writes
+    audit = spark.read.option("header", True).csv(
+        str(tmp_path / "wh" / "metadata" / "dq_report")
+    )
+    assert audit.filter(F.col("status") == "PASS").count() > 0
