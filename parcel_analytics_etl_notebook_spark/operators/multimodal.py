@@ -174,7 +174,10 @@ def zscore_first_component(df: DataFrame) -> DataFrame:
         first = np.array([v[0] for v in pdf["embedding"]], dtype=np.float64)
         mu = first.mean()
         sd = first.std(ddof=1)
-        z = (first - mu) / sd if sd > 0 else np.zeros_like(first)
+        # degenerate groups (singleton → sd NaN, constant → sd 0) emit
+        # NaN, matching SQL stddev_samp's NULL / division-by-zero —
+        # NOT 0.0, which would diverge from the declarative twin
+        z = (first - mu) / sd if sd > 0 else np.full_like(first, np.nan)
         return pd.DataFrame(
             {"vec_id": pdf["vec_id"], "label": pdf["label"], "z_first": z.astype(np.float32)}
         )

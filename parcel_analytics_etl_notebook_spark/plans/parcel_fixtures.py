@@ -25,8 +25,13 @@ def event_json(
     coll: tuple[int, str] = (1, "FR"),
     deliv: tuple[int, str] = (2, "FR"),
     state: tuple[str, str, str, str] = ("ST", "2024-01-01", "N", "S1"),
+    indent: int | None = None,
 ) -> str:
-    """One event payload in the reference's schema (etl/main.py:86-125)."""
+    """One event payload in the reference's schema (etl/main.py:86-125).
+
+    ``indent`` pretty-prints the JSON — literal newlines inside the CSV
+    cell, which is exactly why the reference reads with multiLine=True
+    (its payloads were pretty-printed)."""
     return json.dumps(
         {
             "event_code": code,
@@ -61,7 +66,8 @@ def event_json(
                 "options": None,
                 "parcel_sequence": 1,
             },
-        }
+        },
+        indent=indent,
     )
 
 
@@ -80,7 +86,8 @@ def write_fixture_csv(path: str, n_shipments: int = 200, seed: int = 7) -> int:
         sent = f"2024-01-{day0:02d} 08:00:00"
         delivered = f"2024-01-{min(day0 + rng.randint(1, 4), 28):02d} 10:00:00"
         picked = f"2024-01-{min(day0 + rng.randint(2, 6), 28):02d} 12:00:00"
-        rows.append(event_json("PEC", rng.choice(["REL", "APM"]), sent, sid, coll=coll, deliv=deliv))
+        rows.append(event_json("PEC", rng.choice(["REL", "APM"]), sent, sid, coll=coll, deliv=deliv,
+                               indent=2 if i % 20 == 0 else None))
         if rng.random() > 0.05:
             rows.append(event_json("TRN", rng.choice(["REL", "APM"]), delivered, sid, coll=coll, deliv=deliv))
         if rng.random() > 0.05:

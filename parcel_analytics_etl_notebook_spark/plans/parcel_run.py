@@ -41,7 +41,7 @@ def run_parcel_etl(
     raw = read_csv_multiline(spark, csv_path)
     dq_frames = [dq_checkpoint(raw, "Before Parsing", raw.columns[:2])]
 
-    flat = parse_events(raw)
+    flat = parse_events(raw).persist()  # build_warehouse fans out 6 ways
     dq_frames.append(dq_checkpoint(flat, "After Parsing", ["event_code", "shipping_id"]))
 
     tables = build_warehouse(flat)
@@ -55,6 +55,7 @@ def run_parcel_etl(
     write_csv_audit(audit, os.path.join(out_dir, "metadata", "dq_report"))
 
     kpi = kpi_report(tables["FactShippingEvent"]).collect()[0].asDict()
+    flat.unpersist()  # last consumer done — don't pin cache in shared sessions
     return kpi
 
 

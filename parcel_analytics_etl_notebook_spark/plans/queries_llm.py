@@ -702,8 +702,11 @@ def embedding_zscore_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     out = zscore_first_component(emb)
+    z = F.col("z_first").cast("double")
     return out.select(
         "vec_id",
         F.col("label").cast("bigint").alias("label"),
-        F.round(F.col("z_first").cast("double"), 4).alias("z_first"),
+        # degenerate groups surface as NaN from pandas; SQL yields NULL —
+        # normalize so both engines agree
+        F.when(F.isnan(z), F.lit(None)).otherwise(F.round(z, 4)).alias("z_first"),
     )

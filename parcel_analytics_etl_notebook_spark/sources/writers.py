@@ -76,7 +76,7 @@ def compact_parquet(spark, path: str, target_files: int) -> int:
     df = spark.read.parquet(path)
     n_before = df.count()
     staged = path.rstrip("/") + "__compacting"
-    df.repartition(target_files).write.mode("overwrite").parquet(staged)
+    write_parquet(df, staged, target_files=target_files)
     n_after = spark.read.parquet(staged).count()
     if n_after != n_before:
         shutil.rmtree(staged, ignore_errors=True)

@@ -205,3 +205,27 @@ def test_run_parcel_etl_end_to_end(spark, tmp_path):
         str(tmp_path / "wh" / "metadata" / "dq_report")
     )
     assert audit.filter(F.col("status") == "PASS").count() > 0
+
+
+def test_fixture_exercises_multiline_csv(spark, tmp_path):
+    """The generated fixture must contain literal newlines INSIDE quoted
+    CSV cells (pretty-printed JSON — the reference's actual payload
+    shape) and the multiline reader must recover every logical row."""
+    from parcel_analytics_etl_notebook_spark.plans.parcel_fixtures import (
+        write_fixture_csv,
+    )
+    from parcel_analytics_etl_notebook_spark.sources.readers import (
+        read_csv_multiline,
+    )
+
+    csv_path = str(tmp_path / "raw.csv")
+    n = write_fixture_csv(csv_path, n_shipments=40)
+    text = open(csv_path).read()
+    # literal newline inside a quoted cell (quotes are CSV-doubled)
+    assert '\n  ""event_code""' in text
+    assert text.count("\n") > n + 1  # more physical lines than logical rows
+    raw = read_csv_multiline(spark, csv_path)
+    assert raw.count() == n  # multiline cells didn't split rows
+    flat = parse_events(raw)
+    # pretty-printed payloads parse identically to compact ones
+    assert flat.filter(F.col("event_code") == "PEC").count() >= 40
