@@ -636,11 +636,14 @@ def similar_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("id_b"),
         F.col("c_name").alias("name_b"),
     )
-    dist = F.levenshtein("name_a", "name_b")
+    # bounded form: early-exits the DP once distance exceeds 2 (returns
+    # -1 past the bound), ~2x faster than the unbounded metric here;
+    # surviving rows carry the true distance so the oracle still matches
+    dist = F.levenshtein("name_a", "name_b", 2)
     return (
         a.join(b, on="nk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(dist <= 2)
+        .filter((dist >= 0) & (dist <= 2))
         .select("id_a", "id_b", dist.cast("bigint").alias("edit_distance"))
     )
 
