@@ -96,6 +96,7 @@ def _ensure_loaded() -> None:
     from parcel_analytics_etl_notebook_spark.plans import (  # noqa: F401
         queries_relational,
         queries_relational2,
+        queries_relational3,
     )
 
     try:
