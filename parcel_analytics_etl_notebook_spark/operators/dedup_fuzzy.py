@@ -87,10 +87,19 @@ def with_minhash(
     partials, single shuffle on the doc id. (The tempting pure-HOF form
     — transform(seeds, s -> array_min(...)) — re-evaluates the whole
     shingle pipeline once per seed per row: 16× the work, interpreted.)
+
+    The token-hash array is materialized behind a round-robin exchange
+    before shingling: shingle_hashes_from_tokens references its input
+    ~7× (three slices plus size guards), and interpreted HOF
+    expressions re-evaluate per reference (no subexpression
+    elimination), so without the barrier the tokenize+hash pipeline
+    runs ~7× per row. The exchange shuffles only (id, array<bigint>).
     """
+    nparts = df.sparkSession.sparkContext.defaultParallelism
     tok_hashes = F.transform(tokens(text_col), lambda t: poly_hash(t))
-    hashed = shingle_hashes_from_tokens(tok_hashes, k)
-    exploded = df.select(id_col, F.explode_outer(hashed).alias("__h"))
+    th = df.select(id_col, tok_hashes.alias("__th")).repartition(nparts)
+    hashed = shingle_hashes_from_tokens(F.col("__th"), k)
+    exploded = th.select(id_col, F.explode_outer(hashed).alias("__h"))
     aggs = [
         F.min(
             ((2 * s + 1) * F.col("__h") + s * 7919) % F.lit(FP_MOD)

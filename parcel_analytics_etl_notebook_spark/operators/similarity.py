@@ -161,6 +161,7 @@ def cosine_pairs_blocked(
     vec_col: str = "embedding",
     round_to: int = 6,
     vectorized: bool = False,
+    broadcast_build: bool = False,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold WITHIN a blocking key (e.g. an
     LSH bucket or label): the self-join shuffles both sides on the
@@ -169,7 +170,14 @@ def cosine_pairs_blocked(
     blocking key on a large corpus.
 
     ``vectorized=True`` scores with the Arrow-batched numpy UDF (2.7×
-    faster, last-ulp float differences possible — see _cosine_pandas_udf)."""
+    faster, last-ulp float differences possible — see _cosine_pandas_udf).
+
+    ``broadcast_build=True`` broadcasts the build side and round-robin
+    repartitions the probe side — use when the corpus fits in executor
+    memory but has FEW distinct blocks (a shuffle join on a 10-value
+    key caps parallelism at 10 tasks; broadcast spreads the quadratic
+    scoring over every core). At corpus sizes past broadcast range,
+    keep the default shuffle join and salt the block key instead."""
     a = df.select(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("id_a"),
@@ -180,6 +188,9 @@ def cosine_pairs_blocked(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
     )
+    if broadcast_build:
+        a = a.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        b = F.broadcast(b)
     if vectorized:
         score = _cosine_pandas_udf(round_to)(F.col("__va"), F.col("__vb"))
     else:

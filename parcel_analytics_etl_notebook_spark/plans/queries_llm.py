@@ -256,10 +256,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     tok_hashes = F.transform(tokens("text"), lambda t: poly_hash(t))
-    sh = docs.select(
+    # materialize token hashes behind an exchange before shingling —
+    # shingle_hashes_from_tokens references its input ~7× and
+    # interpreted HOFs re-evaluate per reference (see with_minhash)
+    th = docs.select("doc_id", tok_hashes.alias("__th")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = th.select(
         "doc_id",
         F.explode(
-            F.array_distinct(shingle_hashes_from_tokens(tok_hashes, 3))
+            F.array_distinct(shingle_hashes_from_tokens(F.col("__th"), 3))
         ).alias("shingle"),
     ).persist()  # referenced 3× (self-join sides + sizes) — don't re-explode
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).persist()
@@ -409,9 +415,13 @@ WHERE round({_SQL_COS.format('a.embedding', 'b.embedding')}, 6) >= 0.4
 def cosine_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.4) blocked by label: the
     quadratic join is bounded per block — at scale the block key is an
-    LSH bucket or IVF centroid, same operator."""
+    LSH bucket or IVF centroid, same operator. The label key has only
+    ~10 distinct values, so the build side is broadcast to avoid
+    capping parallelism at 10 shuffle tasks."""
     emb = table(spark, sf_dir, "embeddings")
-    return cosine_pairs_blocked(emb, block_col="label", threshold=0.4)
+    return cosine_pairs_blocked(
+        emb, block_col="label", threshold=0.4, broadcast_build=True
+    )
 
 
 # --------------------------------------------------------------------------

@@ -624,13 +624,21 @@ WHERE levenshtein(a.c_name, b.c_name) <= 2
 def similar_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string matching: Levenshtein pairs within a blocking key
     (nation) — entity-resolution shape; the metric is engine-portable
-    (identical in DuckDB), the blocking bounds the quadratic term."""
+    (identical in DuckDB), the blocking bounds the quadratic term.
+
+    The block key has only ~25 distinct values, so a shuffle join would
+    cap parallelism at 25 tasks; broadcasting the build side and
+    round-robin repartitioning the probe side spreads the quadratic
+    pair generation over every core. (At 100 TB with a build side too
+    big to broadcast, salt the block key instead — same effect.)
+    """
     customer = table(spark, sf_dir, "customer")
+    nparts = spark.sparkContext.defaultParallelism
     a = customer.select(
         F.col("c_nationkey").alias("nk"),
         F.col("c_custkey").alias("id_a"),
         F.col("c_name").alias("name_a"),
-    )
+    ).repartition(nparts)
     b = customer.select(
         F.col("c_nationkey").alias("nk"),
         F.col("c_custkey").alias("id_b"),
@@ -638,10 +646,21 @@ def similar_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bounded form: early-exits the DP once distance exceeds 2 (returns
     # -1 past the bound), ~2x faster than the unbounded metric here;
-    # surviving rows carry the true distance so the oracle still matches
-    dist = F.levenshtein("name_a", "name_b", 2)
+    # surviving rows carry the true distance so the oracle still matches.
+    # Edit distance is invariant under common-prefix removal, so when
+    # both names share the constant 'Customer#' prefix the DP runs on
+    # the 9-char suffix only (half the cells); any other name falls back
+    # to the full-string metric — bit-identical output either way.
+    pref_a = F.substring("name_a", 1, 9)
+    pref_b = F.substring("name_b", 1, 9)
+    dist = F.when(
+        (pref_a == "Customer#") & (pref_b == "Customer#"),
+        F.levenshtein(
+            F.substring("name_a", 10, 2_000_000), F.substring("name_b", 10, 2_000_000), 2
+        ),
+    ).otherwise(F.levenshtein("name_a", "name_b", 2))
     return (
-        a.join(b, on="nk")
+        a.join(F.broadcast(b), on="nk")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter((dist >= 0) & (dist <= 2))
         .select("id_a", "id_b", dist.cast("bigint").alias("edit_distance"))
