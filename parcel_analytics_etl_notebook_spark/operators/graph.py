@@ -35,10 +35,23 @@ def connected_components(
     slow ones). Plain propagation needs O(diameter) rounds; raise
     ``max_iter`` for long-chain graphs.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # symmetrize via explode, NOT union of two selects: union would
+    # evaluate the upstream edge plan twice (LSH/Jaccard pair generation
+    # is the expensive part of every caller) — explode doubles rows in
+    # a single pass over it
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .dropDuplicates()
+        .persist()
     )
-    sym = sym.dropDuplicates().persist()
     labels = (
         sym.select(F.col("a").alias("vertex"))
         .dropDuplicates()

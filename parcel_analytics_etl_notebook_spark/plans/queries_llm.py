@@ -61,6 +61,41 @@ _SQL_COS = (
     " * sqrt(list_sum(list_transform(range(1, len({1})+1), i -> CAST({1}[i] AS DOUBLE)*CAST({1}[i] AS DOUBLE))))))"
 )
 
+#: CTE chain (for a WITH RECURSIVE prelude): 3-gram Jaccard edges (≥0.2,
+#: same pipeline as ngram_jaccard_pairs) → transitive closure → per-doc
+#: connected component as `comp(doc_id, canonical_id)`. The recursive
+#: `reach` CTE is the SQL statement of what the engine computes with
+#: iterative min-label propagation (operators/graph.py) — UNION (not
+#: UNION ALL) dedups the frontier so the recursion terminates.
+_SQL_DUP_COMPONENTS = f"""
+t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+hh AS (SELECT doc_id, list_transform(l, tok -> {_SQL_POLY.format('tok')}) AS th FROM t),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(th)-1),
+               i -> ((th[i]*1000003 + th[i+1]) % 1000000007 * 1000003 + th[i+2]) % 1000000007))) AS shingle
+    FROM hh
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+good AS (
+    SELECT id_a, id_b
+    FROM cand JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+    WHERE shared / (sa.n + sb.n - shared) >= 0.2
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM good UNION SELECT id_b, id_a FROM good),
+reach(v, r) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (SELECT v AS doc_id, min(r) AS canonical_id FROM reach GROUP BY v)
+"""
+
 
 # --------------------------------------------------------------------------
 # Text quality scoring
@@ -327,12 +362,34 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lsh_near_dup_pairs", oracle=None)  # non-SQL: banding layout choice
+@register(
+    "lsh_near_dup_pairs",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+h AS (SELECT doc_id, list_transform(l, tok -> {_SQL_POLY.format('tok')}) AS hh FROM t),
+s AS (SELECT doc_id,
+             list_transform(range(1, len(hh)-1),
+                 i -> ((hh[i]*1000003 + hh[i+1]) % 1000000007 * 1000003 + hh[i+2]) % 1000000007) AS sh
+      FROM h),
+sig AS (SELECT doc_id,
+               list_transform(range(0, 16),
+                   s -> list_min(list_transform(sh, x -> ((2*s+1)*x + s*7919) % 1000000007))) AS m
+        FROM s),
+banded AS (
+    SELECT doc_id, band, list_slice(m, band*4 + 1, band*4 + 4) AS bkey
+    FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+""",
+)
 def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: 4 bands × 4 rows — docs agreeing on
     any full band pair up. The scale path for near-dedup: explode to
     (band, band-signature) buckets, shuffle once on the bucket key,
-    pair within buckets only."""
+    pair within buckets only. The oracle restates the banding layout
+    (16-hash signature sliced into 4 contiguous bands) in DuckDB."""
     docs = table(spark, sf_dir, "documents")
     sig = with_minhash(docs, num_hashes=16)
     return lsh_candidate_pairs(sig, bands=4).orderBy("id_a", "id_b")
@@ -385,12 +442,38 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
 
 
-@register("ivf_ann_topk", oracle=None)  # approximate by design; rows-only
+@register(
+    "ivf_ann_topk",
+    oracle=f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+assigned AS (
+    SELECT corpus.vec_id, corpus.embedding, c.cid,
+           row_number() OVER (PARTITION BY corpus.vec_id
+               ORDER BY round({_SQL_COS.format('corpus.embedding', 'c.cvec')}, 9) DESC, c.cid) AS rn
+    FROM corpus CROSS JOIN c
+),
+probe AS (
+    SELECT cid FROM c CROSS JOIN q
+    ORDER BY round({_SQL_COS.format('c.cvec', 'qvec')}, 9) DESC, cid
+    LIMIT 2
+),
+pruned AS (SELECT a.vec_id, a.embedding FROM assigned a JOIN probe USING (cid) WHERE a.rn = 1)
+SELECT p.vec_id, round({_SQL_COS.format('p.embedding', 'qvec')}, 6) AS cosine
+FROM pruned p CROSS JOIN q
+ORDER BY cosine DESC, p.vec_id
+LIMIT 5
+""",
+)
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 for vec_id=0: vectors 1..8 act as fixed
     coarse centroids, corpus pruned to the 2 nearest centroid buckets
     before exact scoring. The partition-pruning ANN shape for 100 TB
-    (assignment precomputed + partitioned by centroid in production)."""
+    (assignment precomputed + partitioned by centroid in production).
+    Approximate relative to the brute-force baseline, but fully
+    deterministic — the oracle restates assignment (argmax cosine, ties
+    to lowest centroid id), 2-probe pruning, and final exact scoring."""
     emb = table(spark, sf_dir, "embeddings")
     centroids = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 8))
     return ivf_topk(
@@ -672,12 +755,22 @@ def doc_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-dup group assignment (iterative connected components; rows-only —
 # iterative fixpoint is not single-statement-SQL-expressible)
 # --------------------------------------------------------------------------
-@register("near_dup_groups", oracle=None)
+@register(
+    "near_dup_groups",
+    oracle=f"""
+WITH RECURSIVE {_SQL_DUP_COMPONENTS}
+SELECT doc_id, canonical_id FROM comp
+""",
+)
 def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup groups: Jaccard pairs (≥0.2) as edges →
     connected components → (doc, canonical=min id of component).
     The step LSH pipelines need after pair generation — A~B, B~C must
-    collapse to ONE survivor even though A~C was never scored."""
+    collapse to ONE survivor even though A~C was never scored.
+
+    The engine computes components with distributed iterative min-label
+    propagation (operators/graph.py); the oracle states the same
+    fixpoint as a DuckDB WITH RECURSIVE transitive closure."""
     from parcel_analytics_etl_notebook_spark.operators.graph import (
         dup_groups_from_pairs,
     )
@@ -685,6 +778,49 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = _qs()["ngram_jaccard_pairs"](spark, sf_dir).select("id_a", "id_b")
     return dup_groups_from_pairs(pairs).orderBy("doc_id")
+
+
+@register(
+    "near_dup_dedup_summary",
+    oracle=f"""
+WITH RECURSIVE {_SQL_DUP_COMPONENTS}
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN c.doc_id IS NULL OR c.canonical_id = d.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(sum(CASE WHEN c.doc_id IS NOT NULL AND c.canonical_id <> d.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS dropped_docs
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+GROUP BY d.lang
+""",
+)
+def near_dup_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup APPLICATION step — what a training-data pipeline
+    actually ships: left-join the corpus to its near-dup component map
+    and keep only canonical members (docs outside any group keep
+    themselves). Summarized per language so the audit of 'how much did
+    dedup remove, where' is one small result.
+
+    Scale: the component map is tiny relative to the corpus (only docs
+    in multi-doc groups appear), so the join broadcasts; the corpus is
+    touched once."""
+    from parcel_analytics_etl_notebook_spark.operators.graph import (
+        dup_groups_from_pairs,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.catalog import queries as _qs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = _qs()["ngram_jaccard_pairs"](spark, sf_dir).select("id_a", "id_b")
+    groups = dup_groups_from_pairs(pairs)
+    joined = docs.join(F.broadcast(groups), on="doc_id", how="left")
+    kept = F.col("canonical_id").isNull() | (
+        F.col("canonical_id") == F.col("doc_id")
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(kept.cast("bigint")).alias("kept_docs"),
+        F.sum((~kept).cast("bigint")).alias("dropped_docs"),
+    )
 
 
 # --------------------------------------------------------------------------
