@@ -41,10 +41,33 @@ def dq_summary(df: DataFrame, null_check_cols: list[str] | None = None) -> DataF
     counts, one row out. The reference issued 1 + N separate ``count()``
     actions re-executing the full lineage each time; this is one job.
     """
+    return df.agg(*_dq_metrics(df, null_check_cols))
+
+
+def _dq_metrics(df: DataFrame, null_check_cols: list[str] | None) -> list[Column]:
     cols = null_check_cols if null_check_cols is not None else df.columns[:3]
     aggs: list[Column] = [F.count(F.lit(1)).alias("row_count")]
     for c in cols:
         aggs.append(
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"nulls_{c}")
         )
-    return df.agg(*aggs)
+    return aggs
+
+
+def dq_observation(df: DataFrame, null_check_cols: list[str] | None = None):
+    """ZERO-extra-pass DQ: attach the :func:`dq_summary` metrics to the
+    DataFrame via ``observe()`` so they are computed as a side effect of
+    whatever action consumes it (typically the parquet write) — no
+    second pass over the data at all. ``dq_summary`` costs one extra
+    aggregate job per checkpoint; at 100 TB even that pass is worth
+    eliminating, and ``observe`` metrics are accumulator-based, adding
+    nothing to the shuffle.
+
+    Returns ``(observed_df, observation)``; run exactly one action on
+    ``observed_df``, then read ``observation.get`` (blocks until the
+    action finishes).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return df.observe(obs, *_dq_metrics(df, null_check_cols)), obs

@@ -19,7 +19,7 @@ DimDate, DimShipping (5 FK left joins), FactShippingEvent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
@@ -324,7 +324,20 @@ def build_warehouse(df_flat: DataFrame) -> dict[str, DataFrame]:
 def dq_checkpoint(df: DataFrame, checkpoint: str, cols: list[str] | None = None) -> DataFrame:
     """PASS/FAIL DQ report rows in the reference's schema
     (``etl/main.py:21-65`` / FIXTURES.md §C) from ONE aggregate pass."""
-    summary = dq_summary(df, cols).collect()[0]
+    summary = dq_summary(df, cols).collect()[0].asDict()
+    return _dq_report(df.sparkSession, summary, checkpoint)
+
+
+def dq_checkpoint_observed(spark: SparkSession, observation, checkpoint: str) -> DataFrame:
+    """PASS/FAIL DQ report rows from an ``observe()`` metrics row
+    (operators/aggregates.dq_observation) — the checkpoint costs ZERO
+    extra passes because the metrics were computed as a side effect of
+    the action that consumed the observed frame (e.g. the parquet
+    write). Call only after that action has run."""
+    return _dq_report(spark, dict(observation.get), checkpoint)
+
+
+def _dq_report(spark: SparkSession, summary: dict, checkpoint: str) -> DataFrame:
     rows = [
         (
             checkpoint,
@@ -335,10 +348,10 @@ def dq_checkpoint(df: DataFrame, checkpoint: str, cols: list[str] | None = None)
             else "Dataframe is empty",
         )
     ]
-    for name in summary.asDict():
+    for name, v in summary.items():
         if name.startswith("nulls_"):
             col = name[len("nulls_"):]
-            n = summary[name] or 0
+            n = v or 0
             rows.append(
                 (
                     checkpoint,
@@ -347,7 +360,6 @@ def dq_checkpoint(df: DataFrame, checkpoint: str, cols: list[str] | None = None)
                     f"Null count: {n}",
                 )
             )
-    spark = df.sparkSession
     out = spark.createDataFrame(
         rows, "check_point string, check_name string, status string, details string"
     )

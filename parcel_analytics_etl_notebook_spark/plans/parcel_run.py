@@ -16,9 +16,11 @@ import os
 
 from pyspark.sql import SparkSession
 
+from parcel_analytics_etl_notebook_spark.operators.aggregates import dq_observation
 from parcel_analytics_etl_notebook_spark.plans.parcel import (
     build_warehouse,
     dq_checkpoint,
+    dq_checkpoint_observed,
     kpi_report,
     parse_events,
 )
@@ -46,8 +48,15 @@ def run_parcel_etl(
 
     tables = build_warehouse(flat)
     for name, df in tables.items():
-        dq_frames.append(dq_checkpoint(df, f"After Tables Build: {name}", df.columns[:3]))
-        write_parquet(df, os.path.join(out_dir, name), target_files=target_files)
+        # observe() rides the write action: the per-table DQ checkpoint
+        # costs zero extra passes (the reference re-ran each table's
+        # full lineage 4x per checkpoint; dq_checkpoint costs one agg
+        # pass; this costs none)
+        observed, obs = dq_observation(df, df.columns[:3])
+        write_parquet(observed, os.path.join(out_dir, name), target_files=target_files)
+        dq_frames.append(
+            dq_checkpoint_observed(spark, obs, f"After Tables Build: {name}")
+        )
 
     audit = dq_frames[0]
     for extra in dq_frames[1:]:

@@ -176,6 +176,31 @@ def test_dq_checkpoint(warehouse, spark):
     }
 
 
+def test_dq_observation_matches_summary(warehouse, spark, tmp_path):
+    """observe()-based DQ (zero extra passes, metrics ride the write
+    action) must report exactly what the one-pass aggregate reports."""
+    from parcel_analytics_etl_notebook_spark.operators.aggregates import (
+        dq_observation,
+        dq_summary,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.parcel import (
+        dq_checkpoint_observed,
+    )
+
+    _, flat = warehouse
+    cols = ["event_code", "shipping_id"]
+    observed, obs = dq_observation(flat, cols)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "sink"))
+    expected = dq_summary(flat, cols).collect()[0].asDict()
+    assert dict(obs.get) == expected
+    report = {
+        r["check_name"]: r["status"]
+        for r in dq_checkpoint_observed(spark, obs, "cp").collect()
+    }
+    assert report["Non-empty dataframe"] == "PASS"
+    assert report["No nulls in column 'event_code'"] == "FAIL"
+
+
 def test_run_parcel_etl_end_to_end(spark, tmp_path):
     """The complete reference program (E1 build + E2 KPIs) through the
     executable runner: fixture CSV -> warehouse parquet -> DQ audit ->
