@@ -1,0 +1,74 @@
+"""Streaming join operators (SURVEY §2.9 extension): the two join
+shapes Structured Streaming supports beyond plain stateless maps.
+
+- stream ⋈ static: per-micro-batch hash join against a (broadcastable)
+  dimension — no state, no watermark needed; the streaming twin of the
+  batch star-schema enrichment joins (reference J5/J7).
+- stream ⋈ stream: both sides buffered in watermark-bounded state; the
+  join condition MUST constrain event time on both sides or state grows
+  forever. Shown as the view→purchase interval join (the streaming twin
+  of the batch as-of join, operators/asof.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Enrich a stream with a static dimension (left join on user_id).
+
+    The static side is re-scanned per micro-batch (picking up file
+    appends), never stateful; Catalyst broadcasts it when small — at
+    100 TB/day stream rates the dim join stays a map-side hash join,
+    which is why dimension enrichment belongs on the stream, not in a
+    downstream batch repair job."""
+    return events.join(F.broadcast(dim), on="user_id", how="left")
+
+
+def stream_stream_purchase_after_view(
+    events: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase paired with every view
+    by the same user within ``max_gap`` BEFORE it.
+
+    Both sides carry watermarks and the join condition bounds view time
+    relative to purchase time, so Spark can evict buffered rows once
+    the watermark passes — the state-boundedness condition for
+    stream-stream joins on unbounded input."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")
+        )
+    )
+    return purchases.join(views, cond, "inner").select(
+        "user_id",
+        "purchase_event_id",
+        "purchase_ts",
+        "view_event_id",
+        "view_ts",
+    )

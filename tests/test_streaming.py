@@ -103,6 +103,83 @@ def test_stateful_funnel_completions(spark):
         assert got[uid]["first_purchase_ts"] == row["p"]
 
 
+def test_stream_static_enrich(spark):
+    """Stream ⋈ static dim: every event row enriched per micro-batch;
+    counts and cohort sums match the batch join."""
+    from parcel_analytics_etl_notebook_spark.streaming.joins import (
+        stream_static_enrich,
+    )
+
+    batch_events = table(spark, SF, "events")
+    dim = (
+        batch_events.select("user_id")
+        .dropDuplicates()
+        .withColumn("cohort", (F.col("user_id") % 4).cast("bigint"))
+    )
+    stream = read_events_stream(spark, SF)
+    q = (
+        stream_static_enrich(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("enriched")
+    assert got.count() == batch_events.count()
+    batch = batch_events.join(dim, on="user_id", how="left")
+    assert (
+        got.agg(F.sum("cohort")).collect()[0][0]
+        == batch.agg(F.sum("cohort")).collect()[0][0]
+    )
+
+
+def test_stream_stream_interval_join(spark):
+    """Stream-stream interval join (purchase ⋈ views ≤1h before) equals
+    the batch interval join row-for-row."""
+    from parcel_analytics_etl_notebook_spark.streaming.joins import (
+        stream_stream_purchase_after_view,
+    )
+
+    stream = read_events_stream(spark, SF)
+    q = (
+        stream_stream_purchase_after_view(stream, max_gap="1 hour")
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["purchase_event_id"], r["view_event_id"])
+        for r in spark.table("ssj").collect()
+    }
+
+    ev = table(spark, SF, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    expected = {
+        (r["purchase_event_id"], r["view_event_id"]) for r in batch.collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
 def test_streaming_dedup_and_foreach_batch_sink(spark, tmp_path):
     """Duplicate the stream (union with itself) → watermarked streaming
     dedup must restore exact-once; deliver via foreachBatch parquet."""
