@@ -52,10 +52,13 @@ def connected_components(
         .dropDuplicates()
         .persist()
     )
+    # seed with min(self, direct neighbors) rather than self: near-dup
+    # components are near-cliques, where this init IS already the
+    # fixpoint — the loop then runs one confirming iteration instead of
+    # O(diameter)+1. Same single shuffle as building plain labels.
     labels = (
-        sym.select(F.col("a").alias("vertex"))
-        .dropDuplicates()
-        .withColumn("component", F.col("vertex"))
+        sym.groupBy(F.col("a").alias("vertex"))
+        .agg(F.least(F.first("a"), F.min("b")).alias("component"))
         .persist()
     )
     converged = False

@@ -856,3 +856,50 @@ def embedding_zscore_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         # normalize so both engines agree
         F.when(F.isnan(z), F.lit(None)).otherwise(F.round(z, 4)).alias("z_first"),
     )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF + LATERAL join: per-sentence expansion
+# --------------------------------------------------------------------------
+@register(
+    "doc_sentence_stats",
+    oracle=r"""
+WITH p AS (
+    SELECT doc_id,
+           list_filter(list_transform(string_split_regex(text, '\.\s+'),
+                                      x -> trim(x)), x -> x <> '') AS pieces
+    FROM documents
+)
+SELECT doc_id,
+       unnest(range(1, len(pieces)+1)) AS sentence_idx,
+       unnest(list_transform(pieces,
+           x -> CAST(len(string_split_regex(x, '\s+')) AS BIGINT))) AS n_tokens
+FROM p
+""",
+)
+def doc_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF + LATERAL join (SURVEY §2.10 — the reference has no
+    UDF surface at all): each document expands to one row per sentence
+    via the Arrow-batched ``SplitSentences`` UDTF. Demonstrates the
+    row→rows table-function shape reserved for genuinely imperative
+    expansions; this particular logic has a JVM equivalent
+    (split+posexplode, see functions/udtfs.py) which is the production
+    path — the UDTF exists to prove the surface end-to-end.
+
+    Scale: the UDTF runs map-side (no shuffle at all); Arrow batches
+    amortize the Python boundary. The sentence text itself is dropped
+    from the output so the oracle hash doesn't depend on regex
+    whitespace-trim corner cases, only on structure."""
+    from parcel_analytics_etl_notebook_spark.functions.udtfs import (
+        register_split_sentences,
+    )
+
+    register_split_sentences(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_for_sentences")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.n_tokens
+        FROM __docs_for_sentences d, LATERAL split_sentences(d.text) s
+        """
+    )
