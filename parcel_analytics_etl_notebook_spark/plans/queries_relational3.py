@@ -374,3 +374,97 @@ def best_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return best.select("p_brand", "best.best_partkey", "best.best_price")
+
+
+@register(
+    "session_window_native",
+    oracle="""
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+m AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+    SELECT user_id, ts, value,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM m
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via the NATIVE ``F.session_window``
+    aggregate (vs the lag/running-sum formulation in
+    ``user_sessions_30min`` — same semantics, different operator). The
+    session window's end is exclusive: last event + gap.
+
+    Scale: Catalyst plans this as a single shuffle on user_id followed
+    by a sort-merge of adjacent windows (MergingSessionsExec) — no
+    window-function sort pass over the whole table, and it is the exact
+    operator the streaming engine reuses with watermarks, so batch and
+    streaming sessionization stay semantically identical.
+    """
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "robust_props_parse",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_k,
+       CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) = 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+       round(avg(value / nullif(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                                - 50, 0)), 4) AS avg_ratio
+FROM events
+GROUP BY event_type
+""",
+)
+def robust_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant ingestion with the ``try_*`` function family:
+    ``try_cast`` string→bigint (malformed JSON values become NULL, not
+    a task failure) and ``try_divide`` (division by zero becomes NULL,
+    never an ANSI exception). The audit counts how many rows each
+    guard absorbed — the pattern a 100 TB ingest needs, because one
+    poisoned record must not kill a 1000-executor stage.
+
+    Scale: pure map-side expressions inside whole-stage codegen + one
+    hash aggregate on event_type; the JSON path extraction is Spark's
+    built-in get_json_object (JVM, no UDF).
+    """
+    events = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    ratio = F.try_divide(F.col("value"), k - F.lit(50))
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k.isNull().cast("bigint")).alias("n_bad_k"),
+        F.sum((k == 50).cast("bigint")).alias("n_div_null"),
+        F.round(F.avg(ratio), 4).alias("avg_ratio"),
+    )

@@ -112,3 +112,83 @@ def test_write_bucketed_table_helper(spark, tmp_path):
     back = spark.table("helper_bucketed")
     assert back.count() == df.count()
     spark.sql("DROP TABLE IF EXISTS helper_bucketed")
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC source/sink (S2/S3 generalization): the engine's tables are
+    format-agnostic — an ORC copy of orders must read back identically
+    (row count and a value aggregate) to the parquet original."""
+    df = table(spark, "/root/testdata/sf0.001", "orders")
+    out = str(tmp_path / "orders_orc")
+    df.write.format("orc").mode("overwrite").save(out)
+    back = spark.read.format("orc").load(out)
+    assert back.count() == df.count()
+    a = df.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).first()["s"]
+    b = back.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).first()["s"]
+    assert a == b
+
+
+def test_json_lines_roundtrip(spark, tmp_path):
+    """JSON-lines source (the streaming-friendly sibling of the CSV
+    scan): schema inference recovers types and nested structs survive."""
+    out = str(tmp_path / "events_json")
+    df = table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    df.write.mode("overwrite").json(out)
+    back = spark.read.json(out)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+    a = df.agg(F.round(F.sum("value"), 2).alias("s")).first()["s"]
+    b = back.agg(F.round(F.sum("value"), 2).alias("s")).first()["s"]
+    assert a == b
+
+
+def test_freq_items_is_superset_of_heavy_hitters(spark):
+    """df.stat.freqItems (one-pass heavy-hitter sketch): guaranteed to
+    return a SUPERSET of every value whose frequency exceeds the
+    support threshold — false positives allowed, false negatives not."""
+    li = table(spark, "/root/testdata/sf0.001", "lineitem")
+    n = li.count()
+    found = set(li.stat.freqItems(["l_returnflag"], support=0.25).first()[0])
+    exact = {
+        r["l_returnflag"]
+        for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("c")).collect()
+        if r["c"] > 0.25 * n
+    }
+    assert exact <= found, (exact, found)
+
+
+def test_approx_quantile_error_zero_is_exact(spark):
+    """approxQuantile (Greenwald-Khanna sketch) at relativeError=0
+    degrades to exact quantiles — the scale dial: trade error bound
+    for memory at 100 TB, exactness for tests."""
+    ords = table(spark, "/root/testdata/sf0.001", "orders")
+    lo, mid, hi = ords.stat.approxQuantile("o_totalprice", [0.0, 0.5, 1.0], 0.0)
+    exact_lo, exact_hi = ords.agg(
+        F.min("o_totalprice"), F.max("o_totalprice")
+    ).first()
+    assert lo == exact_lo and hi == exact_hi
+    n = ords.count()
+    below = ords.filter(F.col("o_totalprice") <= mid).count()
+    assert below >= n // 2  # a true median splits the data
+
+
+def test_crosstab_matches_groupby(spark):
+    """df.stat.crosstab contingency table == the groupBy pair counts."""
+    ords = table(spark, "/root/testdata/sf0.001", "orders")
+    ct = ords.stat.crosstab("o_orderstatus", "o_orderpriority").collect()
+    pivot = {
+        (r["o_orderstatus_o_orderpriority"], k): v
+        for r in ct
+        for k, v in r.asDict().items()
+        if k != "o_orderstatus_o_orderpriority"
+    }
+    exact = {
+        (r["o_orderstatus"], r["o_orderpriority"]): r["n"]
+        for r in ords.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for (s, p), n in exact.items():
+        assert pivot[(s, p)] == n
