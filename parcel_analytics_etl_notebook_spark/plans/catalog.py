@@ -97,6 +97,7 @@ def _ensure_loaded() -> None:
         queries_relational,
         queries_relational2,
         queries_relational3,
+        queries_relational4,
     )
 
     try:

@@ -298,3 +298,17 @@ def test_tokens_null_and_blank(spark):
     assert q[1]["n_tokens"] == 0 and q[1]["unique_ratio"] is None
     assert q[1]["quality_flag"] is False
     assert q[3]["n_tokens"] == 2
+
+
+def test_hll_sketch_estimate_close_to_exact(spark, sf_dir):
+    """daily_users_hll_sketch has no SQL oracle (DuckDB's HLL differs);
+    bound its error against the exact distinct count instead."""
+    from parcel_analytics_etl_notebook_spark.plans import catalog
+
+    est = catalog.queries()["daily_users_hll_sketch"](spark, sf_dir).collect()[0]
+    exact = (
+        catalog.table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert est["n_days"] >= 1
+    # lgConfigK=12 -> relative standard error ~1.6%; allow 3 sigma
+    assert abs(est["approx_users"] - exact) <= max(2, 0.05 * exact)
