@@ -198,3 +198,57 @@ def test_streaming_dedup_and_foreach_batch_sink(spark, tmp_path):
     n_events = table(spark, SF, "events").count()
     assert back.select("event_id").dropDuplicates().count() == n_events
     assert back.count() == n_events  # dedup removed the doubling
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 API): the final emitted
+    running total per user must equal the batch groupBy aggregate.
+
+    The API's Python state server speaks protobuf; skip where the
+    runtime dependency is absent (applyInPandasWithState — stateful.py —
+    is the no-extra-deps fallback and is tested above).
+    """
+    pytest.importorskip("google.protobuf.descriptor")
+    from parcel_analytics_etl_notebook_spark.streaming.sessions import (
+        read_events_stream,
+    )
+    from parcel_analytics_etl_notebook_spark.streaming.stateful_tws import (
+        rocksdb_state_conf,
+        running_user_totals,
+    )
+
+    rocksdb_state_conf(spark)
+    stream = read_events_stream(spark, SF)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("tws_totals")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # changelog semantics: keep the last (= max n_events) row per user
+    emitted = spark.table("tws_totals")
+    final = (
+        emitted.groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "total_value"), "n_events").alias("s"))
+        .select("user_id", "s.n_events", "s.total_value")
+    )
+    batch = (
+        table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    got = {r["user_id"]: r for r in final.collect()}
+    want = {r["user_id"]: r for r in batch.collect()}
+    assert set(got) == set(want) and len(got) > 0
+    for uid, w in want.items():
+        g = got[uid]
+        assert g["n_events"] == w["n_events"]
+        assert abs(g["total_value"] - (w["total_value"] or 0.0)) < 1e-6
