@@ -73,6 +73,8 @@ def connected_components(
         # iteration, so without it the logical plan DOUBLES each round
         # (2^iters nodes → driver OOM before the data is ever large).
         # On a cluster prefer reliable checkpoint() to survive executor loss.
+        # The `changed` flag rides along so convergence detection is a
+        # count over the checkpointed partitions — no extra join.
         new_labels = (
             labels.join(neighbor_min, on="vertex", how="left")
             .select(
@@ -80,17 +82,15 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
+                (F.coalesce("nbr_component", F.col("component")) < F.col("component"))
+                .cast("int")
+                .alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("changed") == 1).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("vertex", "component")
         if changed == 0:
             converged = True
             break

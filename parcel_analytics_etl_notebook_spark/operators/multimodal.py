@@ -149,6 +149,38 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def extract_features_arrow(df: DataFrame) -> DataFrame:
+    """``mapInArrow`` twin of :func:`extract_features`: the batches
+    arrive as ``pyarrow.RecordBatch`` — no Arrow→pandas materialization
+    at all, the leanest Python hop Spark offers. Worth the less
+    ergonomic API when the payload column dominates batch size (pandas
+    would copy every payload into Python objects; Arrow buffers stay
+    zero-copy until ``.as_py()`` on exactly the bytes being hashed).
+
+    Output is identical to :func:`extract_features`
+    (tests/test_operators.py asserts it row-for-row).
+    """
+    import pyarrow as pa
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            payloads = batch.column("payload")
+            mimes = batch.column("meta").field("mime")
+            raw = [p.as_py() for p in payloads]
+            feats = [decode_stub(p, m.as_py()) for p, m in zip(raw, mimes)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pa.array([len(p) for p in raw], pa.int64()),
+                    pa.array([hashlib.sha256(p).hexdigest() for p in raw]),
+                    pa.array(feats, pa.list_(pa.float32())),
+                ],
+                names=["doc_id", "n_bytes", "content_sha", "features"],
+            )
+
+    return df.mapInArrow(run, FEATURE_SCHEMA)
+
+
 #: output schema of the per-group z-score normalizer
 ZSCORE_SCHEMA = StructType(
     [

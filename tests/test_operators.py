@@ -312,3 +312,25 @@ def test_hll_sketch_estimate_close_to_exact(spark, sf_dir):
     assert est["n_days"] >= 1
     # lgConfigK=12 -> relative standard error ~1.6%; allow 3 sigma
     assert abs(est["approx_users"] - exact) <= max(2, 0.05 * exact)
+
+
+def test_map_in_arrow_matches_map_in_pandas(spark):
+    """extract_features_arrow (mapInArrow) must agree row-for-row with
+    the mapInPandas path — same decode stub, zero-copy batches."""
+    from parcel_analytics_etl_notebook_spark.operators.multimodal import (
+        extract_features_arrow,
+        to_binary_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark arrow"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    payload = to_binary_payload(df)
+    a = {r["doc_id"]: r for r in extract_features_arrow(payload).collect()}
+    p = {r["doc_id"]: r for r in extract_features(payload).collect()}
+    assert set(a) == set(p) == {1, 2, 3}
+    for k in a:
+        assert a[k]["content_sha"] == p[k]["content_sha"]
+        assert a[k]["n_bytes"] == p[k]["n_bytes"]
+        assert a[k]["features"] == p[k]["features"]

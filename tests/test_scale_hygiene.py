@@ -103,3 +103,28 @@ def test_aqe_coalesces_small_shuffle(spark):
     df.collect()
     # AQE rewrites the final plan; the executed plan shows coalesced reads
     assert "AQEShuffleRead" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitionBy(day) sink + day-filtered scan: the filter
+    must land in PartitionFilters (directory pruning — at 100 TB this is
+    the difference between scanning one day and scanning the lake)."""
+    from parcel_analytics_etl_notebook_spark.plans.catalog import table
+    from parcel_analytics_etl_notebook_spark.plans.diagnostics import formatted_plan
+    from parcel_analytics_etl_notebook_spark.sources.writers import write_parquet
+
+    path = str(tmp_path / "events_by_day")
+    ev = table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    write_parquet(ev, path, partition_by=["day"])
+
+    one_day = ev.select(F.min("day")).collect()[0][0]
+    scan = spark.read.parquet(path).filter(F.col("day") == F.lit(one_day))
+    plan = formatted_plan(scan)
+    assert "PartitionFilters" in plan
+    # the day predicate must appear in PartitionFilters, not as a row filter
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "day" in pf_line
+    # pruned scan reads exactly the one day's rows
+    assert scan.count() == ev.filter(F.col("day") == F.lit(one_day)).count() > 0
