@@ -263,3 +263,80 @@ def daily_users_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
         )
     )
+
+
+_SCD2_SQL = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         CASE WHEN lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+islands AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         sum(chg) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM ordered
+),
+grouped AS (
+  SELECT o_custkey, o_orderstatus, island,
+         min(o_orderdate) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM islands
+  GROUP BY o_custkey, o_orderstatus, island
+)
+SELECT o_custkey, o_orderstatus, valid_from,
+       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island)
+         AS valid_to,
+       n_orders
+FROM grouped
+"""
+
+
+@register("order_status_scd2", oracle=_SCD2_SQL)
+def order_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build (gaps-and-islands): collapse each customer's
+    time-ordered order statuses into validity intervals
+    [valid_from, valid_to) — change detection via lag, island ids via
+    running sum, interval close via lead. The type-2 companion to the
+    engine's SCD1 upsert (plans/star.scd1_upsert); the reference's
+    dims are all type-1 snapshots (`/root/reference/etl/main.py:163-245`).
+
+    Scale: all three window passes share the same partitioning
+    (o_custkey) — one shuffle total, then per-partition sorts; the
+    grouped step is a hash-agg on already-co-located keys.
+    """
+    from parcel_analytics_etl_notebook_spark.sources.readers import load_tables
+
+    load_tables(spark, sf_dir, names=("orders",))
+    return spark.sql(_SCD2_SQL)
+
+
+_BIG_QTY_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+       o_orderdate
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey
+                     FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING sum(l_quantity) > 150)
+"""
+
+
+@register("big_quantity_orders", oracle=_BIG_QTY_SQL)
+def big_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery with aggregated HAVING (TPC-H Q18 shape): orders
+    whose lineitems sum to a large quantity. Same SQL text both
+    engines.
+
+    Scale: Catalyst decorrelates the IN to a left-semi join against
+    the aggregated subquery — lineitem is pre-aggregated (pruned to
+    two columns) before the join, so the shuffle carries order keys
+    and partial sums, never raw lineitems twice.
+    """
+    from parcel_analytics_etl_notebook_spark.sources.readers import load_tables
+
+    load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    return spark.sql(_BIG_QTY_SQL)

@@ -192,3 +192,25 @@ def test_crosstab_matches_groupby(spark):
     }
     for (s, p), n in exact.items():
         assert pivot[(s, p)] == n
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """XML source/sink (built into Spark 4; no external package): a
+    rowTag-framed XML copy of nation reads back identically. Avro, by
+    contrast, is still an external module (spark-avro jar) — absent
+    here, so the engine treats it as deploy-time opt-in, not core."""
+    df = table(spark, "/root/testdata/sf0.001", "nation")
+    out = str(tmp_path / "nation_xml")
+    (
+        df.write.format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = spark.read.format("xml").option("rowTag", "nation").load(out)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+    a = sorted(r["n_name"] for r in df.select("n_name").collect())
+    b = sorted(r["n_name"] for r in back.select("n_name").collect())
+    assert a == b
