@@ -903,3 +903,152 @@ def doc_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __docs_for_sentences d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+# --------------------------------------------------------------------------
+# RAG-style document chunking (sliding token window with overlap)
+# --------------------------------------------------------------------------
+@register(
+    "doc_chunk_stats",
+    oracle=rf"""
+WITH t AS (SELECT doc_id, source, {_SQL_TOKS} AS l FROM documents),
+counted AS (
+  SELECT doc_id, source, l,
+         CASE WHEN len(l) <= 64 THEN 1
+              ELSE ceil((len(l) - 64) / 48.0) + 1 END AS n_chunks
+  FROM t
+),
+c AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(0, CAST(n_chunks AS BIGINT)),
+             i -> l[(1 + i*48):(i*48 + 64)])) AS chunk
+  FROM counted
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       round(avg(len(chunk)), 4) AS avg_chunk_tokens,
+       round(avg(length(array_to_string(chunk, ' '))), 4) AS avg_chunk_chars
+FROM c
+GROUP BY source
+""",
+)
+def doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (the RAG/pretraining shard prep step):
+    slide a 64-token window with stride 48 (16-token overlap) over each
+    document, emit one row per chunk, summarize per source. The chunk
+    boundaries are pure arithmetic over the token array — sequence +
+    slice, all JVM-side; no UDF.
+
+    Scale: chunking is embarrassingly parallel (map-only — zero
+    shuffles before the final tiny aggregate); output row count is
+    ~n_tokens/stride per doc, so the fan-out is bounded and
+    predictable. At 100 TB this runs as a single pass over the corpus
+    with partial aggregation; the chunk rows themselves would feed the
+    embedding/tokenizer stage via mapInPandas without materializing."""
+    docs = table(spark, sf_dir, "documents")
+    C, S = 64, 48
+    base = docs.select("doc_id", "source", tokens("text").alias("l"))
+    n = F.size("l")
+    n_chunks = F.when(n <= C, F.lit(1)).otherwise(
+        F.ceil((n - C) / F.lit(float(S))) + 1
+    )
+    chunks = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+                lambda i: F.slice(F.col("l"), i * S + 1, C),
+            )
+        ).alias("chunk"),
+    )
+    return chunks.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.round(F.avg(F.size("chunk")), 4).alias("avg_chunk_tokens"),
+        F.round(F.avg(F.length(F.array_join("chunk", " "))), 4).alias(
+            "avg_chunk_chars"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Train/eval contamination check (n-gram overlap across a split)
+# --------------------------------------------------------------------------
+@register(
+    "split_contamination_rate",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+hh AS (SELECT doc_id, list_transform(l, tok -> {_SQL_POLY.format('tok')}) AS th FROM t),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(th)-1),
+               i -> ((th[i]*1000003 + th[i+1]) % 1000000007 * 1000003 + th[i+2]) % 1000000007))) AS shingle
+    FROM hh
+),
+flags AS (SELECT doc_id, (doc_id * 2654435761) % 10 < 8 AS is_train FROM documents),
+train_sh AS (SELECT DISTINCT shingle FROM sh JOIN flags USING (doc_id) WHERE is_train),
+cont AS (
+    SELECT DISTINCT s.doc_id
+    FROM sh s JOIN flags f USING (doc_id)
+    WHERE NOT f.is_train
+      AND s.shingle IN (SELECT shingle FROM train_sh)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(coalesce(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 END), 0) AS BIGINT)
+         AS contaminated_docs,
+       round(coalesce(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 END), 0)
+             / count(*), 4) AS contamination_rate
+FROM (SELECT doc_id FROM flags WHERE NOT is_train) e
+LEFT JOIN cont c ON e.doc_id = c.doc_id
+""",
+)
+def split_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination check: how many eval-split documents share at
+    least one 3-gram shingle with the train split (same deterministic
+    hash split as stratified_split_documents, same shingle hashes as
+    the dedup family). The answer every training pipeline must produce
+    before shipping an eval set.
+
+    Scale: the expensive object is the train shingle set; the eval
+    probe is a left-semi join on the int64 shingle hash — shuffle
+    carries (hash, doc_id) pairs only. At 100 TB, replace the exact
+    semi join with a bloom filter built over train shingles (false
+    positives only inflate the contamination estimate, the safe
+    direction) or keep exact and bucket both sides by hash."""
+    from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
+        shingle_hashes_from_tokens,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    is_train = (F.col("doc_id") * F.lit(2654435761)) % 10 < 8
+    tok_hashes = F.transform(tokens("text"), lambda t: poly_hash(t))
+    th = docs.select(
+        "doc_id", is_train.alias("is_train"), tok_hashes.alias("__th")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    sh = th.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.array_distinct(shingle_hashes_from_tokens(F.col("__th")))
+        ).alias("shingle"),
+    )
+    train_sh = sh.filter("is_train").select("shingle").distinct()
+    cont = (
+        sh.filter(~F.col("is_train"))
+        .join(train_sh, on="shingle", how="left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    eval_docs = docs.filter(~is_train).select("doc_id")
+    return eval_docs.join(cont, on="doc_id", how="left").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias(
+            "contaminated_docs"
+        ),
+        F.round(
+            F.coalesce(F.sum("__hit"), F.lit(0)) / F.count(F.lit(1)), 4
+        ).alias("contamination_rate"),
+    )
