@@ -1,0 +1,101 @@
+"""Custom Python data source (Spark 4 DataSource API): a deterministic
+synthetic-corpus generator, registered as ``format("synthcorpus")``.
+
+Why a generator source: scale rehearsal. Driving a 100 TB pipeline
+needs inputs bigger than any fixture you want to store; a partitioned
+generator source produces them on the fly — every executor synthesizes
+its own split in parallel, nothing is read from disk, and the output
+is a pure function of (seed, row id) so runs are reproducible and
+partition-count-independent.
+
+The reference's only source is a CSV scan
+(`/root/reference/etl/main.py:75-80`); this shows the engine's source
+surface is extensible from plain Python — no JVM code, no jar — via
+the V2 DataSource API (schema declaration, partition planning,
+per-partition iterators).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_WORDS = (
+    "parcel shipment delivery route depot scan event manifest carrier "
+    "customs transit hub linehaul lastmile pickup return label weight "
+    "volume priority express standard economy fragile signature"
+).split()
+
+_LANGS = ("en", "fr", "de", "es")
+_SOURCES = ("web", "wiki", "news")
+
+_MOD = 1_000_000_007
+_MULT = 2_654_435_761
+
+
+def _row(seed: int, i: int) -> tuple:
+    """Deterministic document row for global row id ``i``."""
+    h = (seed * 31 + i * _MULT) % _MOD
+    n_words = 20 + h % 80
+    words = [
+        _WORDS[(h + j * 131) % len(_WORDS)] for j in range(n_words)
+    ]
+    text = " ".join(words)
+    return (
+        i,
+        text,
+        _LANGS[h % len(_LANGS)],
+        _SOURCES[(h // 7) % len(_SOURCES)],
+        len(text),
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, seed: int, start: int, end: int):
+        self.seed = seed
+        self.start = start
+        self.end = end
+
+
+class SynthCorpusReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.seed = int(options.get("seed", 42))
+        self.num_partitions = int(options.get("numPartitions", 8))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # contiguous row-id ranges: output is partition-count-invariant
+        # because rows depend only on (seed, id), never on the split
+        step = -(-self.rows // self.num_partitions)
+        return [
+            _RangePartition(self.seed, lo, min(lo + step, self.rows))
+            for lo in range(0, self.rows, step)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield _row(partition.seed, i)
+
+
+class SynthCorpusDataSource(DataSource):
+    """``spark.read.format("synthcorpus").option("rows", N)`` →
+    a documents-shaped frame (doc_id, text, lang, source, n_chars)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthcorpus"
+
+    def schema(self) -> str:
+        return (
+            "doc_id bigint, text string, lang string, "
+            "source string, n_chars bigint"
+        )
+
+    def reader(self, schema) -> SynthCorpusReader:
+        return SynthCorpusReader(self.options)
+
+
+def register_synthcorpus(spark: SparkSession) -> None:
+    spark.dataSource.register(SynthCorpusDataSource)

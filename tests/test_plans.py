@@ -51,3 +51,54 @@ def test_column_pruning_in_scan(spark):
 def test_semi_anti_join_shapes(spark):
     assert "LeftSemi" in plan_of(spark, "nations_with_customers")
     assert "LeftAnti" in plan_of(spark, "customers_without_orders")
+
+
+def test_scd2_intervals_are_consistent(spark):
+    """order_status_scd2 invariants: interval order-counts sum to the
+    order count, intervals per customer chain correctly (each valid_to
+    equals the next valid_from), and only the last interval is open."""
+    from parcel_analytics_etl_notebook_spark.plans.catalog import queries, table
+
+    sf = "/root/testdata/sf0.001"
+    scd2 = queries()["order_status_scd2"](spark, sf).collect()
+    n_orders = table(spark, sf, "orders").count()
+    assert sum(r["n_orders"] for r in scd2) == n_orders
+
+    by_cust: dict = {}
+    for r in scd2:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    for rows in by_cust.values():
+        rows.sort(key=lambda r: r["valid_from"])
+        for prev, nxt in zip(rows, rows[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]
+            # consecutive intervals always differ in status (else merged)
+            assert prev["o_orderstatus"] != nxt["o_orderstatus"]
+        assert rows[-1]["valid_to"] is None
+
+
+def test_subqueries_decorrelate_to_joins(spark):
+    """Correlated EXISTS/NOT EXISTS and the aggregated IN subquery must
+    plan as semi/anti hash joins — never per-row subquery re-execution
+    (which would be O(n) query launches at scale)."""
+    p = plan_of(spark, "open_only_customers")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    p2 = plan_of(spark, "big_quantity_orders")
+    assert "LeftSemi" in p2
+    # the semi-join build side is the pre-aggregated lineitem, so a
+    # partial aggregate must appear below the join
+    assert "HashAggregate" in p2
+
+
+def test_scalar_subquery_is_independent_aggregate(spark):
+    """The scalar avg subquery plans as its own 1-row aggregate subtree
+    (Subquery), broadcast into the filter — not a join."""
+    p = plan_of(spark, "orders_above_global_avg")
+    assert "Subquery" in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_window_passes_share_one_shuffle(spark):
+    """order_status_scd2's three window stages all partition by
+    o_custkey — exactly one exchange on the fact side."""
+    p = plan_of(spark, "order_status_scd2")
+    assert p.count("Exchange hashpartitioning(o_custkey") <= 1

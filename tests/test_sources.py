@@ -214,3 +214,38 @@ def test_xml_roundtrip(spark, tmp_path):
     a = sorted(r["n_name"] for r in df.select("n_name").collect())
     b = sorted(r["n_name"] for r in back.select("n_name").collect())
     assert a == b
+
+
+def test_python_datasource_synthcorpus(spark):
+    """Spark 4 Python DataSource API: the synthetic-corpus generator
+    source plans real partitions (parallel generation), declares its
+    schema, and is deterministic — two reads agree row-for-row and the
+    result is independent of partition count."""
+    from parcel_analytics_etl_notebook_spark.sources.pydatasource import (
+        register_synthcorpus,
+    )
+
+    register_synthcorpus(spark)
+    df = (
+        spark.read.format("synthcorpus")
+        .option("rows", 500)
+        .option("seed", 7)
+        .option("numPartitions", 8)
+        .load()
+    )
+    assert df.count() == 500
+    assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert df.rdd.getNumPartitions() == 8
+
+    again = (
+        spark.read.format("synthcorpus")
+        .option("rows", 500)
+        .option("seed", 7)
+        .option("numPartitions", 3)  # different split, same data
+        .load()
+    )
+    a = sorted(df.collect())
+    b = sorted(again.collect())
+    assert a == b
+    # generated text is consumable by the text operators downstream
+    assert df.filter(F.col("n_chars") == F.length("text")).count() == 500
