@@ -946,23 +946,13 @@ def doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     predictable. At 100 TB this runs as a single pass over the corpus
     with partial aggregation; the chunk rows themselves would feed the
     embedding/tokenizer stage via mapInPandas without materializing."""
+    from parcel_analytics_etl_notebook_spark.operators.chunking import chunk_tokens
+
     docs = table(spark, sf_dir, "documents")
-    C, S = 64, 48
     base = docs.select("doc_id", "source", tokens("text").alias("l"))
-    n = F.size("l")
-    n_chunks = F.when(n <= C, F.lit(1)).otherwise(
-        F.ceil((n - C) / F.lit(float(S))) + 1
-    )
-    chunks = base.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks.cast("int") - 1),
-                lambda i: F.slice(F.col("l"), i * S + 1, C),
-            )
-        ).alias("chunk"),
-    )
+    chunks = chunk_tokens(
+        base, "l", chunk_size=64, stride=48, index_col=None
+    ).drop("l")
     return chunks.groupBy("source").agg(
         F.count_distinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_chunks"),

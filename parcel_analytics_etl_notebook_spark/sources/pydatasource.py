@@ -20,7 +20,12 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _WORDS = (
     "parcel shipment delivery route depot scan event manifest carrier "
@@ -95,6 +100,38 @@ class SynthCorpusDataSource(DataSource):
 
     def reader(self, schema) -> SynthCorpusReader:
         return SynthCorpusReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SynthCorpusStreamReader":
+        return SynthCorpusStreamReader(self.options)
+
+
+class SynthCorpusStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin: each micro-batch emits the next ``batchRows``
+    generated documents; the offset is just the global row id, so the
+    replay contract (readBetweenOffsets after a crash) is exact — the
+    same (seed, id)-pure rows come back. A Kafka-shaped source without
+    Kafka, for exercising streaming operators in tests and scale
+    rehearsal.
+    """
+
+    def __init__(self, options: dict):
+        self.seed = int(options.get("seed", 42))
+        self.batch_rows = int(options.get("batchRows", 100))
+        self.max_rows = int(options.get("maxRows", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.batch_rows, self.max_rows)
+        return (self._rows(lo, hi), {"next": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["next"], end["next"])
+
+    def _rows(self, lo: int, hi: int):
+        return iter([_row(self.seed, i) for i in range(lo, hi)])
 
 
 def register_synthcorpus(spark: SparkSession) -> None:

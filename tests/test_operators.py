@@ -334,3 +334,43 @@ def test_map_in_arrow_matches_map_in_pandas(spark):
         assert a[k]["content_sha"] == p[k]["content_sha"]
         assert a[k]["n_bytes"] == p[k]["n_bytes"]
         assert a[k]["features"] == p[k]["features"]
+
+
+def test_chunking_edge_cases(spark):
+    """chunk_tokens boundary behavior: empty/short/exact/overflow docs,
+    full token coverage, and correct overlap between neighbors."""
+    from parcel_analytics_etl_notebook_spark.operators.chunking import chunk_tokens
+
+    C, S = 4, 3
+    docs = [
+        (0, []),                               # empty -> 1 empty chunk
+        (1, ["a"]),                            # shorter than window
+        (2, [f"t{i}" for i in range(4)]),      # exactly one window
+        (3, [f"t{i}" for i in range(5)]),      # one token past -> 2 chunks
+        (4, [f"t{i}" for i in range(10)]),     # ceil((10-4)/3)+1 = 3 chunks
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, toks array<string>")
+    out = chunk_tokens(df, "toks", chunk_size=C, stride=S)
+    got: dict = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk"]
+
+    assert got[0] == {0: []}
+    assert got[1] == {0: ["a"]}
+    assert got[2] == {0: ["t0", "t1", "t2", "t3"]}
+    assert got[3] == {0: ["t0", "t1", "t2", "t3"], 1: ["t3", "t4"]}
+    assert len(got[4]) == 3
+    for doc_id, toks in docs:
+        covered = [t for i in sorted(got[doc_id]) for t in got[doc_id][i]]
+        # every token appears, in order, with exactly C-S overlapping
+        # tokens duplicated at each interior boundary
+        n_bounds = len(got[doc_id]) - 1
+        assert len(covered) >= len(toks)
+        assert set(covered) == set(toks)
+        for i in range(n_bounds):
+            a, b = got[doc_id][i], got[doc_id][i + 1]
+            if len(a) == C:
+                assert a[S:] == b[: C - S]
+
+    with pytest.raises(ValueError, match="positive"):
+        chunk_tokens(df, "toks", chunk_size=0, stride=3)

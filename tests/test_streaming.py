@@ -252,3 +252,48 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         g = got[uid]
         assert g["n_events"] == w["n_events"]
         assert abs(g["total_value"] - (w["total_value"] or 0.0)) < 1e-6
+
+
+def test_python_streaming_datasource(spark, tmp_path):
+    """Python DataSource streaming reader: micro-batches advance by the
+    row-id offset and the stream's cumulative content equals the batch
+    source's first maxRows rows (exactly-once, replayable offsets)."""
+    from parcel_analytics_etl_notebook_spark.sources.pydatasource import (
+        register_synthcorpus,
+    )
+
+    register_synthcorpus(spark)
+    stream = (
+        spark.readStream.format("synthcorpus")
+        .option("seed", 11)
+        .option("batchRows", 64)
+        .option("maxRows", 300)
+        .load()
+    )
+    assert stream.isStreaming
+    # availableNow admits only the batch available at start for a
+    # simple stream reader; run continuous micro-batches up to the cap
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "synth_ckpt"))
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.table("synth_stream").count() >= 300:
+            break
+        time.sleep(1)
+    q.stop()
+    got = spark.table("synth_stream")
+    assert got.count() == 300
+    batch = (
+        spark.read.format("synthcorpus")
+        .option("seed", 11)
+        .option("rows", 300)
+        .load()
+    )
+    assert sorted(got.collect()) == sorted(batch.collect())
