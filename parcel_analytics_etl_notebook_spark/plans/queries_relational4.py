@@ -304,6 +304,15 @@ def order_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's SCD1 upsert (plans/star.scd1_upsert); the reference's
     dims are all type-1 snapshots (`/root/reference/etl/main.py:163-245`).
 
+    Grain caveat: change detection runs at order grain (tiebreak
+    o_orderkey) while the interval bounds are the date-grained
+    o_orderdate — a status flip between two same-date orders therefore
+    emits a zero-length interval [d, d) that a half-open point-in-time
+    lookup can never select (it still carries its n_orders). With a
+    timestamp-granular change column (the production case) the issue
+    disappears; to collapse same-date flips instead, pre-aggregate to
+    one status per (customer, date) before the island pass.
+
     Scale: all three window passes share the same partitioning
     (o_custkey) — one shuffle total, then per-partition sorts; the
     grouped step is a hash-agg on already-co-located keys.

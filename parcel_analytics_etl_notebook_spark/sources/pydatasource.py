@@ -69,10 +69,18 @@ class SynthCorpusReader(DataSourceReader):
         self.rows = int(options.get("rows", 1000))
         self.seed = int(options.get("seed", 42))
         self.num_partitions = int(options.get("numPartitions", 8))
+        if self.rows < 0:
+            raise ValueError(f"rows must be >= 0, got {self.rows}")
+        if self.num_partitions < 1:
+            raise ValueError(
+                f"numPartitions must be >= 1, got {self.num_partitions}"
+            )
 
     def partitions(self) -> Sequence[InputPartition]:
         # contiguous row-id ranges: output is partition-count-invariant
         # because rows depend only on (seed, id), never on the split
+        if self.rows == 0:
+            return [_RangePartition(self.seed, 0, 0)]
         step = -(-self.rows // self.num_partitions)
         return [
             _RangePartition(self.seed, lo, min(lo + step, self.rows))
@@ -117,7 +125,16 @@ class SynthCorpusStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict):
         self.seed = int(options.get("seed", 42))
         self.batch_rows = int(options.get("batchRows", 100))
-        self.max_rows = int(options.get("maxRows", 1000))
+        # honor the batch path's "rows" option as the stream cap too, so
+        # readStream.option("rows", N) doesn't silently truncate at the
+        # maxRows default; explicit maxRows wins
+        self.max_rows = int(
+            options.get("maxRows", options.get("rows", 1000))
+        )
+        if self.batch_rows < 1:
+            raise ValueError(f"batchRows must be >= 1, got {self.batch_rows}")
+        if self.max_rows < 0:
+            raise ValueError(f"maxRows must be >= 0, got {self.max_rows}")
 
     def initialOffset(self) -> dict:
         return {"next": 0}

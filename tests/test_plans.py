@@ -59,16 +59,24 @@ def test_scd2_intervals_are_consistent(spark):
     equals the next valid_from), and only the last interval is open."""
     from parcel_analytics_etl_notebook_spark.plans.catalog import queries, table
 
-    sf = "/root/testdata/sf0.001"
-    scd2 = queries()["order_status_scd2"](spark, sf).collect()
-    n_orders = table(spark, sf, "orders").count()
+    scd2 = queries()["order_status_scd2"](spark, SF).collect()
+    n_orders = table(spark, SF, "orders").count()
     assert sum(r["n_orders"] for r in scd2) == n_orders
 
     by_cust: dict = {}
     for r in scd2:
         by_cust.setdefault(r["o_custkey"], []).append(r)
     for rows in by_cust.values():
-        rows.sort(key=lambda r: r["valid_from"])
+        # same-date status flips produce ties on valid_from (and a
+        # zero-length interval, see the query docstring); order those
+        # by valid_to with the open interval (None) last
+        rows.sort(
+            key=lambda r: (
+                r["valid_from"],
+                r["valid_to"] is None,
+                r["valid_to"] or r["valid_from"],
+            )
+        )
         for prev, nxt in zip(rows, rows[1:]):
             assert prev["valid_to"] == nxt["valid_from"]
             # consecutive intervals always differ in status (else merged)

@@ -249,3 +249,16 @@ def test_python_datasource_synthcorpus(spark):
     assert a == b
     # generated text is consumable by the text operators downstream
     assert df.filter(F.col("n_chars") == F.length("text")).count() == 500
+
+
+def test_python_datasource_degenerate_options(spark):
+    """rows=0 yields an empty frame (not a planning crash); invalid
+    options raise clear ValueErrors at read time."""
+    from parcel_analytics_etl_notebook_spark.sources.pydatasource import (
+        register_synthcorpus,
+    )
+
+    register_synthcorpus(spark)
+    empty = spark.read.format("synthcorpus").option("rows", 0).load()
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "text", "lang", "source", "n_chars"]
