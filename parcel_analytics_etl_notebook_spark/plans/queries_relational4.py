@@ -349,3 +349,32 @@ def big_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, names=("orders", "lineitem"))
     return spark.sql(_BIG_QTY_SQL)
+
+
+@register(
+    "orders_global_index",
+    oracle="""
+SELECT o_orderkey, o_orderdate,
+       CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+         AS global_idx
+FROM orders
+""",
+)
+def orders_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable global row numbering (operators/indexing.py): range
+    repartition + per-partition row_number + driver-side prefix-sum of
+    partition counts — equal row-for-row to the single-task
+    ``row_number() OVER (ORDER BY ...)`` the oracle states, but every
+    heavy step runs in parallel.
+
+    Scale: the naive global window funnels 100 TB through one task;
+    this form's only sequential work is prefix-summing one count per
+    partition on the driver (thousands of longs). The ordering
+    (o_orderdate, o_orderkey) is total — the engine's tiebreak rule.
+    """
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        stable_global_index,
+    )
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return stable_global_index(orders, ["o_orderdate", "o_orderkey"])

@@ -128,3 +128,33 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "day" in pf_line
     # pruned scan reads exactly the one day's rows
     assert scan.count() == ev.filter(F.col("day") == F.lit(one_day)).count() > 0
+
+
+def test_global_index_avoids_single_partition_window(spark):
+    """stable_global_index must never plan the global-Window shape
+    (Exchange SinglePartition) — the one-task bottleneck it exists to
+    avoid — and must agree with the naive form row-for-row."""
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        stable_global_index,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.diagnostics import formatted_plan
+    from pyspark.sql import Window
+
+    orders = table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    idx = stable_global_index(orders, ["o_orderdate", "o_orderkey"])
+    plan = formatted_plan(idx)
+    # the range exchange happens before the internal localCheckpoint
+    # (lineage-truncated), so the visible plan is the window stage: it
+    # must partition by __pid, never collapse to a single partition
+    assert "SinglePartition" not in plan
+    assert "__pid" in plan
+
+    naive = orders.withColumn(
+        "global_idx",
+        F.row_number()
+        .over(Window.orderBy("o_orderdate", "o_orderkey"))
+        .cast("bigint"),
+    )
+    assert sorted(idx.collect()) == sorted(naive.collect())
