@@ -374,3 +374,29 @@ def test_chunking_edge_cases(spark):
 
     with pytest.raises(ValueError, match="positive"):
         chunk_tokens(df, "toks", chunk_size=0, stride=3)
+
+
+def test_zorder_key_bit_interleave(spark):
+    """Morton code ground truth: key(a,b) interleaves bits with a in
+    even positions, b in odd — spot-checked against hand-computed
+    values, plus the mask guard."""
+    import pytest as _pytest
+
+    from parcel_analytics_etl_notebook_spark.functions.zorder import zorder_key_2d
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (3, 3), (5, 2)], "a bigint, b bigint"
+    )
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", zorder_key_2d(F.col("a"), F.col("b"), bits=4).alias("z")
+        ).collect()
+    }
+    # interleave(a,b): bits a0 b0 a1 b1 ... -> (0,0)=0 (1,0)=1 (0,1)=2
+    # (1,1)=3 (3,3)=15 (5,2)=0b011001=25? a=101,b=010 -> z = a0(1)+b0(0)<<1
+    # + a1(0)<<2 + b1(1)<<3 + a2(1)<<4 + b2(0)<<5 = 1+0+0+8+16 = 25
+    assert got == {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3, (3, 3): 15, (5, 2): 25}
+
+    with _pytest.raises(ValueError, match="bits"):
+        zorder_key_2d(F.col("a"), F.col("b"), bits=0)

@@ -158,3 +158,52 @@ def test_global_index_avoids_single_partition_window(spark):
         .cast("bigint"),
     )
     assert sorted(idx.collect()) == sorted(naive.collect())
+
+
+def test_zorder_layout_narrows_file_stats(spark, tmp_path):
+    """Writing files clustered by a 2-D Z-order key must shrink the
+    per-file min/max span of BOTH dimensions vs a round-robin layout —
+    that span is exactly the statistic parquet readers prune on. A
+    single-dimension sort can only narrow its own column; Z-order
+    narrows both at once."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from parcel_analytics_etl_notebook_spark.functions.zorder import zorder_key_2d
+
+    ev = table(spark, SF, "events").select(
+        "user_id", F.dayofyear("ts").alias("day")
+    )
+    n_files = 8
+
+    def total_spans(path: str) -> tuple[int, int]:
+        su = sd = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            t = pq.read_table(f, columns=["user_id", "day"])
+            u, d = t["user_id"].to_pylist(), t["day"].to_pylist()
+            if u:
+                su += max(u) - min(u)
+                sd += max(d) - min(d)
+        return su, sd
+
+    rr = str(tmp_path / "roundrobin")
+    ev.repartition(n_files).write.mode("overwrite").parquet(rr)
+
+    zo = str(tmp_path / "zordered")
+    key = zorder_key_2d(F.col("user_id"), F.col("day"), bits=10)
+    (
+        ev.withColumn("__z", key)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(zo)
+    )
+
+    rr_u, rr_d = total_spans(rr)
+    zo_u, zo_d = total_spans(zo)
+    # both dimensions must get materially tighter (each file covers a
+    # rectangle of the (user, day) grid instead of the whole range)
+    assert zo_u < rr_u * 0.8
+    assert zo_d < rr_d * 0.8
