@@ -124,3 +124,28 @@ def test_asof_matches_python_model(spark, left_rows, right_rows):
         candidates = [rs for rk, rs in right_rows if rk == k and rs <= s]
         expected = to_ts(max(candidates)) if candidates else None
         assert got[i] == expected, (i, k, s, got[i], expected)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 50)),
+        min_size=1,
+        max_size=40,
+        unique=True,  # (a, b) unique -> total order
+    ),
+    st.integers(1, 6),
+)
+def test_global_index_is_the_sorted_permutation(spark, rows, nparts):
+    """stable_global_index == 1..n assigned in (a, b) sort order, for
+    arbitrary data and partition counts."""
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        stable_global_index,
+    )
+
+    df = spark.createDataFrame(rows, "a bigint, b bigint")
+    out = stable_global_index(df, ["a", "b"], num_partitions=nparts).collect()
+    assert len(out) == len(rows)
+    expected = {t: i + 1 for i, t in enumerate(sorted(rows))}
+    for r in out:
+        assert r["global_idx"] == expected[(r["a"], r["b"])]
