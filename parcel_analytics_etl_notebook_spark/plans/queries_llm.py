@@ -1042,3 +1042,72 @@ def split_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("__hit"), F.lit(0)) / F.count(F.lit(1)), 4
         ).alias("contamination_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# ANN evaluation: recall of the IVF index against exact ground truth
+# --------------------------------------------------------------------------
+@register(
+    "ivf_recall_at_5",
+    oracle=f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+assigned AS (
+    SELECT corpus.vec_id, corpus.embedding, c.cid,
+           row_number() OVER (PARTITION BY corpus.vec_id
+               ORDER BY round({_SQL_COS.format('corpus.embedding', 'c.cvec')}, 9) DESC, c.cid) AS rn
+    FROM corpus CROSS JOIN c
+),
+probe AS (
+    SELECT cid FROM c CROSS JOIN q
+    ORDER BY round({_SQL_COS.format('c.cvec', 'qvec')}, 9) DESC, cid
+    LIMIT 2
+),
+pruned AS (SELECT a.vec_id, a.embedding FROM assigned a JOIN probe USING (cid) WHERE a.rn = 1),
+ivf AS (
+    SELECT p.vec_id, round({_SQL_COS.format('p.embedding', 'qvec')}, 6) AS cosine
+    FROM pruned p CROSS JOIN q
+    ORDER BY cosine DESC, p.vec_id
+    LIMIT 5
+),
+exact AS (
+    SELECT corpus.vec_id, round({_SQL_COS.format('corpus.embedding', 'qvec')}, 6) AS cosine
+    FROM corpus CROSS JOIN q
+    ORDER BY cosine DESC, corpus.vec_id
+    LIMIT 5
+)
+SELECT CAST(count(*) AS BIGINT) AS k,
+       CAST(coalesce(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits,
+       round(coalesce(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 END), 0) / count(*), 4)
+         AS recall_at_5
+FROM ivf i LEFT JOIN exact e ON i.vec_id = e.vec_id
+""",
+)
+def ivf_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation: recall@5 of the IVF index (2-probe, centroids
+    1..8) against exact brute-force ground truth for query vec_id=0 —
+    the metric that decides whether an approximate index is shippable.
+    Both sides reuse the exact pipelines of ivf_ann_topk /
+    ann_cosine_topk, so the recall itself is deterministic and
+    oracle-checked.
+
+    Scale: ground truth at full corpus size is the expensive side —
+    in production, compute it on a deterministic sample of queries
+    (deterministic_sample) and recall-evaluate the index on that panel;
+    the comparison join itself is k rows."""
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    query = emb.filter(F.col("vec_id") == 0)
+    centroids = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 8))
+    approx = ivf_topk(corpus, centroids, query, k=5, n_probe=2).select("vec_id")
+    exact = brute_force_topk(emb, query, k=5).select("vec_id").withColumn(
+        "__hit", F.lit(1)
+    )
+    return approx.join(exact, on="vec_id", how="left").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("hits"),
+        F.round(
+            F.coalesce(F.sum("__hit"), F.lit(0)) / F.count(F.lit(1)), 4
+        ).alias("recall_at_5"),
+    )
