@@ -50,8 +50,16 @@ def read_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dtype == "timestamp_ntz":
+        # parquet timestamp[us] without timezone reads as TIMESTAMP_NTZ in
+        # Spark 4, but withWatermark requires TIMESTAMP
+        # ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]). Session TZ is pinned UTC
+        # (session.pin_session), so the cast is deterministic and the wall
+        # values match the batch reader's NTZ values exactly.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -26,6 +26,8 @@ semantics for this operator and no extra dependencies.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Iterator
 from typing import Any
 
@@ -60,6 +62,45 @@ _STATE_SCHEMA = StructType(
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
+
+_VENDOR_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "vendor",
+)
+
+
+def ensure_protobuf_runtime() -> bool:
+    """Make ``google.protobuf`` importable in the driver AND future
+    Python workers; return True when the transformWithState protocol can
+    run.
+
+    With a pip-installed ``protobuf`` this is a no-op. Otherwise it
+    applies ``vendor/sitecustomize.py``'s shim (pure-Python runtime from
+    the local Google Cloud SDK, version gate relaxed) to this process
+    and prepends ``vendor/`` to ``PYTHONPATH`` so worker interpreters
+    self-apply it via ``site`` at startup. Must be called BEFORE the
+    SparkSession / JVM launches for workers to inherit the env.
+    """
+    if _VENDOR_DIR not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _VENDOR_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
+        ).rstrip(os.pathsep)
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        sys.path.insert(0, _VENDOR_DIR)
+        import importlib
+
+        try:
+            importlib.import_module("sitecustomize")
+            import google.protobuf.descriptor  # noqa: F401
+        except ImportError:
+            return False
+    try:
+        from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
+    except Exception:
+        return False
+    return True
 
 
 def rocksdb_state_conf(spark: SparkSession) -> None:

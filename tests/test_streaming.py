@@ -204,11 +204,16 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     """transformWithStateInPandas (Spark 4 API): the final emitted
     running total per user must equal the batch groupBy aggregate.
 
-    The API's Python state server speaks protobuf; skip where the
-    runtime dependency is absent (applyInPandasWithState — stateful.py —
-    is the no-extra-deps fallback and is tested above).
+    The API's Python state server speaks protobuf; conftest vendors a
+    pure-Python runtime (vendor/sitecustomize.py) when pip protobuf is
+    absent. Skip only if neither is available
+    (applyInPandasWithState — stateful.py — is the no-extra-deps
+    fallback and is tested above).
     """
-    pytest.importorskip("google.protobuf.descriptor")
+    from tests.conftest import PROTOBUF_OK
+
+    if not PROTOBUF_OK:
+        pytest.skip("no protobuf runtime available")
     from parcel_analytics_etl_notebook_spark.streaming.sessions import (
         read_events_stream,
     )
