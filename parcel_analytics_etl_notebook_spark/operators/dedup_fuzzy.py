@@ -113,17 +113,51 @@ def with_minhash(
     )
 
 
+def drop_hot_shingles(
+    sh: DataFrame, shingle_col: str = "shingle", max_df: int = 10_000
+) -> DataFrame:
+    """Document-frequency cap for inverted-index self-joins: drop
+    shingles appearing in more than ``max_df`` documents BEFORE pairing.
+
+    A single boilerplate shingle shared by d documents contributes
+    d·(d-1)/2 candidate pairs — one hot key turns the bucketed join
+    quadratic (the classic web-corpus scale-killer: headers, license
+    blocks, stop-phrases). Capping df bounds any shingle's contribution
+    at max_df²/2 pairs and, in MinHash/Jaccard practice, *improves*
+    dedup precision — corpus-wide boilerplate carries no similarity
+    signal. The hot list is at most (total shingle instances)/max_df
+    entries, so the anti-join's build side is small by construction
+    (AQE picks broadcast)."""
+    hot = (
+        sh.groupBy(shingle_col)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select(shingle_col)
+    )
+    return sh.join(hot, on=shingle_col, how="left_anti")
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "minhash",
     bands: int = 4,
     sig_len: int = 16,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` equal bands,
     bucket docs by (band_idx, band_values), emit intra-bucket pairs.
     One explode + one shuffle on the bucket key; pair blow-up is bounded
     by bucket sizes, not n².
+
+    ``max_bucket`` drops buckets holding more than that many docs before
+    pairing (same rationale as :func:`drop_hot_shingles`: one
+    boilerplate-signature bucket with d docs is d²/2 pairs — on a web
+    corpus a single hot bucket is the whole job's runtime). Docs sharing
+    a dropped bucket still pair through their other ``bands-1`` bands
+    unless they're boilerplate-identical in every band — exactly the
+    mass-duplicate case handled by exact dedup upstream. ``None``
+    disables the cap.
 
     ``sig_len`` must be divisible by ``bands`` — otherwise the trailing
     ``sig_len % bands`` signature positions would silently never
@@ -155,6 +189,16 @@ def lsh_candidate_pairs(
     # cache must outlive this function; long-lived sessions reclaim via
     # spark.catalog.clearCache() (bench.py does so between queries).
     banded = banded.persist()
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band", "sig_band")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("band", "sig_band")
+        )
+        banded = banded.join(
+            hot, on=["band", "sig_band"], how="left_anti"
+        ).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -107,11 +107,28 @@ def dup_groups_from_pairs(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    all_ids: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, canonical) for every doc in a multi-doc near-dup group:
     canonical = min id of the connected component. Downstream dedup
-    keeps rows where doc == canonical (or doc not in this frame)."""
+    keeps rows where doc == canonical (or doc not in this frame).
+
+    ``all_ids`` (single-column DataFrame of every document id) opts into
+    TOTAL coverage: ids absent from ``pairs`` are unioned in as their
+    own singleton component (canonical = self), so the result maps every
+    document exactly once and a consumer can inner-join it without
+    silently dropping clean docs. One anti-join on the id — no extra
+    pass over the pair-generation pipeline."""
     comp = connected_components(pairs, src=id_a, dst=id_b)
-    return comp.select(
+    groups = comp.select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("canonical_id")
     )
+    if all_ids is not None:
+        id_name = all_ids.columns[0]
+        singletons = all_ids.select(
+            F.col(id_name).alias("doc_id")
+        ).join(groups, on="doc_id", how="left_anti").select(
+            "doc_id", F.col("doc_id").alias("canonical_id")
+        )
+        groups = groups.unionByName(singletons)
+    return groups

@@ -61,21 +61,33 @@ _SQL_COS = (
     " * sqrt(list_sum(list_transform(range(1, len({1})+1), i -> CAST({1}[i] AS DOUBLE)*CAST({1}[i] AS DOUBLE))))))"
 )
 
+#: document-frequency cap for the shingle inverted-index self-joins
+#: (operators/dedup_fuzzy.drop_hot_shingles): a shingle in d docs emits
+#: d²/2 candidate pairs, so ONE boilerplate shingle makes the join
+#: quadratic at corpus scale. Part of the operator definition — the
+#: oracles restate it (QUALIFY window count) so results match exactly.
+MAX_SHINGLE_DF = 256
+
+#: same bound for LSH band-buckets (docs per (band, signature) bucket)
+MAX_LSH_BUCKET = 256
+
 #: CTE chain (for a WITH RECURSIVE prelude): 3-gram Jaccard edges (≥0.2,
-#: same pipeline as ngram_jaccard_pairs) → transitive closure → per-doc
-#: connected component as `comp(doc_id, canonical_id)`. The recursive
-#: `reach` CTE is the SQL statement of what the engine computes with
-#: iterative min-label propagation (operators/graph.py) — UNION (not
-#: UNION ALL) dedups the frontier so the recursion terminates.
+#: same pipeline as ngram_jaccard_pairs, including the df cap) →
+#: transitive closure → per-doc connected component as
+#: `comp(doc_id, canonical_id)`. The recursive `reach` CTE is the SQL
+#: statement of what the engine computes with iterative min-label
+#: propagation (operators/graph.py) — UNION (not UNION ALL) dedups the
+#: frontier so the recursion terminates.
 _SQL_DUP_COMPONENTS = f"""
 t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
 hh AS (SELECT doc_id, list_transform(l, tok -> {_SQL_POLY.format('tok')}) AS th FROM t),
-sh AS (
+sh0 AS (
     SELECT doc_id,
            unnest(list_distinct(list_transform(range(1, len(th)-1),
                i -> ((th[i]*1000003 + th[i+1]) % 1000000007 * 1000003 + th[i+2]) % 1000000007))) AS shingle
     FROM hh
 ),
+sh AS (SELECT * FROM sh0 QUALIFY count(*) OVER (PARTITION BY shingle) <= {MAX_SHINGLE_DF}),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 cand AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
@@ -258,12 +270,13 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
 hh AS (SELECT doc_id, list_transform(l, tok -> {_SQL_POLY.format('tok')}) AS th FROM t),
-sh AS (
+sh0 AS (
     SELECT doc_id,
            unnest(list_distinct(list_transform(range(1, len(th)-1),
                i -> ((th[i]*1000003 + th[i+1]) % 1000000007 * 1000003 + th[i+2]) % 1000000007))) AS shingle
     FROM hh
 ),
+sh AS (SELECT * FROM sh0 QUALIFY count(*) OVER (PARTITION BY shingle) <= {MAX_SHINGLE_DF}),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
@@ -281,11 +294,16 @@ WHERE shared / (sa.n + sb.n - shared) >= 0.2
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard near-dup pairs via an inverted shingle index:
     explode distinct shingle HASHES (int64 — narrower shuffle rows than
-    shingle strings), self-join on the hash (only colliding docs ever
-    pair — no cartesian), count shared, compute |A∩B|/|A∪B|. The hash
-    is part of the operator definition (same formula in the oracle), so
-    counts match exactly. The canonical verification stage after LSH."""
+    shingle strings), drop hot shingles (df > MAX_SHINGLE_DF — one
+    corpus-wide boilerplate shingle would make the self-join quadratic;
+    the cap is part of the operator definition and the oracle restates
+    it), self-join on the hash (only colliding docs ever pair — no
+    cartesian), count shared, compute |A∩B|/|A∪B| over the CAPPED
+    shingle sets. The hash is part of the operator definition (same
+    formula in the oracle), so counts match exactly. The canonical
+    verification stage after LSH."""
     from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
+        drop_hot_shingles,
         shingle_hashes_from_tokens,
     )
 
@@ -297,12 +315,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = docs.select("doc_id", tok_hashes.alias("__th")).repartition(
         spark.sparkContext.defaultParallelism
     )
-    sh = th.select(
+    sh0 = th.select(
         "doc_id",
         F.explode(
             F.array_distinct(shingle_hashes_from_tokens(F.col("__th"), 3))
         ).alias("shingle"),
-    ).persist()  # referenced 3× (self-join sides + sizes) — don't re-explode
+    ).persist()  # referenced by the df-cap count AND the capped frame
+    sh = drop_hot_shingles(sh0, max_df=MAX_SHINGLE_DF).persist()
+    # referenced 3× (self-join sides + sizes) — don't re-explode
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).persist()
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -375,9 +395,13 @@ sig AS (SELECT doc_id,
                list_transform(range(0, 16),
                    s -> list_min(list_transform(sh, x -> ((2*s+1)*x + s*7919) % 1000000007))) AS m
         FROM s),
-banded AS (
+banded0 AS (
     SELECT doc_id, band, list_slice(m, band*4 + 1, band*4 + 4) AS bkey
     FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands
+),
+banded AS (
+    SELECT * FROM banded0
+    QUALIFY count(*) OVER (PARTITION BY band, array_to_string(bkey, '_')) <= {MAX_LSH_BUCKET}
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b
@@ -387,12 +411,16 @@ FROM banded a JOIN banded b
 def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: 4 bands × 4 rows — docs agreeing on
     any full band pair up. The scale path for near-dedup: explode to
-    (band, band-signature) buckets, shuffle once on the bucket key,
-    pair within buckets only. The oracle restates the banding layout
-    (16-hash signature sliced into 4 contiguous bands) in DuckDB."""
+    (band, band-signature) buckets, drop hot buckets (> MAX_LSH_BUCKET
+    docs — one boilerplate bucket is d²/2 pairs; restated in the
+    oracle), shuffle once on the bucket key, pair within buckets only.
+    The oracle restates the banding layout (16-hash signature sliced
+    into 4 contiguous bands) in DuckDB."""
     docs = table(spark, sf_dir, "documents")
     sig = with_minhash(docs, num_hashes=16)
-    return lsh_candidate_pairs(sig, bands=4).orderBy("id_a", "id_b")
+    return lsh_candidate_pairs(
+        sig, bands=4, max_bucket=MAX_LSH_BUCKET
+    ).orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------
@@ -801,9 +829,12 @@ def near_dup_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves). Summarized per language so the audit of 'how much did
     dedup remove, where' is one small result.
 
-    Scale: the component map is tiny relative to the corpus (only docs
-    in multi-doc groups appear), so the join broadcasts; the corpus is
-    touched once."""
+    Scale: the corpus is touched once. The component-map join is left
+    to AQE rather than hinted ``broadcast()``: on a web-scale corpus
+    30-50% of documents sit in multi-doc near-dup groups, so the map is
+    corpus-scale and a forced broadcast would OOM the driver — AQE picks
+    broadcast-hash when the map measures small at runtime and degrades
+    to a shuffle join when it doesn't."""
     from parcel_analytics_etl_notebook_spark.operators.graph import (
         dup_groups_from_pairs,
     )
@@ -812,7 +843,7 @@ def near_dup_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = _qs()["ngram_jaccard_pairs"](spark, sf_dir).select("id_a", "id_b")
     groups = dup_groups_from_pairs(pairs)
-    joined = docs.join(F.broadcast(groups), on="doc_id", how="left")
+    joined = docs.join(groups, on="doc_id", how="left")
     kept = F.col("canonical_id").isNull() | (
         F.col("canonical_id") == F.col("doc_id")
     )

@@ -400,3 +400,80 @@ def test_zorder_key_bit_interleave(spark):
 
     with _pytest.raises(ValueError, match="bits"):
         zorder_key_2d(F.col("a"), F.col("b"), bits=0)
+
+
+def test_drop_hot_shingles_bounds_boilerplate_pairs(spark):
+    """A corpus-wide boilerplate shingle must NOT explode the
+    inverted-index self-join quadratically: with the df cap it
+    contributes zero pairs, while genuinely-shared rare shingles still
+    pair. Mirrors the QUALIFY restatement in the catalog oracles."""
+    from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
+        drop_hot_shingles,
+    )
+
+    n_docs = 40
+    rows = [(d, 999) for d in range(n_docs)]  # shingle 999 in EVERY doc
+    rows += [(0, 1), (1, 1)]  # rare shingle 1 shared by docs 0,1
+    sh = spark.createDataFrame(rows, "doc_id bigint, shingle bigint")
+
+    capped = drop_hot_shingles(sh, max_df=8)
+    assert capped.filter(F.col("shingle") == 999).count() == 0
+    assert capped.filter(F.col("shingle") == 1).count() == 2
+
+    def n_pairs(frame):
+        a, b = frame.alias("a"), frame.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .count()
+        )
+
+    # uncapped: the hot shingle alone yields 40·39/2 = 780 pairs;
+    # capped: only the rare-shingle pair survives
+    assert n_pairs(sh) == n_docs * (n_docs - 1) // 2 + 1
+    assert n_pairs(capped) == 1
+
+
+def test_lsh_max_bucket_drops_hot_bucket_only(spark):
+    """Identical-signature docs beyond max_bucket are dropped from that
+    bucket's pairing; a small distinct cluster still pairs."""
+    from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
+        lsh_candidate_pairs,
+    )
+
+    boiler = list(range(100, 116))  # one 16-hash signature, 20 docs
+    small = list(range(200, 216))  # another signature, 2 docs
+    rows = [(d, boiler) for d in range(20)] + [(50, small), (51, small)]
+    sig = spark.createDataFrame(rows, "doc_id bigint, minhash array<bigint>")
+
+    uncapped = lsh_candidate_pairs(sig, bands=4, max_bucket=None)
+    assert uncapped.count() == 20 * 19 // 2 + 1
+
+    capped = lsh_candidate_pairs(sig, bands=4, max_bucket=8)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(50, 51)}
+
+
+def test_dup_groups_all_ids_total_coverage(spark):
+    """With all_ids, every document id appears exactly once in the
+    group map; docs outside any pair are their own canonical."""
+    from parcel_analytics_etl_notebook_spark.operators.graph import (
+        dup_groups_from_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a bigint, id_b bigint"
+    )
+    all_ids = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id bigint"
+    )
+    got = dup_groups_from_pairs(pairs, all_ids=all_ids).collect()
+    by_doc = {r["doc_id"]: r["canonical_id"] for r in got}
+    assert len(got) == 10 and len(by_doc) == 10  # exactly once each
+    assert by_doc[1] == by_doc[2] == by_doc[3] == 1
+    assert by_doc[7] == by_doc[8] == 7
+    for singleton in (0, 4, 5, 6, 9):
+        assert by_doc[singleton] == singleton

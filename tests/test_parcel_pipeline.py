@@ -254,3 +254,54 @@ def test_fixture_exercises_multiline_csv(spark, tmp_path):
     flat = parse_events(raw)
     # pretty-printed payloads parse identically to compact ones
     assert flat.filter(F.col("event_code") == "PEC").count() >= 40
+
+
+def test_run_parcel_etl_hand_computed_kpis(spark, tmp_path):
+    """Full chain (CSV → parse → build_warehouse → kpi_report via the
+    runner) against HAND-COMPUTED KPI values, reproducing the reference
+    report's semantics (report.ipynb cell 8/9: non-integer rounded
+    averages, null-skipping per-leg, first-event min, distinct count):
+
+    - A: sent 02-01, delivered 02-04, picked 02-06 → 3 / 5 / 2
+         (+ duplicate later TRN — min() must keep the first)
+    - B: sent 02-02, delivered 02-06, picked 02-09 → 4 / 7 / 3
+    - C: missing middle leg → lifecycle 2 only (delivery/pickup null)
+    - D: delivered only, never sent → all durations null
+    - E: PEC with non-REL/APM sub_code → no SENT label, all null
+
+    avg_delivery (3+4)/2 = 3.5; avg_lifecycle (5+7+2)/3 = 4.67
+    (exercises ROUND(.., 2) on a repeating decimal); avg_pickup
+    (2+3)/2 = 2.5; total_packages = 5 — each average skips exactly the
+    shipments missing that leg, no zero-fill."""
+    import csv as _csv
+
+    from parcel_analytics_etl_notebook_spark.plans.parcel_fixtures import (
+        event_json,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.parcel_run import run_parcel_etl
+
+    ev = [
+        ("PEC", "REL", "2024-02-01 08:00:00", "A"),
+        ("TRN", "APM", "2024-02-04 08:00:00", "A"),
+        ("TRN", "APM", "2024-02-05 08:00:00", "A"),  # dup: min() wins
+        ("LIV", None, "2024-02-06 08:00:00", "A"),
+        ("PEC", "APM", "2024-02-02 08:00:00", "B"),
+        ("TRN", "REL", "2024-02-06 08:00:00", "B"),
+        ("LIV", None, "2024-02-09 08:00:00", "B"),
+        ("PEC", "REL", "2024-02-03 08:00:00", "C"),
+        ("LIV", None, "2024-02-05 08:00:00", "C"),
+        ("TRN", "APM", "2024-02-04 08:00:00", "D"),
+        ("PEC", "XX", "2024-02-04 08:00:00", "E"),
+    ]
+    csv_path = str(tmp_path / "kpi_fixture.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["event"])
+        for code, sub, date, sid in ev:
+            w.writerow([event_json(code, sub, date, sid, indent=2)])
+
+    kpi = run_parcel_etl(spark, csv_path, str(tmp_path / "wh"))
+    assert kpi["avg_delivery_days"] == 3.5
+    assert kpi["avg_lifecycle_days"] == 4.67
+    assert kpi["avg_pickup_days"] == 2.5
+    assert kpi["total_packages"] == 5
