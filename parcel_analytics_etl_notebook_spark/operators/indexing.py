@@ -62,16 +62,87 @@ def stable_global_index(
         offsets[pid] = running
         running += counts[pid]
 
-    # range partitioner keys partitions in order, so pid order == sort
-    # order; map pid -> offset via a tiny literal map (broadcast-free)
-    offset_map = F.create_map(
-        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-    )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
+    indexed = _attach_offset(with_pid, offsets).withColumn(
+        out_col, (F.col("__off") + F.row_number().over(w)).cast("bigint")
+    )
+    return indexed.drop("__pid", "__off")
+
+
+#: above this many partitions, pid→offset switches from a literal
+#: create_map (serialized-plan size and expression depth grow O(n)) to
+#: a broadcast hash join against a tiny (pid, offset) frame
+_MAX_LITERAL_OFFSETS = 4096
+
+
+def _attach_offset(with_pid: DataFrame, offsets: dict) -> DataFrame:
+    """Attach ``__off`` = cumulative offset of each row's ``__pid``.
+
+    Literal ``create_map`` for ≤ _MAX_LITERAL_OFFSETS partitions (no
+    exchange, folds into codegen); beyond that — 10⁵ partitions is
+    realistic at 100 TB — the literal would bloat the plan, so the
+    lookup becomes a broadcast join on the (tiny, exactly
+    num_partitions rows) offsets frame instead."""
+    items = sorted(offsets.items())
+    if len(items) <= _MAX_LITERAL_OFFSETS:
+        offset_map = F.create_map(*[F.lit(x) for kv in items for x in kv])
+        return with_pid.withColumn("__off", offset_map[F.col("__pid")])
+    spark = with_pid.sparkSession
+    lookup = spark.createDataFrame(
+        [(int(p), float(v)) for p, v in items], "__pid int, __off double"
+    )
+    return with_pid.join(F.broadcast(lookup), on="__pid", how="left")
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive global running sum of ``sum_col`` over the total order
+    ``order_cols`` — without the single-task global Window.
+
+    Same two-pass construction as :func:`stable_global_index`: range
+    partition on the order, per-partition SUM (tiny aggregate), driver
+    prefix-sum of partition subtotals, then each partition computes
+    offset + within-partition cumulative sum — every heavy step fully
+    parallel. Equal to ``SUM() OVER (ORDER BY ...)`` row-for-row when
+    the order is total (unique tiebreak).
+
+    The primitive behind token-budget batch packing (sequence packing
+    for pretraining): batch_id = (running_sum - x) DIV budget.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must name at least one column")
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    with_pid = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()  # counts and cumsum must see ONE assignment
+    )
+    subtotals = {
+        r["__pid"]: r["s"]
+        for r in with_pid.groupBy("__pid")
+        .agg(F.sum(F.col(sum_col).cast("double")).alias("s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    running = 0
+    for pid in sorted(subtotals):
+        offsets[pid] = running
+        running += subtotals[pid] or 0
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        with_pid.withColumn(
+        _attach_offset(with_pid, offsets)
+        .withColumn(
             out_col,
-            (offset_map[F.col("__pid")] + F.row_number().over(w)).cast("bigint"),
+            (F.col("__off") + F.sum(F.col(sum_col).cast("double")).over(w)),
         )
-        .drop("__pid")
+        .drop("__pid", "__off")
     )

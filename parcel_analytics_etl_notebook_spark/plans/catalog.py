@@ -112,10 +112,14 @@ _FRONT: tuple[str, ...] = (
     "near_dup_dedup_summary", "embedding_zscore_by_label",
     "doc_sentence_stats", "doc_chunk_stats", "split_contamination_rate",
     "ivf_recall_at_5",
-    # §2-core flagships, re-verified every round
-    "lifecycle_kpis", "star_fact_orders", "enriched_orders",
-    "pricing_summary", "dq_orders", "date_dim", "purchase_asof_view",
-    "top_orders_per_customer",
+    # round-2 additions (never driver-checked)
+    "tfidf_top_terms", "per_lang_sample_k", "token_batch_packing",
+    "kmeans_centroids", "training_corpus_manifest",
+    # §2-core flagships, re-verified every round (the remaining round-1
+    # greens — enriched_orders, dq_orders, date_dim, purchase_asof_view,
+    # top_orders_per_customer, ... — rotate back in once the window has
+    # room; all stay covered by the local harness every run)
+    "lifecycle_kpis", "star_fact_orders", "pricing_summary",
 )
 
 
@@ -135,6 +139,7 @@ def _ensure_loaded() -> None:
     try:
         from parcel_analytics_etl_notebook_spark.plans import (  # noqa: F401
             queries_llm,
+            queries_llm2,
         )
     except ImportError:
         pass

@@ -1,0 +1,347 @@
+"""LLM-data-pipeline catalog, wave 2 (round 2 additions): TF-IDF term
+scoring, skew-safe per-group sampling, token-budget batch packing
+(sequence packing for pretraining), and k-means training of the IVF
+coarse quantizer.
+
+Same oracle-parity conventions as queries_llm.py: identical aliases and
+rounding both sides; floats rounded before ranking/filtering; integer
+serialization for arrays whose float formatting could diverge across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parcel_analytics_etl_notebook_spark.functions.textfns import normalize_text, tokens
+from parcel_analytics_etl_notebook_spark.plans.catalog import register, table
+from parcel_analytics_etl_notebook_spark.plans.queries_llm import (
+    _SQL_COS,
+    _SQL_DUP_COMPONENTS,
+    _SQL_TOKS,
+)
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document
+# --------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH t AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+idf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.tok,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (idf.df + 1.0)) + 1.0), 4) AS tfidf
+    FROM tf JOIN idf USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf:
+    ln((N+1)/(df+1))+1) — the classic keyword/feature extractor of a
+    text pipeline. Shape: explode tokens once, two hash aggregates (tf
+    per (doc, tok); df per tok), a broadcast of the 1-row corpus count,
+    one join back on tok, and a rank window partitioned by the
+    high-cardinality doc_id — every shuffle key uniform."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    idf = t.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(idf, on="tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew-safe per-group sampling (salted grouped top-k)
+# --------------------------------------------------------------------------
+@register(
+    "per_lang_sample_k",
+    oracle="""
+SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * 1103515245 + 12345) % 2147483647, doc_id
+           ) AS rn
+    FROM documents) t
+WHERE rn <= 20
+""",
+)
+def per_lang_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-doc sample per language: rank by an LCG hash of
+    doc_id (pseudo-random but engine-reproducible; exact while
+    doc_id·1103515245 < 2⁶³, i.e. doc_id < 8.3e9 — re-hash ids above
+    that) and keep the first 20 per lang.
+
+    Skew note: lang has ~5 values, so a naive rank window would sort
+    the whole corpus in 5 tasks — but Spark ≥3.5 plans row_number+filter
+    as WindowGroupLimit with a PARTIAL (map-side, pre-shuffle) phase:
+    every task prunes to its local top-20 per lang before the exchange,
+    so only 20·tasks rows per lang ever shuffle (plan-asserted in
+    test_plans.py). operators/topk.top_k_per_group_salted is the
+    manual equivalent for engines/rank-functions the rule doesn't
+    cover — here it would only add an extra exchange."""
+    from parcel_analytics_etl_notebook_spark.operators.topk import (
+        top_k_per_group,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        ((F.col("doc_id") * 1103515245 + 12345) % 2147483647).alias("__h"),
+    )
+    sampled = top_k_per_group(
+        docs, ["lang"], [F.col("__h"), F.col("doc_id")], k=20
+    )
+    return sampled.select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------------
+# Token-budget batch packing (sequence packing for pretraining)
+# --------------------------------------------------------------------------
+@register(
+    "token_batch_packing",
+    oracle=f"""
+WITH t AS (SELECT doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents),
+r AS (
+    SELECT doc_id, n_tokens,
+           sum(CAST(n_tokens AS DOUBLE)) OVER (
+               ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+    FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor((run - n_tokens) / 4096) AS BIGINT) AS batch_id
+FROM r
+""",
+)
+def token_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~4096-token training batches: order docs
+    (longest first, id tiebreak), take the global running token sum,
+    and assign batch_id = (tokens before this doc) DIV budget — the
+    contiguous-fill form of sequence packing, fully deterministic.
+
+    The running sum is the SCALABLE two-pass form
+    (operators/indexing.global_running_sum: range partition →
+    per-partition subtotals → driver prefix-sum → offset + local
+    cumsum) — the oracle's ``SUM() OVER (ORDER BY ...)`` would
+    single-task at 100 TB; this plan never does."""
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        global_running_sum,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        (-F.size(tokens("text"))).alias("__neg"),
+    )
+    run = global_running_sum(
+        docs, order_cols=["__neg", "doc_id"], sum_col="n_tokens", out_col="run"
+    )
+    return run.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("run") - F.col("n_tokens")) / 4096)
+        .cast("bigint")
+        .alias("batch_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# k-means training of the IVF coarse quantizer
+# --------------------------------------------------------------------------
+_KM_K = 4
+_KM_DIM = 64
+_KM_ITERS = 3
+
+
+def _kmeans_oracle(k: int, dim: int, iters: int) -> str:
+    """Generate the unrolled Lloyd-iteration CTE chain: cent0 = rounded
+    raw vectors 1..k; per iteration an argmax-cosine assignment (rn=1)
+    and a per-component AVG rounded to 6 dp, empty clusters keeping the
+    previous centroid — the exact rules of operators/clustering."""
+    parts = [
+        f"""cent0 AS (
+    SELECT vec_id AS cid, list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
+    FROM embeddings WHERE vec_id BETWEEN 1 AND {k})"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""asg{i} AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round({_SQL_COS.format('e.embedding', 'c.cvec')}, 9) DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent{i} c)"""
+        )
+        parts.append(
+            f"""cent{i + 1} AS (
+    SELECT c.cid, coalesce(m.mvec, c.cvec) AS cvec
+    FROM cent{i} c LEFT JOIN (
+        SELECT cid, list_transform(range(1, {dim + 1}),
+            d -> round(list_sum(list_transform(vecs, v -> CAST(v[d] AS DOUBLE))) / len(vecs), 6)) AS mvec
+        FROM (SELECT cid, list(embedding) AS vecs FROM asg{i} WHERE rn = 1 GROUP BY cid) g
+    ) m USING (cid))"""
+        )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT cid AS centroid_id,
+       array_to_string(list_transform(cvec,
+           x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)), '_') AS centroid
+FROM cent{iters}
+ORDER BY centroid_id
+"""
+
+
+@register("kmeans_centroids", oracle=_kmeans_oracle(_KM_K, _KM_DIM, _KM_ITERS))
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 Lloyd iterations training the IVF coarse quantizer, k=4, from
+    vectors 1..4 (operators/clustering.kmeans_fit). Per iteration: a
+    map-only broadcast-argmax assignment and ONE shuffle of 64 partial
+    AVGs — the scale shape of distributed k-means. Components are
+    rounded to 6 dp per iteration and serialized as micro-units
+    (round(x·10⁶) ints '_'-joined) so the hash can't diverge on float
+    formatting; the oracle unrolls the same 3 iterations as CTEs.
+
+    Iterative fixpoint-style compute IS hash-verifiable when the
+    iteration count and tie rules are pinned — this query exists to
+    prove the trainer, whose output feeds ivf_topk's centroid table."""
+    from parcel_analytics_etl_notebook_spark.operators.clustering import kmeans_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    init_rows = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _KM_K))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    init = [(r["vec_id"], list(r["embedding"])) for r in init_rows]
+    trained = kmeans_fit(emb, init, dim=_KM_DIM, iters=_KM_ITERS)
+    rows = [
+        (cid, "_".join(str(int(round(x * 1_000_000))) for x in vec))
+        for cid, vec in sorted(trained)
+    ]
+    return spark.createDataFrame(rows, "centroid_id bigint, centroid string")
+
+
+# --------------------------------------------------------------------------
+# End-to-end training-corpus manifest (the "ship it" query)
+# --------------------------------------------------------------------------
+@register(
+    "training_corpus_manifest",
+    oracle=f"""
+WITH RECURSIVE {_SQL_DUP_COMPONENTS},
+q AS (
+    SELECT doc_id, lang, {_SQL_TOKS} AS l,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+    FROM documents
+),
+feats AS (
+    SELECT doc_id, lang, len(l) AS n_tokens,
+           CASE WHEN len(l) = 0 THEN NULL
+                ELSE len(list_distinct(l)) / CAST(len(l) AS DOUBLE) END AS uniq
+    FROM q
+),
+ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS ex_canon FROM q),
+k AS (
+    SELECT f.lang, f.n_tokens,
+           (f.n_tokens >= 20 AND coalesce(f.uniq >= 0.3, FALSE)
+            AND e.ex_canon = f.doc_id
+            AND (c.doc_id IS NULL OR c.canonical_id = f.doc_id)) AS kept
+    FROM feats f
+    JOIN ex e USING (doc_id)
+    LEFT JOIN comp c ON f.doc_id = c.doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       round(sum(CASE WHEN kept THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS kept_ratio
+FROM k GROUP BY lang
+""",
+)
+def training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline a training-data team actually ships:
+    quality gate (≥20 tokens, ≥0.3 unique ratio) ∧ exact-dedup survivor
+    (lowest id per normalized-text hash) ∧ near-dup survivor (canonical
+    of its Jaccard component, or unpaired) → per-language manifest of
+    docs / kept docs / kept tokens / keep-ratio.
+
+    One corpus scan computes tokens + quality + the content hash; the
+    exact-dedup canonical is a min-window on the (uniform) sha2 hash;
+    the near-dup map reuses the capped-shingle pipeline; everything
+    meets in one left join and a 5-group aggregate. Every stage is the
+    scale shape proven by its standalone query — this entry proves they
+    COMPOSE."""
+    from parcel_analytics_etl_notebook_spark.operators.graph import (
+        dup_groups_from_pairs,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.catalog import queries as _qs
+
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+        F.sha2(normalize_text("text"), 256).alias("__h"),
+    )
+    w = Window.partitionBy("__h")
+    feats = base.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(None))
+        .otherwise(F.col("n_uniq") / F.col("n_tokens"))
+        .alias("uniq"),
+        F.min("doc_id").over(w).alias("ex_canon"),
+    )
+    pairs = _qs()["ngram_jaccard_pairs"](spark, sf_dir).select("id_a", "id_b")
+    groups = dup_groups_from_pairs(pairs)
+    kept = (
+        (F.col("n_tokens") >= 20)
+        & F.coalesce(F.col("uniq") >= 0.3, F.lit(False))
+        & (F.col("ex_canon") == F.col("doc_id"))
+        & (F.col("canonical_id").isNull() | (F.col("canonical_id") == F.col("doc_id")))
+    )
+    return (
+        feats.join(groups, on="doc_id", how="left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(kept.cast("bigint")).alias("kept_docs"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+                "kept_tokens"
+            ),
+            F.round(
+                F.sum(kept.cast("bigint")) / F.count(F.lit(1)), 4
+            ).alias("kept_ratio"),
+        )
+    )

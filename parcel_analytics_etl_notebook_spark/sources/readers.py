@@ -73,6 +73,14 @@ def read_json(spark: SparkSession, path: str, schema: StructType | None = None) 
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other columnar format Spark reads natively
+    (vectorized reader, predicate pushdown, column pruning — same
+    optimizer treatment as parquet). Here for lake interop: warehouses
+    migrating from Hive commonly hold ORC."""
+    return spark.read.orc(path)
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,

@@ -64,6 +64,52 @@ def write_bucketed_table(
     writer.saveAsTable(table_name)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    target_files: int | None = None,
+) -> None:
+    """ORC sink (native, vectorized) — see read_orc for when."""
+    if target_files is not None:
+        df = df.repartition(target_files)
+    df.write.mode(mode).orc(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    target_files: int | None = None,
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines sink — the interchange format most LLM training
+    toolchains ingest. Compressed by default (text JSON is 5-10× parquet
+    size uncompressed); one row per line keeps the files splittable for
+    downstream Spark/Beam readers when uncompressed or zstd-framed."""
+    if target_files is not None:
+        df = df.repartition(target_files)
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving sibling partitions untouched — the idempotent
+    re-run primitive for incremental backfills (re-land one ingest date
+    without rewriting the table; static overwrite mode would drop ALL
+    partitions first). Setting is per-write via the DataFrameWriter
+    option, not a session-wide config flip."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def compact_parquet(spark, path: str, target_files: int) -> int:
     """Small-file compaction: rewrite a parquet directory into
     ``target_files`` files (read → repartition → write-aside → swap).

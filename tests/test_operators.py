@@ -477,3 +477,96 @@ def test_dup_groups_all_ids_total_coverage(spark):
     assert by_doc[7] == by_doc[8] == 7
     for singleton in (0, 4, 5, 6, 9):
         assert by_doc[singleton] == singleton
+
+
+def test_top_k_per_group_salted_equals_plain(spark):
+    """The salted two-phase grouped top-k must equal the plain window
+    form row-for-row (total order → salt-independent result)."""
+    from parcel_analytics_etl_notebook_spark.operators.topk import (
+        top_k_per_group,
+        top_k_per_group_salted,
+    )
+
+    rows = [(i % 3, (i * 37) % 101, i) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp int, score int, id int")
+    order = [F.col("score").desc(), F.col("id")]
+    plain = top_k_per_group(df, ["grp"], order, k=7)
+    salted = top_k_per_group_salted(df, ["grp"], order, k=7, salts=5)
+    key = lambda r: (r["grp"], r["rnk"])  # noqa: E731
+    assert sorted(map(key, plain.collect())) == sorted(map(key, salted.collect()))
+    assert {(r["grp"], r["id"]) for r in plain.collect()} == {
+        (r["grp"], r["id"]) for r in salted.collect()
+    }
+
+
+def test_global_running_sum_equals_window(spark):
+    """Two-pass running sum equals SUM() OVER (ORDER BY ...) exactly."""
+    from pyspark.sql import Window
+
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        global_running_sum,
+    )
+
+    rows = [(i, (i * 13) % 29 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    got = {
+        r["id"]: r["run"]
+        for r in global_running_sum(
+            df, order_cols=["id"], sum_col="v", out_col="run", num_partitions=7
+        ).collect()
+    }
+    w = (
+        Window.orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["id"]: float(r["run"])
+        for r in df.withColumn("run", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_offset_join_fallback_matches_literal_map(spark, monkeypatch):
+    """stable_global_index with the broadcast-join offset path (forced
+    by shrinking the literal-map threshold) equals the literal-map
+    path — the 10⁵-partition fallback is semantics-preserving."""
+    from parcel_analytics_etl_notebook_spark.operators import indexing
+
+    rows = [((i * 7) % 100, i) for i in range(300)]
+    df = spark.createDataFrame(rows, "k bigint, id bigint")
+    lit = indexing.stable_global_index(
+        df, ["k", "id"], num_partitions=6
+    ).collect()
+    monkeypatch.setattr(indexing, "_MAX_LITERAL_OFFSETS", 2)
+    joined = indexing.stable_global_index(
+        df, ["k", "id"], num_partitions=6
+    ).collect()
+    assert sorted((r["k"], r["id"], r["global_idx"]) for r in lit) == sorted(
+        (r["k"], r["id"], r["global_idx"]) for r in joined
+    )
+
+
+def test_kmeans_fit_tiny_known_clusters(spark):
+    """Two well-separated 2-d clusters: one iteration lands each
+    centroid on its cluster mean; an empty cluster keeps its previous
+    centroid; assignment is stable under re-fit."""
+    from parcel_analytics_etl_notebook_spark.operators.clustering import (
+        assign_nearest,
+        kmeans_fit,
+    )
+
+    pts = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]),   # cluster along +x
+        (3, [0.0, 1.0]), (4, [0.1, 0.9]),   # cluster along +y
+    ]
+    df = spark.createDataFrame(pts, "vec_id bigint, embedding array<double>")
+    init = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, -0.5])]
+    trained = dict(kmeans_fit(df, init, dim=2, iters=2))
+    assert trained[1] == [0.95, 0.05]
+    assert trained[2] == [0.05, 0.95]
+    assert trained[3] == [-1.0, -0.5]  # empty cluster: unchanged
+    assigned = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_nearest(df, list(trained.items())).collect()
+    }
+    assert assigned == {1: 1, 2: 1, 3: 2, 4: 2}

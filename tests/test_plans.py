@@ -110,3 +110,26 @@ def test_window_passes_share_one_shuffle(spark):
     o_custkey — exactly one exchange on the fact side."""
     p = plan_of(spark, "order_status_scd2")
     assert p.count("Exchange hashpartitioning(o_custkey") <= 1
+
+
+def test_grouped_topk_prunes_before_shuffle(spark):
+    """per_lang_sample_k's rank window must plan as WindowGroupLimit
+    with a PARTIAL (pre-exchange) phase: low-cardinality group keys are
+    only safe because map tasks prune to their local top-k before the
+    shuffle. A regression to a bare Window would sort the whole corpus
+    in ~5 tasks."""
+    p = plan_of(spark, "per_lang_sample_k")
+    assert "WindowGroupLimit" in p
+    assert "Partial" in p
+
+
+def test_batch_packing_window_is_partitioned(spark):
+    """token_batch_packing's running sum must be windowed BY PARTITION
+    id (two-pass construction) — a global unpartitioned Window would
+    single-task 100 TB."""
+    df = queries()["token_batch_packing"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "__pid" in m.group(1)  # every window carries the pid key

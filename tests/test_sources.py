@@ -262,3 +262,57 @@ def test_python_datasource_degenerate_options(spark):
     empty = spark.read.format("synthcorpus").option("rows", 0).load()
     assert empty.count() == 0
     assert empty.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC sink → ORC scan preserves rows and schema (native columnar
+    interop path)."""
+    from parcel_analytics_etl_notebook_spark.sources.readers import read_orc
+    from parcel_analytics_etl_notebook_spark.sources.writers import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "id bigint, s string, v double"
+    )
+    path = str(tmp_path / "t.orc")
+    write_orc(df, path, target_files=1)
+    back = read_orc(spark, path)
+    assert back.schema == df.schema
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """JSONL sink → json scan with explicit schema recovers the rows
+    (the LLM-toolchain export path)."""
+    from parcel_analytics_etl_notebook_spark.sources.readers import read_json
+    from parcel_analytics_etl_notebook_spark.sources.writers import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "line one"), (2, 'quotes " and \n newline')],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "docs.jsonl")
+    write_jsonl(df, path, target_files=1)
+    back = read_json(spark, path, schema=df.schema)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_overwrite_partitions_touches_only_landed(spark, tmp_path):
+    """Dynamic partition overwrite replaces only the partition present
+    in the incoming frame; siblings survive byte-for-byte."""
+    from parcel_analytics_etl_notebook_spark.sources.writers import (
+        overwrite_partitions,
+        write_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)],
+        "dt string, v int",
+    )
+    write_parquet(base, path, partition_by=["dt"])
+    # re-land 01-02 with corrected data (one row, new value)
+    patch = spark.createDataFrame([("2024-01-02", 99)], "dt string, v int")
+    overwrite_partitions(patch, path, ["dt"])
+    # partition-value inference types dt as DATE on read — stringify
+    got = {(str(r["dt"]), r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 99)}
