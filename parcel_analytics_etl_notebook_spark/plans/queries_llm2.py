@@ -345,3 +345,102 @@ def training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hyperplane LSH over embeddings (random-projection bucketing)
+# --------------------------------------------------------------------------
+_LSH_PLANES = 8
+_LSH_DIM = 64
+
+
+def _plane_sign(j: int, d: int) -> int:
+    """Deterministic Rademacher (±1) projection entry — an LCG on the
+    flattened index, identical constant in the Spark plan and the SQL
+    oracle, so both engines use the SAME hyperplanes."""
+    x = ((j * _LSH_DIM + d) * 1103515245 + 12345) % 2147483647
+    return 1 if x % 2 == 0 else -1
+
+
+_LSH_SIGNS = [
+    [_plane_sign(j, d) for d in range(_LSH_DIM)] for j in range(_LSH_PLANES)
+]
+
+
+def _lsh_bucket_col(vec_col: str):
+    """bucket = Σ_j (dot(v, plane_j) > 0) << j — 8 codegen'd folds."""
+    bucket = F.lit(0).cast("bigint")
+    for j, signs in enumerate(_LSH_SIGNS):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(s)) for s in signs]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return bucket
+
+
+def _lsh_bucket_sql(vec_col: str) -> str:
+    terms = []
+    for j, signs in enumerate(_LSH_SIGNS):
+        lst = "[" + ", ".join(f"{s}.0" for s in signs) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {_LSH_DIM + 1}), "
+            f"d -> CAST({vec_col}[d] AS DOUBLE) * ({lst})[d]))"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "embedding_lsh_buckets",
+    oracle=f"""
+SELECT vec_id, {_lsh_bucket_sql('embedding')} AS bucket
+FROM embeddings
+""",
+)
+def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection (hyperplane) LSH bucket per embedding: sign
+    bits of 8 fixed ±1 projections — cosine-similar vectors collide
+    with probability 1 − θ/π per bit. One linear map-only pass; the
+    bucket key is THE blocking key that makes corpus-wide embedding
+    dedup sub-quadratic without a label column. Deterministic: the
+    planes are a pinned LCG constant shared with the oracle."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", _lsh_bucket_col("embedding").alias("bucket"))
+
+
+@register(
+    "embedding_lsh_dedup_pairs",
+    oracle=f"""
+WITH bk AS (
+    SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+    FROM embeddings
+)
+SELECT x.bucket, x.vec_id AS id_a, y.vec_id AS id_b,
+       round({_SQL_COS.format('x.embedding', 'y.embedding')}, 6) AS cosine
+FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE round({_SQL_COS.format('x.embedding', 'y.embedding')}, 6) >= 0.4
+""",
+)
+def embedding_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.4) blocked by the LSH
+    bucket instead of a label: the full scale path — linear bucketing
+    pass, one shuffle on the (uniform-ish) bucket key, quadratic
+    scoring bounded per bucket. Composes operators/similarity.
+    cosine_pairs_blocked with embedding_lsh_buckets' key; recall is
+    tunable by planes count (8 → 256 buckets here)."""
+    from parcel_analytics_etl_notebook_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _lsh_bucket_col("embedding").alias("bucket")
+    )
+    return cosine_pairs_blocked(emb, block_col="bucket", threshold=0.4)

@@ -135,6 +135,132 @@ class RunningTotalsProcessor(StatefulProcessor):
         pass
 
 
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+class SessionizerProcessor(StatefulProcessor):
+    """Gap-based sessionization with EVENT-TIME TIMERS — the stateful
+    pattern ``session_window`` can't express when you need custom
+    per-session state or output (here: value totals emitted exactly
+    once per closed session).
+
+    Per key, state is the one OPEN session (start, last, count, sum).
+    Each batch folds its events (sorted by event time) into the open
+    session, EMITTING every session that a > gap jump closes; the still-
+    open tail goes back to state with a timer at last_event + gap. When
+    the watermark passes that point, ``handleExpiredTimer`` emits the
+    session and clears state — so state size is O(open sessions), never
+    O(history), and a session with no successor still closes. This is
+    the streaming twin of operators/sessionize.session_stats.
+    """
+
+    def __init__(self, gap_ms: int = 30 * 60 * 1000) -> None:
+        self._gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._open = handle.getValueState("open_session", _SESSION_STATE_SCHEMA)
+        self._handle = handle
+
+    def _out(self, key, sessions) -> Iterator[pd.DataFrame]:
+        if sessions:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(sessions),
+                    "session_start_ms": [s[0] for s in sessions],
+                    "session_end_ms": [s[1] for s in sessions],
+                    "n_events": [s[2] for s in sessions],
+                    "total_value": [s[3] for s in sessions],
+                }
+            )
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        events: list[tuple[int, float]] = []
+        for pdf in rows:
+            # tz-aware or naive datetime64 both normalize to UTC ns here
+            ts_ms = (
+                pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+                // 1_000_000
+            ).tolist()
+            vals = pdf["value"].fillna(0.0).tolist()
+            events.extend(zip(ts_ms, vals))
+        events.sort()
+        # seed with the open session (its internal gaps are already
+        # validated; it folds in as an atomic [start, last] interval)
+        if self._open.exists():
+            start, last, n, total = self._open.get()
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+        else:
+            start = last = None
+            n, total = 0, 0.0
+        closed: list[tuple[int, int, int, float]] = []
+        for t, v in events:
+            if last is None:
+                start, last, n, total = t, t, 1, v
+            elif t - last > self._gap_ms:
+                closed.append((start, last, n, total))
+                start, last, n, total = t, t, 1, v
+            else:
+                last = max(last, t)
+                n += 1
+                total += v
+        if last is not None:
+            self._open.update((start, last, n, total))
+            self._handle.registerTimer(last + self._gap_ms)
+        yield from self._out(key, closed)
+
+    def handleExpiredTimer(
+        self, key: Any, timerValues: Any, expiredTimerInfo: Any
+    ) -> Iterator[pd.DataFrame]:
+        if self._open.exists():
+            start, last, n, total = self._open.get()
+            self._open.clear()
+            yield from self._out(key, [(start, last, n, total)])
+
+    def close(self) -> None:
+        pass
+
+
+def session_stats_tws(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Timer-closed per-user sessions via transformWithStateInPandas
+    (timeMode EventTime — requires a watermark on ``ts`` and the
+    RocksDB state store, :func:`rocksdb_state_conf`)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionizerProcessor(),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="EventTime",
+        )
+    )
+
+
 def running_user_totals(events_stream: DataFrame) -> DataFrame:
     """Changelog stream of per-user running (n_events, total_value).
 

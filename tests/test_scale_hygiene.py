@@ -207,3 +207,34 @@ def test_zorder_layout_narrows_file_stats(spark, tmp_path):
     # rectangle of the (user, day) grid instead of the whole range)
     assert zo_u < rr_u * 0.8
     assert zo_d < rr_d * 0.8
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's runtime bloom filter (on by default) semi-join-reduces a
+    shuffle join: the selective dim side builds a bloom filter that
+    prunes fact rows BEFORE the exchange. Size thresholds gate it
+    (application side must scan > applicationSideScanSizeThreshold, 10GB
+    by default — exactly the 100-TB regime); lowered here to prove the
+    injection fires, since sf-test scans are far below the gate."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+        sel = orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_totalprice"
+        )
+        j = lineitem.join(sel, lineitem.l_orderkey == sel.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower()  # bloom probe on fact side
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

@@ -302,3 +302,85 @@ def test_python_streaming_datasource(spark, tmp_path):
         .load()
     )
     assert sorted(got.collect()) == sorted(batch.collect())
+
+
+def test_tws_sessionizer_with_event_time_timers(spark, tmp_path):
+    """transformWithState sessionization: sessions closed by an in-batch
+    gap emit from handleInputRows; the open tail closes via an
+    EVENT-TIME TIMER when a later batch advances the watermark — state
+    is O(open sessions). Two availableNow runs over one checkpoint
+    (incremental processing)."""
+    from tests.conftest import PROTOBUF_OK
+
+    if not PROTOBUF_OK:
+        pytest.skip("no protobuf runtime available")
+    import datetime as dt
+
+    from parcel_analytics_etl_notebook_spark.streaming.stateful_tws import (
+        rocksdb_state_conf,
+        session_stats_tws,
+    )
+
+    rocksdb_state_conf(spark)
+    src = tmp_path / "events"
+    src.mkdir()
+    t0 = dt.datetime(2024, 3, 1, 8, 0, 0)
+    MIN = dt.timedelta(minutes=1)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(str(src / name))
+
+    # batch 1 — user 1: two sessions split by a 90-min gap (first closes
+    # in-batch); user 2: one open session
+    write_batch("b1", [
+        (1, t0, 1.0), (1, t0 + 5 * MIN, 2.0),           # session A (closes in-batch)
+        (1, t0 + 95 * MIN, 4.0),                          # session B (stays open)
+        (2, t0 + 10 * MIN, 8.0),                          # session C (stays open)
+    ])
+
+    schema = "user_id bigint, ts timestamp, value double"
+
+    out = str(tmp_path / "sessions_out")
+
+    def run_once(_qname):
+        # file sink (not memory): it supports checkpoint RECOVERY, which
+        # run 2 exercises; output accumulates across runs
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (
+            session_stats_tws(stream, gap="30 minutes", watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r["user_id"], r["session_start_ms"]): r
+            for r in spark.read.parquet(out).collect()
+        }
+
+    ms = lambda d: int(d.timestamp() * 1000)  # noqa: E731
+    got1 = run_once("tws_sess1")
+    # A closes on the in-batch gap. C closes by TIMER within run 1: the
+    # batch-1 watermark (max ts − 10 min = t0+85min) already passed C's
+    # expiry (t0+40min), and availableNow runs the timer batch. B's
+    # expiry (t0+125min) is beyond the watermark — stays open in state.
+    assert set(got1) == {(1, ms(t0)), (2, ms(t0 + 10 * MIN))}
+    a = got1[(1, ms(t0))]
+    assert a["session_end_ms"] == ms(t0 + 5 * MIN)
+    assert a["n_events"] == 2 and a["total_value"] == 3.0
+    assert got1[(2, ms(t0 + 10 * MIN))]["total_value"] == 8.0
+
+    # batch 2 — user 3 only, hours later: advances the watermark past
+    # B's timer, which must fire and close it; 3's own session stays
+    # open (nothing has passed ITS expiry)
+    write_batch("b2", [(3, t0 + dt.timedelta(hours=6), 1.0)])
+    got2 = run_once("tws_sess2")
+    assert (1, ms(t0 + 95 * MIN)) in got2  # B closed by timer
+    b = got2[(1, ms(t0 + 95 * MIN))]
+    assert b["session_end_ms"] == ms(t0 + 95 * MIN) and b["n_events"] == 1
+    assert all(uid != 3 for uid, _ in got2)  # user 3 still open
