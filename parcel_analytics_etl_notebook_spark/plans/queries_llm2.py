@@ -182,11 +182,13 @@ _KM_DIM = 64
 _KM_ITERS = 3
 
 
-def _kmeans_oracle(k: int, dim: int, iters: int) -> str:
-    """Generate the unrolled Lloyd-iteration CTE chain: cent0 = rounded
-    raw vectors 1..k; per iteration an argmax-cosine assignment (rn=1)
-    and a per-component AVG rounded to 6 dp, empty clusters keeping the
-    previous centroid — the exact rules of operators/clustering."""
+def _kmeans_ctes(k: int, dim: int, iters: int) -> str:
+    """The unrolled Lloyd-iteration CTE chain (WITH-body prefix ending
+    in ``cent{iters}(cid, cvec)``): cent0 = rounded raw vectors 1..k;
+    per iteration an argmax-cosine assignment (rn=1) and a
+    per-component AVG rounded to 6 dp, empty clusters keeping the
+    previous centroid — the exact rules of operators/clustering.
+    Shared by kmeans_centroids and ivf_trained_topk."""
     parts = [
         f"""cent0 AS (
     SELECT vec_id AS cid, list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
@@ -209,9 +211,12 @@ def _kmeans_oracle(k: int, dim: int, iters: int) -> str:
         FROM (SELECT cid, list(embedding) AS vecs FROM asg{i} WHERE rn = 1 GROUP BY cid) g
     ) m USING (cid))"""
         )
-    ctes = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+def _kmeans_oracle(k: int, dim: int, iters: int) -> str:
     return f"""
-WITH {ctes}
+WITH {_kmeans_ctes(k, dim, iters)}
 SELECT cid AS centroid_id,
        array_to_string(list_transform(cvec,
            x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)), '_') AS centroid
@@ -444,3 +449,139 @@ def embedding_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", _lsh_bucket_col("embedding").alias("bucket")
     )
     return cosine_pairs_blocked(emb, block_col="bucket", threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# IVF search over TRAINED centroids (trainer → index → query, end-to-end)
+# --------------------------------------------------------------------------
+@register(
+    "ivf_trained_topk",
+    oracle=f"""
+WITH {_kmeans_ctes(_KM_K, _KM_DIM, _KM_ITERS)},
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+assigned AS (
+    SELECT corpus.vec_id, corpus.embedding, c.cid,
+           row_number() OVER (PARTITION BY corpus.vec_id
+               ORDER BY round({_SQL_COS.format('corpus.embedding', 'c.cvec')}, 9) DESC, c.cid) AS rn
+    FROM corpus CROSS JOIN cent{_KM_ITERS} c
+),
+probe AS (
+    SELECT cid FROM cent{_KM_ITERS} CROSS JOIN q
+    ORDER BY round({_SQL_COS.format('cvec', 'qvec')}, 9) DESC, cid
+    LIMIT 2
+),
+pruned AS (SELECT a.vec_id, a.embedding FROM assigned a JOIN probe USING (cid) WHERE a.rn = 1)
+SELECT p.vec_id, round({_SQL_COS.format('p.embedding', 'qvec')}, 6) AS cosine
+FROM pruned p CROSS JOIN q
+ORDER BY cosine DESC, p.vec_id
+LIMIT 5
+""",
+)
+def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANN lifecycle in one verified query: TRAIN the coarse
+    quantizer (3 Lloyd iterations, operators/clustering.kmeans_fit),
+    build the index (centroid assignment), and SEARCH (2-probe pruning,
+    exact re-scoring, top-5 for vec_id=0). ivf_ann_topk proves search
+    over fixed centroids; kmeans_centroids proves the trainer; this
+    proves trainer output actually feeds search — the oracle chains the
+    same Lloyd CTEs into the same probe/prune/score SQL."""
+    from parcel_analytics_etl_notebook_spark.operators.clustering import (
+        centroids_frame,
+        kmeans_fit,
+    )
+    from parcel_analytics_etl_notebook_spark.operators.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    init_rows = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _KM_K))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    init = [(r["vec_id"], list(r["embedding"])) for r in init_rows]
+    trained = kmeans_fit(emb, init, dim=_KM_DIM, iters=_KM_ITERS)
+    centroids = centroids_frame(spark, trained)
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0),
+        centroids,
+        emb.filter(F.col("vec_id") == 0),
+        k=5,
+        n_probe=2,
+    )
+
+
+# --------------------------------------------------------------------------
+# Top principal direction via distributed power iteration
+# --------------------------------------------------------------------------
+_PC_ITERS = 3
+
+
+def _pc_oracle(dim: int, iters: int) -> str:
+    """Unrolled power iteration on the uncentered second moment:
+    w ← normalize(avg_i v_i·(v_i·w)), starting from 1/√dim, components
+    rounded to 6 dp after every normalize — operators/clustering rules,
+    restated."""
+    init = round(1.0 / dim ** 0.5, 6)
+    parts = [f"pc0 AS (SELECT list_transform(range(1, {dim + 1}), d -> {init}) AS w)"]
+    for i in range(iters):
+        parts.append(
+            f"""t{i} AS (
+    SELECT list(u ORDER BY d) AS u FROM (
+        SELECT dims.d, avg(CAST(s.embedding[dims.d] AS DOUBLE) * s.dot) AS u
+        FROM (SELECT embedding,
+                     list_sum(list_transform(range(1, {dim + 1}),
+                         d2 -> CAST(embedding[d2] AS DOUBLE) * w[d2])) AS dot
+              FROM embeddings CROSS JOIN pc{i}) s
+        CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS d) dims
+        GROUP BY dims.d) g)"""
+        )
+        parts.append(
+            f"""pc{i + 1} AS (
+    SELECT list_transform(u, x -> round(x / sqrt(list_sum(list_transform(u, y -> y*y))), 6)) AS w
+    FROM t{i})"""
+        )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT CAST(d AS BIGINT) AS dim_idx, w[d] AS component
+FROM pc{iters} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS d) dims
+ORDER BY dim_idx
+"""
+
+
+@register("embedding_top_pc", oracle=_pc_oracle(_KM_DIM, _PC_ITERS))
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by distributed
+    POWER ITERATION on the uncentered second moment — covariance-free:
+    each iteration is one map pass (per-row dot with the broadcast
+    direction) plus ONE shuffle of dim partial averages, never
+    materializing the dim×dim matrix. Driver holds dim doubles.
+    Deterministic (fixed init 1/√dim, 3 iterations, round-6 after each
+    normalize) so the unrolled oracle hash-matches. The embedding-
+    diagnostics primitive (dominant-direction removal, whitening,
+    anisotropy checks) at corpus scale."""
+    emb = table(spark, sf_dir, "embeddings")
+    dim, iters = _KM_DIM, _PC_ITERS
+    w = [round(1.0 / dim ** 0.5, 6)] * dim
+    for _ in range(iters):
+        w_lit = F.array(*[F.lit(float(x)) for x in w])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), w_lit, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = emb.select(
+            F.col("embedding").alias("emb"), dot.alias("dot")
+        )
+        row = scored.agg(
+            *[
+                F.avg(F.col("emb")[d].cast("double") * F.col("dot")).alias(f"u{d}")
+                for d in range(dim)
+            ]
+        ).collect()[0]
+        u = [row[f"u{d}"] for d in range(dim)]
+        norm = sum(x * x for x in u) ** 0.5
+        w = [round(x / norm, 6) for x in u]
+    return spark.createDataFrame(
+        [(d + 1, w[d]) for d in range(dim)], "dim_idx bigint, component double"
+    )

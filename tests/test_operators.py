@@ -570,3 +570,42 @@ def test_kmeans_fit_tiny_known_clusters(spark):
         for r in assign_nearest(df, list(trained.items())).collect()
     }
     assert assigned == {1: 1, 2: 1, 3: 2, 4: 2}
+
+
+def test_power_iteration_matches_numpy_eigenvector(spark):
+    """embedding_top_pc's math on a tiny corpus: 3 power iterations
+    must align (up to sign) with numpy's dominant eigenvector of the
+    uncentered second-moment matrix."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(4)
+    pts = [base * s + rng.randn(4) * 0.05 for s in (1.0, 2.0, -1.5, 0.5, 3.0)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
+        "vec_id bigint, embedding array<double>",
+    )
+    dim, iters = 4, 3
+    w = [round(1.0 / dim ** 0.5, 6)] * dim
+    for _ in range(iters):
+        w_lit = F.array(*[F.lit(float(x)) for x in w])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), w_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        row = (
+            df.select(F.col("embedding").alias("emb"), dot.alias("dot"))
+            .agg(*[F.avg(F.col("emb")[d] * F.col("dot")).alias(f"u{d}") for d in range(dim)])
+            .collect()[0]
+        )
+        u = [row[f"u{d}"] for d in range(dim)]
+        norm = sum(x * x for x in u) ** 0.5
+        w = [round(x / norm, 6) for x in u]
+
+    V = np.stack(pts)
+    M = V.T @ V / len(pts)
+    vals, vecs = np.linalg.eigh(M)
+    top = vecs[:, np.argmax(vals)]
+    cos = abs(float(np.dot(np.array(w), top)))
+    assert cos > 0.999  # aligned up to sign
