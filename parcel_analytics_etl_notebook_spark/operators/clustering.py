@@ -26,7 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parcel_analytics_etl_notebook_spark.functions.vectors import cosine_similarity
+from parcel_analytics_etl_notebook_spark.functions.vectors import (
+    dot_literal,
+    norm_literal_sq,
+)
 
 
 def assign_nearest(
@@ -36,20 +39,34 @@ def assign_nearest(
     out_col: str = "centroid_id",
 ) -> DataFrame:
     """Attach argmax-cosine centroid id (ties → lowest id) from a
-    driver-side centroid list. Map-only: the centroids inline as an
-    array-of-structs literal, the per-row argmax is one codegen'd
-    aggregate over it — no join, no shuffle, no window."""
+    driver-side centroid list. Map-only: the centroid constants unroll
+    into whole-stage-codegen'd dot/norm chains (functions/vectors.
+    dot_literal — bit-identical to the HOF form, faster since HOF
+    lambdas are interpreted), the row norm is computed ONCE and shared
+    across the k cosines (the literals change per k-means iteration, so
+    every iteration pays a fresh codegen compile — tree size is the
+    compile-time knob), and the per-row argmax is one fold over k
+    (cid, sim) structs — no join, no shuffle, no window."""
+    dim = len(centroids[0][1])
+    corpus = corpus.withColumn(
+        "__na", F.sqrt(norm_literal_sq(vec_col, dim))
+    )
+
+    def sim_to(vec: list[float]) -> F.Column:
+        wnorm_sq = 0.0
+        for x in vec:
+            wnorm_sq = wnorm_sq + float(x) * float(x)
+        wnorm = wnorm_sq ** 0.5
+        na = F.col("__na")
+        return F.when(
+            (na == 0) | (F.lit(wnorm) == 0), F.lit(None).cast("double")
+        ).otherwise(dot_literal(vec_col, vec) / (na * F.lit(wnorm)))
+
     pairs = F.array(
         *[
             F.struct(
                 F.lit(cid).alias("cid"),
-                F.round(
-                    cosine_similarity(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(x)) for x in vec]),
-                    ),
-                    9,
-                ).alias("sim"),
+                F.round(sim_to(vec), 9).alias("sim"),
             )
             for cid, vec in centroids
         ]
@@ -68,7 +85,7 @@ def assign_nearest(
             x,
         ).otherwise(acc),
     )
-    return corpus.withColumn(out_col, best["cid"])
+    return corpus.withColumn(out_col, best["cid"]).drop("__na")
 
 
 def kmeans_fit(
@@ -90,7 +107,9 @@ def kmeans_fit(
         assigned = assign_nearest(corpus, centroids, vec_col)
         means = assigned.groupBy("centroid_id").agg(
             *[
-                F.round(F.avg(F.col(vec_col)[d].cast("double")), 6).alias(f"c{d}")
+                F.expr(
+                    f"round(avg(CAST({vec_col}[{d}] AS DOUBLE)), 6)"
+                ).alias(f"c{d}")
                 for d in range(dim)
             ]
         )

@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from parcel_analytics_etl_notebook_spark.functions.vectors import cosine_similarity
+from parcel_analytics_etl_notebook_spark.functions.vectors import (
+    _unrolled_dot_sql,
+    cosine_cols,
+    cosine_similarity,
+    norm_literal_sq,
+)
 
 
 def brute_force_topk(
@@ -26,6 +31,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of a single query vector.
 
@@ -38,14 +44,17 @@ def brute_force_topk(
     q = query.select(
         F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
     )
+    score = (
+        cosine_cols(vec_col, "__qvec", dim)
+        if dim is not None
+        else cosine_similarity(F.col(vec_col), F.col("__qvec"))
+    )
     scored = (
         corpus.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("__qid"))
         .select(
             id_col,
-            F.round(
-                cosine_similarity(F.col(vec_col), F.col("__qvec")), round_to
-            ).alias("cosine"),
+            F.round(score, round_to).alias("cosine"),
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
@@ -57,6 +66,7 @@ def assign_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: attach each vector's nearest centroid
     (max cosine, ties to the lowest centroid id). The centroid table is
@@ -65,8 +75,13 @@ def assign_centroids(
     c = centroids.select(
         F.col(id_col).alias(centroid_id), F.col(vec_col).alias("__cvec")
     )
+    sim = (
+        cosine_cols(vec_col, "__cvec", dim)
+        if dim is not None
+        else cosine_similarity(F.col(vec_col), F.col("__cvec"))
+    )
     scored = corpus.crossJoin(F.broadcast(c)).withColumn(
-        "__sim", F.round(cosine_similarity(F.col(vec_col), F.col("__cvec")), 9)
+        "__sim", F.round(sim, 9)
     )
     from pyspark.sql import Window
 
@@ -88,17 +103,18 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose centroid is among the
     query's ``n_probe`` nearest centroids. At 100 TB the assignment is
     precomputed/persisted (partitioned by centroid) so a query touches
     only n_probe partitions — this is the partition-pruning ANN shape."""
-    assigned = assign_centroids(corpus, centroids, id_col, vec_col)
+    assigned = assign_centroids(corpus, centroids, id_col, vec_col, dim=dim)
     probe_ids = assign_probe_centroids(query, centroids, n_probe, id_col, vec_col)
     pruned = assigned.join(
         F.broadcast(probe_ids), on="centroid_id", how="inner"
     ).drop("centroid_id")
-    return brute_force_topk(pruned, query, k, id_col, vec_col)
+    return brute_force_topk(pruned, query, k, id_col, vec_col, dim=dim)
 
 
 def assign_probe_centroids(
@@ -162,6 +178,7 @@ def cosine_pairs_blocked(
     round_to: int = 6,
     vectorized: bool = False,
     broadcast_build: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold WITHIN a blocking key (e.g. an
     LSH bucket or label): the self-join shuffles both sides on the
@@ -188,11 +205,27 @@ def cosine_pairs_blocked(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
     )
+    if dim is not None and not vectorized:
+        # norms precomputed per SIDE (not per pair): N + M sqrt chains
+        # instead of 2·N·M, and each codegen unit stays under the JVM's
+        # 64 KB method limit (one fused dot+2·norm+guard expression
+        # overflowed it and fell back to interpreted)
+        a = a.withColumn("__na", F.sqrt(norm_literal_sq("__va", dim)))
+        b = b.withColumn("__nb", F.sqrt(norm_literal_sq("__vb", dim)))
     if broadcast_build:
         a = a.repartition(df.sparkSession.sparkContext.defaultParallelism)
         b = F.broadcast(b)
     if vectorized:
         score = _cosine_pandas_udf(round_to)(F.col("__va"), F.col("__vb"))
+    elif dim is not None:
+        dot_sql = _unrolled_dot_sql("__va", "__vb", dim)
+        score = F.round(
+            F.expr(
+                f"CASE WHEN __na = 0 OR __nb = 0 THEN CAST(NULL AS DOUBLE) "
+                f"ELSE ({dot_sql}) / (__na * __nb) END"
+            ),
+            round_to,
+        )
     else:
         score = F.round(cosine_similarity("__va", "__vb"), round_to)
     return (

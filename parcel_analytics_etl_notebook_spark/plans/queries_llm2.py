@@ -373,18 +373,14 @@ _LSH_SIGNS = [
 
 
 def _lsh_bucket_col(vec_col: str):
-    """bucket = Σ_j (dot(v, plane_j) > 0) << j — 8 codegen'd folds."""
+    """bucket = Σ_j (dot(v, plane_j) > 0) << j — the ±1 planes are
+    Python constants, so each dot unrolls into a codegen'd sum
+    (functions/vectors.dot_literal; bit-identical to the HOF fold)."""
+    from parcel_analytics_etl_notebook_spark.functions.vectors import dot_literal
+
     bucket = F.lit(0).cast("bigint")
     for j, signs in enumerate(_LSH_SIGNS):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(s)) for s in signs]),
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        dot = dot_literal(vec_col, [float(s) for s in signs])
         bucket = bucket + F.when(dot > 0, F.lit(1 << j).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
@@ -448,7 +444,7 @@ def embedding_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", _lsh_bucket_col("embedding").alias("bucket")
     )
-    return cosine_pairs_blocked(emb, block_col="bucket", threshold=0.4)
+    return cosine_pairs_blocked(emb, block_col="bucket", threshold=0.4, dim=_KM_DIM)
 
 
 # --------------------------------------------------------------------------
@@ -507,6 +503,7 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") == 0),
         k=5,
         n_probe=2,
+        dim=_KM_DIM,
     )
 
 
@@ -560,22 +557,19 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalize) so the unrolled oracle hash-matches. The embedding-
     diagnostics primitive (dominant-direction removal, whitening,
     anisotropy checks) at corpus scale."""
+    from parcel_analytics_etl_notebook_spark.functions.vectors import dot_literal
+
     emb = table(spark, sf_dir, "embeddings")
     dim, iters = _KM_DIM, _PC_ITERS
     w = [round(1.0 / dim ** 0.5, 6)] * dim
     for _ in range(iters):
-        w_lit = F.array(*[F.lit(float(x)) for x in w])
-        dot = F.aggregate(
-            F.zip_with(F.col("embedding"), w_lit, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        dot = dot_literal("embedding", w)
         scored = emb.select(
             F.col("embedding").alias("emb"), dot.alias("dot")
         )
         row = scored.agg(
             *[
-                F.avg(F.col("emb")[d].cast("double") * F.col("dot")).alias(f"u{d}")
+                F.expr(f"avg(CAST(emb[{d}] AS DOUBLE) * dot)").alias(f"u{d}")
                 for d in range(dim)
             ]
         ).collect()[0]
