@@ -72,3 +72,52 @@ def stream_stream_purchase_after_view(
         "view_event_id",
         "view_ts",
     )
+
+
+def stream_stream_purchase_with_optional_view(
+    events: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits —
+    paired with its preceding views when any exist, with NULL view
+    columns otherwise.
+
+    Outer streaming joins have a subtlety inner ones don't: the
+    unmatched row can only emit once the watermark proves no match can
+    still arrive, so NULL-padded results trail the inner results by up
+    to the watermark delay. State stays bounded exactly as in the inner
+    form (both sides watermarked + time-bounded condition)."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")
+        )
+    )
+    return purchases.join(views, cond, "left_outer").select(
+        "user_id",
+        "purchase_event_id",
+        "purchase_ts",
+        "view_event_id",
+        "view_ts",
+    )

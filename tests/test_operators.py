@@ -609,3 +609,26 @@ def test_power_iteration_matches_numpy_eigenvector(spark):
     top = vecs[:, np.argmax(vals)]
     cos = abs(float(np.dot(np.array(w), top)))
     assert cos > 0.999  # aligned up to sign
+
+
+def test_cosine_cols_bitwise_equals_hof(spark):
+    """The unrolled cosine (cosine_cols) must be BIT-identical to the
+    HOF cosine_similarity — same left-associative fold order — or the
+    DuckDB oracle hashes would drift. Checked unrounded, on raw floats."""
+    from parcel_analytics_etl_notebook_spark.functions.vectors import (
+        cosine_cols,
+        cosine_similarity,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pair = emb.alias("x").crossJoin(emb.alias("y").limit(3)).select(
+        F.col("x.embedding").alias("a"), F.col("y.embedding").alias("b")
+    )
+    both = pair.select(
+        cosine_similarity("a", "b").alias("hof"),
+        cosine_cols("a", "b", 64).alias("unrolled"),
+    )
+    diff = both.filter(
+        ~(F.col("hof").eqNullSafe(F.col("unrolled")))
+    ).count()
+    assert diff == 0

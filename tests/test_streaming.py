@@ -384,3 +384,61 @@ def test_tws_sessionizer_with_event_time_timers(spark, tmp_path):
     b = got2[(1, ms(t0 + 95 * MIN))]
     assert b["session_end_ms"] == ms(t0 + 95 * MIN) and b["n_events"] == 1
     assert all(uid != 3 for uid, _ in got2)  # user 3 still open
+
+
+def test_stream_stream_left_outer_interval_join(spark):
+    """LEFT OUTER stream-stream join: matched purchases equal the batch
+    inner join; purchases with no view in the window emit exactly once,
+    NULL-padded (possible because availableNow's final watermark passes
+    every buffered row)."""
+    from parcel_analytics_etl_notebook_spark.streaming.joins import (
+        stream_stream_purchase_with_optional_view,
+    )
+
+    stream = read_events_stream(spark, SF)
+    q = (
+        stream_stream_purchase_with_optional_view(stream, max_gap="1 hour")
+        .writeStream.format("memory")
+        .queryName("ssloj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("ssloj").collect()
+
+    ev = table(spark, SF, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    # OUTER subtlety: a NULL-padded row only emits once the watermark
+    # proves no match can still arrive. The final watermark is
+    # max(event ts) − 2h, so unmatched purchases in the stream's last
+    # 2h stay buffered when availableNow ends — exclude them from the
+    # expectation (matched rows all emit regardless).
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as dt
+
+    cutoff = max_ts - dt.timedelta(hours=2)
+    expected = {
+        (r["purchase_event_id"], r["view_event_id"])
+        for r in batch.collect()
+        if r["view_event_id"] is not None or r["purchase_ts"] < cutoff
+    }
+    got_pairs = {(r["purchase_event_id"], r["view_event_id"]) for r in got}
+    assert got_pairs == expected
+    assert any(v is None for _, v in got_pairs)  # unmatched really emit
