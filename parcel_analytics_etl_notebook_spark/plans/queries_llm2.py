@@ -579,3 +579,26 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(d + 1, w[d]) for d in range(dim)], "dim_idx bigint, component double"
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate percentiles (sketch family, rows-only like the HLL query)
+# --------------------------------------------------------------------------
+@register("approx_token_percentiles", oracle=None)
+def approx_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language p50/p90/p99 of document token counts via
+    approx_percentile (KLL-style mergeable sketch, accuracy 1/1000).
+    Rows-only (``oracle=None``): the sketch's exact outputs are
+    engine-specific, like the HLL query — the error bound against exact
+    percentile() is unit-tested instead
+    (test_operators.test_approx_percentile_within_bound). At fact scale
+    this replaces exact percentile's per-group value buffering with
+    bounded sketch state — the same swap SCALING.md prescribes past
+    ~10⁷ rows/group."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("lang", F.size(tokens("text")).cast("bigint").alias("n_tokens"))
+    return t.groupBy("lang").agg(
+        F.expr("approx_percentile(n_tokens, 0.5, 1000)").alias("p50"),
+        F.expr("approx_percentile(n_tokens, 0.9, 1000)").alias("p90"),
+        F.expr("approx_percentile(n_tokens, 0.99, 1000)").alias("p99"),
+    )
