@@ -602,3 +602,60 @@ def approx_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(n_tokens, 0.9, 1000)").alias("p90"),
         F.expr("approx_percentile(n_tokens, 0.99, 1000)").alias("p99"),
     )
+
+
+# --------------------------------------------------------------------------
+# Token-budget curation: best docs per language until the budget fills
+# --------------------------------------------------------------------------
+@register(
+    "lang_token_budget_filter",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, lang, len({_SQL_TOKS}) AS n_tokens,
+           len(list_distinct({_SQL_TOKS})) / CAST(len({_SQL_TOKS}) AS DOUBLE) AS uniq
+    FROM documents
+    WHERE len({_SQL_TOKS}) > 0
+),
+r AS (
+    SELECT doc_id, lang, n_tokens,
+           sum(CAST(n_tokens AS DOUBLE)) OVER (
+               PARTITION BY lang
+               ORDER BY round(uniq, 6) DESC, n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+    FROM t
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM r WHERE run - n_tokens < 2000
+""",
+)
+def lang_token_budget_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped curation — the 'fill each language's quota with
+    the best documents' step of corpus assembly: rank docs per language
+    by uniqueness (then length, then id), take the per-language running
+    token sum, keep docs that START under a 2k-token budget (so the
+    boundary doc may overflow it — the standard greedy-fill rule,
+    deterministic).
+
+    Shape: one scan computes tokens+quality; one cumulative window per
+    language. Language is low-cardinality, so at 100 TB this window
+    would hot-spot ~5 tasks — there the same query runs per-language
+    via the two-pass global running sum (indexing.global_running_sum
+    filtered per group, or range-partitioned on (lang, rank)); the
+    window form here states the semantics the oracle checks."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks).cast("double")).alias("uniq"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.round(F.col("uniq"), 6).desc(), F.col("n_tokens").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = t.withColumn("run", F.sum(F.col("n_tokens").cast("double")).over(w))
+    return r.filter(F.col("run") - F.col("n_tokens") < 2000).select(
+        "doc_id", "lang", "n_tokens"
+    )

@@ -670,3 +670,25 @@ def test_approx_percentile_within_bound(spark, sf_dir):
             assert lo - slack <= exact_rank <= hi + slack, (
                 lang, col, got, exact_rank, lo, hi
             )
+
+
+def test_token_batch_packing_invariants(spark, sf_dir):
+    """Sequence-packing invariants: batch ids are dense from 0;
+    every batch's token total stays under budget + the largest doc it
+    holds (contiguous-fill allows only the boundary doc to overflow);
+    every doc appears exactly once."""
+    from parcel_analytics_etl_notebook_spark.plans.catalog import queries
+
+    rows = queries()["token_batch_packing"](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_id"], []).append(r["n_tokens"])
+    assert min(by_batch) == 0
+    assert sorted(by_batch) == list(range(len(by_batch)))  # dense ids
+    for bid, toks in by_batch.items():
+        if bid < max(by_batch):  # last batch may be underfull
+            assert sum(toks) >= 1  # non-empty
+        assert sum(toks) < 4096 + max(toks)  # boundary-doc overflow only
