@@ -659,3 +659,142 @@ def lang_token_budget_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.filter(F.col("run") - F.col("n_tokens") < 2000).select(
         "doc_id", "lang", "n_tokens"
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup candidate pairs (banded, hamming-verified)
+# --------------------------------------------------------------------------
+_SIMHASH_SQL_CTE = None  # built lazily below to reuse queries_llm fragments
+
+
+def _simhash_pairs_oracle() -> str:
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm import _SQL_POLY
+
+    ham = (
+        "CAST(list_sum(list_transform(range(0, 16), "
+        "j -> CASE WHEN ((a.simhash >> j) & 1) <> ((b.simhash >> j) & 1) "
+        "THEN 1 ELSE 0 END)) AS BIGINT)"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+h AS (SELECT doc_id, list_transform(l, tok -> {_SQL_POLY.format('tok')}) AS hh FROM t),
+f AS (
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 16),
+                j -> CASE WHEN list_sum(list_transform(hh,
+                               x -> CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                          THEN (1 << j) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM h
+),
+bands AS (SELECT doc_id, simhash, simhash % 256 AS lo, simhash // 256 AS hi FROM f),
+cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
+    FROM bands a JOIN bands b ON a.lo = b.lo AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+    FROM bands a JOIN bands b ON a.hi = b.hi AND a.doc_id < b.doc_id
+)
+SELECT * FROM (
+    SELECT a.id_a AS id_a, a.id_b AS id_b,
+           CAST(list_sum(list_transform(range(0, 16),
+                j -> CASE WHEN ((a.sa >> j) & 1) <> ((a.sb >> j) & 1)
+                     THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+    FROM cand a
+) v WHERE hamming <= 3
+"""
+
+
+@register("simhash_near_dup_pairs", oracle=_simhash_pairs_oracle())
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidate pairs: band the 16-bit fingerprint into two
+    8-bit halves, pair docs agreeing on EITHER half (two equi-joins +
+    union — never an OR-join, which Spark would plan as a nested
+    loop), then keep hamming ≤ 3. Pigeonhole guarantees recall for
+    hamming ≤ 1 with 2 bands; wider radii trade recall for join size
+    (add bands to widen). Completes the SimHash family:
+    simhash_fingerprints → candidates → verified near-dup pairs."""
+    from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
+        hamming_distance,
+        with_simhash,
+    )
+
+    f = with_simhash(table(spark, sf_dir, "documents"), bits=16)
+    bands = f.select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % 256).alias("lo"),
+        (F.col("simhash") / 256).cast("bigint").alias("hi"),
+    ).persist()
+
+    def half_join(key: str) -> DataFrame:
+        a, b = bands.alias("a"), bands.alias("b")
+        return a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+
+    cand = half_join("lo").unionByName(half_join("hi")).dropDuplicates()
+    return (
+        cand.withColumn("hamming", hamming_distance(F.col("sa"), F.col("sb"), 16))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix (labeled lang vs heuristic prediction)
+# --------------------------------------------------------------------------
+def _lang_confusion_oracle() -> str:
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm import (
+        _lang_score_sql,
+    )
+
+    g = "greatest(s_en, s_de, s_es, s_fr, s_zh)"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS l FROM documents),
+s AS (
+    SELECT doc_id, lang,
+           {_lang_score_sql('en')} AS s_en,
+           {_lang_score_sql('de')} AS s_de,
+           {_lang_score_sql('es')} AS s_es,
+           {_lang_score_sql('fr')} AS s_fr,
+           {_lang_score_sql('zh')} AS s_zh
+    FROM t
+),
+p AS (
+    SELECT lang,
+           CASE WHEN {g} = 0 THEN 'und'
+                WHEN s_en = {g} THEN 'en'
+                WHEN s_de = {g} THEN 'de'
+                WHEN s_es = {g} THEN 'es'
+                WHEN s_fr = {g} THEN 'fr'
+                ELSE 'zh' END AS predicted_lang
+    FROM s
+)
+SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM p GROUP BY lang, predicted_lang
+"""
+
+
+@register("lang_confusion_matrix", oracle=_lang_confusion_oracle())
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled language vs heuristic prediction, as a (lang,
+    predicted_lang, count) confusion matrix — the evaluation view a
+    pipeline publishes when swapping in a new language-ID model. One
+    projection + one small aggregate; at 100 TB the groupBy carries at
+    most |langs|² rows per partition after map-side combine."""
+    from parcel_analytics_etl_notebook_spark.operators.textqa import predict_lang
+
+    docs = table(spark, sf_dir, "documents")
+    p = docs.select(
+        "lang", predict_lang(tokens("text")).alias("predicted_lang")
+    )
+    return p.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
