@@ -133,3 +133,13 @@ def test_batch_packing_window_is_partitioned(spark):
 
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "__pid" in m.group(1)  # every window carries the pid key
+
+
+def test_simhash_pairs_avoid_nested_loop(spark):
+    """The either-half SimHash candidate join must plan as two hash
+    joins + union — an OR condition would fall to
+    BroadcastNestedLoopJoin/CartesianProduct, the at-scale killer."""
+    p = plan_of(spark, "simhash_near_dup_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Union" in p
