@@ -798,3 +798,46 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.groupBy("lang", "predicted_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketized range join (same semantics as value_band_stats, scale plan)
+# --------------------------------------------------------------------------
+@register(
+    "value_band_stats_bucketized",
+    oracle="""
+WITH bands(band, lo, hi) AS (
+    VALUES ('low', 0.0, 50.0), ('mid', 50.0, 100.0), ('high', 100.0, 1000000.0)
+)
+SELECT band,
+       count(*)              AS n_events,
+       round(sum(value), 2)  AS total_value,
+       round(avg(value), 4)  AS avg_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+""",
+)
+def value_band_stats_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_band_stats' EXACT semantics (identical oracle) through the
+    scale plan: operators/rangejoin.range_join_bucketized rewrites the
+    inequality join as explode-to-buckets + hash equi-join + residual
+    filter — no BroadcastNestedLoopJoin (plan-asserted in
+    test_plans.py), which is the form that survives a large interval
+    table. The catch-all 'high' band (hi = 10⁶) is clamped to the
+    observed max value for bucket generation only, so it doesn't
+    explode to 20k buckets."""
+    from parcel_analytics_etl_notebook_spark.operators.rangejoin import (
+        range_join_bucketized,
+    )
+
+    events = table(spark, sf_dir, "events").select("value")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 100.0), ("high", 100.0, 1000000.0)],
+        "band string, lo double, hi double",
+    )
+    joined = range_join_bucketized(events, bands, value_col="value", width=50.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )

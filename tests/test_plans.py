@@ -143,3 +143,11 @@ def test_simhash_pairs_avoid_nested_loop(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Union" in p
+
+
+def test_bucketized_range_join_is_hash_not_nested_loop(spark):
+    """The bucketized rewrite must eliminate the nested-loop range
+    join: hash join on the bucket key, residual filter after."""
+    p = plan_of(spark, "value_band_stats_bucketized")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
