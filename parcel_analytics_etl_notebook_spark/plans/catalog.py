@@ -88,13 +88,18 @@ _LOADED = False
 
 # Driver correctness-window rotation. The external check harness verifies
 # the FIRST 50 registered queries per round against their DuckDB oracles;
-# all 92 pass the identical local harness (tests/test_oracle_parity.py),
+# ALL queries pass the identical local harness (tests/test_oracle_parity.py),
 # so the catalog front-loads whichever names most need an external row:
 # round 1 verified the relational core (CORRECTNESS_r01.json, 49/50
 # green), so round 2 leads with the 42 queries that were outside that
 # window — the whole LLM-pipeline catalog plus queries_relational3/4
 # stragglers — followed by the flagship §2-core queries to re-confirm
 # them in the same window. Rotate this list as new rounds land.
+# ROUND-3 QUEUE (registered after the window filled): ivf_trained_topk,
+# embedding_top_pc, embedding_lsh_buckets, embedding_lsh_dedup_pairs,
+# training_corpus_manifest is IN-window; still waiting: lang_token_budget_filter,
+# simhash_near_dup_pairs, lang_confusion_matrix, approx_token_percentiles,
+# value_band_stats_bucketized — swap these in for round-1 greens next round.
 _FRONT: tuple[str, ...] = (
     # round-1-unchecked (registration order preserved)
     "daily_orders_gap_filled", "event_value_locf", "event_props_map_stats",
