@@ -89,19 +89,41 @@ def cosine_cols(a: str, b: str, dim: int) -> Column:
     unrolled into one ``F.expr`` (same left-associative fold order as
     :func:`cosine_similarity` → identical IEEE doubles, oracle-safe).
 
-    ~2× the HOF form warm (measured 10.3s → 4.9s scoring 200k 64-dim
-    pairs at sf0.1): the unrolled tree whole-stage-codegens while HOF
-    lambdas stay interpreted; repeated subtrees (each norm appears in
-    the guard and the divisor) are shared by codegen subexpression
-    elimination. Pays one codegen compile per unique plan — prefer it
-    on the pair-scoring hot path, keep the HOF form when ``dim`` is
-    unknown."""
+    CAVEAT: at dim≈64 the fused tree (dot + 2 norms + guard, the norms
+    appearing twice) exceeds the JVM's 64 KB codegen method limit, so
+    the WHOLE expression falls back to interpreted eval — slower than
+    the HOF form it was meant to beat (measured: ann_cosine_topk
+    1.40s → 3.52s when this crept onto the hot path in round 2). On
+    hot paths precompute per-side norm columns and use
+    :func:`cosine_prenormed` instead; keep this form only for small
+    ``dim`` or one-off expressions."""
     dot = _unrolled_dot_sql(a, b, dim)
     na = f"sqrt({_unrolled_dot_sql(a, a, dim)})"
     nb = f"sqrt({_unrolled_dot_sql(b, b, dim)})"
     return F.expr(
         f"CASE WHEN {na} = 0 OR {nb} = 0 THEN CAST(NULL AS DOUBLE) "
         f"ELSE ({dot}) / ({na} * {nb}) END"
+    )
+
+
+def cosine_prenormed(a: str, b: str, na: str, nb: str, dim: int) -> Column:
+    """Cosine between vector columns ``a``/``b`` whose L2 norms were
+    PRECOMPUTED into columns ``na``/``nb`` (each via
+    ``F.sqrt(norm_literal_sq(...))`` so the IEEE values match the fused
+    form exactly).
+
+    This is the hot-path form: the fully fused :func:`cosine_cols`
+    inlines dot + both norms + the zero-guard into one expression —
+    for dim=64 that overflows the JVM's 64 KB codegen method limit and
+    the whole expression falls back to interpreted eval (measured 2.5×
+    on ann_cosine_topk at sf0.1). Splitting the norms into their own
+    projected columns keeps every codegen unit under the limit while
+    producing bit-identical doubles: same left-associative fold per
+    chain, same ``dot / (na * nb)`` division order."""
+    dot_sql = _unrolled_dot_sql(a, b, dim)
+    return F.expr(
+        f"CASE WHEN {na} = 0 OR {nb} = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE ({dot_sql}) / ({na} * {nb}) END"
     )
 
 

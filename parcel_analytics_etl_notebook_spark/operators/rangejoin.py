@@ -30,6 +30,7 @@ def range_join_bucketized(
     hi_col: str = "hi",
     width: float = 50.0,
     clamp_hi: bool = True,
+    value_max: float | None = None,
 ) -> DataFrame:
     """Inner-join ``values`` to the intervals containing them
     (``lo <= value < hi``) via the bucketized equi-join rewrite.
@@ -37,18 +38,37 @@ def range_join_bucketized(
     Returns values columns + interval columns (minus helpers). Rows
     with NULL ``value_col`` never match — the same semantics the
     inequality predicate has.
+
+    ``value_max``: caller-supplied clamp bound (exact max not required —
+    any upper bound works; results are identical because the residual
+    filter uses the ORIGINAL interval bounds). Pass it at scale: the
+    fallback computes ``max(value_col)`` with a driver-side action,
+    which is a full extra scan of the big side.
     """
     if clamp_hi:
-        vmax = values.agg(F.max(value_col)).collect()[0][0]
+        vmax = value_max
+        if vmax is None:
+            vmax = values.agg(F.max(value_col)).collect()[0][0]
+        if vmax is None:
+            # empty/all-null values: the join result is empty whatever
+            # the intervals explode to — clamp to 0 to keep it bounded
+            vmax = 0.0
+        # intervals starting past every value can never match; dropping
+        # them also guarantees lo_bucket <= clamped hi_bucket below, so
+        # F.sequence never emits a descending (unbounded) bucket list
+        intervals = intervals.filter(F.col(lo_col) <= F.lit(float(vmax)))
         hi_bucket_src = F.least(F.col(hi_col), F.lit(float(vmax) + width))
     else:
         hi_bucket_src = F.col(hi_col)
+    lo_bkt = F.floor(F.col(lo_col) / width).cast("bigint")
+    # greatest() guards degenerate hi < lo intervals (empty by the
+    # residual filter anyway): sequence stays ascending and 1-long
     iv = intervals.withColumn(
         "__bkt",
         F.explode(
             F.sequence(
-                F.floor(F.col(lo_col) / width).cast("bigint"),
-                F.floor(hi_bucket_src / width).cast("bigint"),
+                lo_bkt,
+                F.greatest(lo_bkt, F.floor(hi_bucket_src / width).cast("bigint")),
             )
         ),
     )

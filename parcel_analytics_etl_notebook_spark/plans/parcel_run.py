@@ -81,6 +81,12 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--csv", help="input CSV (default: generate a fixture)")
     parser.add_argument("--out", default=None, help="warehouse output dir")
     parser.add_argument("--shipments", type=int, default=200)
+    parser.add_argument(
+        "--chart",
+        default=None,
+        help="also render the notebook's KPI bar chart here "
+        "(.png needs matplotlib; .svg is dependency-free)",
+    )
     args = parser.parse_args(argv)
 
     out_dir = args.out or tempfile.mkdtemp(prefix="parcel_warehouse_")
@@ -94,7 +100,18 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="parcel-etl")
     spark.sparkContext.setLogLevel("ERROR")
     kpi = run_parcel_etl(spark, csv_path, out_dir)
-    print(json.dumps({"warehouse": out_dir, "kpi": kpi}))
+    chart_path = None
+    if args.chart:
+        from parcel_analytics_etl_notebook_spark.plans.report import (
+            coverage_line,
+            render_kpi_chart,
+        )
+
+        fact = spark.read.parquet(os.path.join(out_dir, "FactShippingEvent"))
+        chart_path = render_kpi_chart(
+            kpi, args.chart, coverage=coverage_line(fact)
+        )
+    print(json.dumps({"warehouse": out_dir, "kpi": kpi, "chart": chart_path}))
     spark.stop()
     return 0
 

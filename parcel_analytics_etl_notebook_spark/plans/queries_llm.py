@@ -467,7 +467,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles. The correctness baseline every ANN variant is judged
     against."""
     emb = table(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10, dim=64)
+    # dim=None → HOF cosine: at this table's scale (2k rows × 64 dims)
+    # the unrolled-codegen form spends more on Janino COMPILE (~1.5s per
+    # unique plan) than interpreted eval costs; the crossover is ~10⁵
+    # rows, past which pass dim= to get the codegen'd prenormed form
+    # (cold 2.8s vs 1.36s HOF here; warm 0.92s vs 1.1s — measured r3)
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
 
 
 @register(
@@ -510,7 +515,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") == 0),
         k=5,
         n_probe=2,
-        dim=64,
+        # dim=None: compile-dominated at 2k rows — see ann_cosine_topk
     )
 
 
@@ -1132,8 +1137,8 @@ def ivf_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") != 0)
     query = emb.filter(F.col("vec_id") == 0)
     centroids = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 8))
-    approx = ivf_topk(corpus, centroids, query, k=5, n_probe=2, dim=64).select("vec_id")
-    exact = brute_force_topk(emb, query, k=5, dim=64).select("vec_id").withColumn(
+    approx = ivf_topk(corpus, centroids, query, k=5, n_probe=2).select("vec_id")
+    exact = brute_force_topk(emb, query, k=5).select("vec_id").withColumn(
         "__hit", F.lit(1)
     )
     return approx.join(exact, on="vec_id", how="left").agg(

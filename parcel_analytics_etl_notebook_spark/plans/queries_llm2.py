@@ -503,7 +503,7 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") == 0),
         k=5,
         n_probe=2,
-        dim=_KM_DIM,
+        # dim=None: compile-dominated at 2k rows — see ann_cosine_topk
     )
 
 

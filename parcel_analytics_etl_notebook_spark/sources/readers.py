@@ -57,6 +57,37 @@ def read_csv_multiline(
     return reader.csv(path)
 
 
+def stage_csv_to_parquet(
+    spark: SparkSession,
+    csv_path: str,
+    parquet_path: str,
+    schema: StructType | None = None,
+    target_files: int | None = None,
+    partition_by: list[str] | None = None,
+    **csv_opts,
+) -> DataFrame:
+    """One-shot heavy-ingest staging: multiline CSV → parquet, then
+    return the STAGED frame for all downstream work.
+
+    multiLine CSV is not splittable — every input file is one task no
+    matter its size (the 100 TB cliff :func:`read_csv_multiline`
+    documents; the reference re-reads its CSV per run,
+    ``etl/main.py:75-80``). This recipe pays that single-task scan ONCE,
+    rewrites into ``target_files`` parquet files (optionally
+    partitioned by e.g. an ingest-date column for pruning), and hands
+    back the parquet-backed frame — splittable, columnar, predicate-
+    pushdown-friendly. Every subsequent pass runs at full cluster
+    parallelism instead of one-task-per-CSV-file.
+    """
+    from parcel_analytics_etl_notebook_spark.sources.writers import write_parquet
+
+    raw = read_csv_multiline(spark, csv_path, schema=schema, **csv_opts)
+    write_parquet(
+        raw, parquet_path, partition_by=partition_by, target_files=target_files
+    )
+    return spark.read.parquet(parquet_path)
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan (``report.ipynb`` cell 3). Column pruning and
     predicate pushdown reach the scan automatically — keep filters

@@ -36,8 +36,32 @@ def write_parquet(
 def write_csv_audit(df: DataFrame, path: str) -> None:
     """Append-mode CSV audit sink replacing the reference's pandas
     read-concat-rewrite merge (``etl/main.py:304-315``) — append is
-    O(new rows), the reference's rewrite is O(history)."""
+    O(new rows), the reference's rewrite is O(history). The merged,
+    sorted view the reference materializes on every write is available
+    on demand via :func:`read_dq_report`."""
     df.coalesce(1).write.mode("append").option("header", True).csv(path)
+
+
+def read_dq_report(spark, path: str) -> DataFrame:
+    """Compacted read view of the append-mode DQ audit log: all
+    generations merged, newest first — the exact shape the reference
+    rewrites into its metadata CSV on every run (``etl/main.py:308-315``:
+    concat history, ``sort_values('timestamp', ascending=False)``),
+    recovered here at READ time so writes stay O(new rows).
+
+    The timestamp column is parsed to a real timestamp for the sort but
+    returned in its original string form (schema equals what was
+    written). Each append generation is a separate part file, so the
+    scan parallelizes across generations."""
+    df = spark.read.option("header", True).csv(path)
+    from pyspark.sql import functions as F
+
+    return (
+        df.orderBy(
+            F.to_timestamp("timestamp").desc(),
+            *[c for c in df.columns if c != "timestamp"],
+        )
+    )
 
 
 def write_bucketed_table(

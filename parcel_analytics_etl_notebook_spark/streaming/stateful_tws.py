@@ -162,9 +162,12 @@ class SessionizerProcessor(StatefulProcessor):
     once per closed session).
 
     Per key, state is the one OPEN session (start, last, count, sum).
-    Each batch folds its events (sorted by event time) into the open
-    session, EMITTING every session that a > gap jump closes; the still-
-    open tail goes back to state with a timer at last_event + gap. When
+    Each batch MERGES its events with the open session as sorted
+    intervals (so a late in-watermark event earlier than the open
+    session extends it backwards, or forms its own earlier session when
+    > gap before it), EMITTING every session that a > gap jump closes;
+    the still-open tail goes back to state with a timer at
+    last_event + gap. When
     the watermark passes that point, ``handleExpiredTimer`` emits the
     session and clears state — so state size is O(open sessions), never
     O(history), and a session with no successor still closes. This is
@@ -202,31 +205,37 @@ class SessionizerProcessor(StatefulProcessor):
             ).tolist()
             vals = pdf["value"].fillna(0.0).tolist()
             events.extend(zip(ts_ms, vals))
-        events.sort()
-        # seed with the open session (its internal gaps are already
-        # validated; it folds in as an atomic [start, last] interval)
+        if not events and not self._open.exists():
+            return
+        # Interval merge, not a forward fold: the open session from
+        # state enters as an atomic [start, last] interval ALONGSIDE the
+        # batch's events, all sorted by start — so a late (in-watermark)
+        # event EARLIER than the open session extends it backwards
+        # (start = min) when within gap, or forms its own separate
+        # earlier session when not, exactly matching the batch twin
+        # (operators/sessionize) over the same event set.
+        intervals: list[tuple[int, int, int, float]] = [
+            (t, t, 1, v) for t, v in sorted(events)
+        ]
         if self._open.exists():
-            start, last, n, total = self._open.get()
+            intervals.append(self._open.get())
             for t in self._handle.listTimers():
                 self._handle.deleteTimer(t)
-        else:
-            start = last = None
-            n, total = 0, 0.0
-        closed: list[tuple[int, int, int, float]] = []
-        for t, v in events:
-            if last is None:
-                start, last, n, total = t, t, 1, v
-            elif t - last > self._gap_ms:
-                closed.append((start, last, n, total))
-                start, last, n, total = t, t, 1, v
+        intervals.sort(key=lambda iv: (iv[0], iv[1]))
+        merged: list[tuple[int, int, int, float]] = [intervals[0]]
+        for s, e, n, v in intervals[1:]:
+            ps, pe, pn, pv = merged[-1]
+            if s - pe <= self._gap_ms:
+                merged[-1] = (ps, max(pe, e), pn + n, pv + v)
             else:
-                last = max(last, t)
-                n += 1
-                total += v
-        if last is not None:
-            self._open.update((start, last, n, total))
-            self._handle.registerTimer(last + self._gap_ms)
-        yield from self._out(key, closed)
+                merged.append((s, e, n, v))
+        # every merged session except the latest is definitively closed
+        # (a > gap jump follows it inside this batch); the latest stays
+        # open until its event-time timer fires
+        start, last, n, total = merged[-1]
+        self._open.update((start, last, n, total))
+        self._handle.registerTimer(last + self._gap_ms)
+        yield from self._out(key, merged[:-1])
 
     def handleExpiredTimer(
         self, key: Any, timerValues: Any, expiredTimerInfo: Any

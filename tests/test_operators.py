@@ -634,6 +634,35 @@ def test_cosine_cols_bitwise_equals_hof(spark):
     assert diff == 0
 
 
+def test_cosine_prenormed_bitwise_equals_hof(spark):
+    """The split-norm hot-path cosine (cosine_prenormed over projected
+    __na/__nb columns) must also be BIT-identical to the HOF form —
+    same fold per chain, same division order — so swapping it onto the
+    ANN hot path can't move any oracle hash."""
+    from parcel_analytics_etl_notebook_spark.functions.vectors import (
+        cosine_prenormed,
+        cosine_similarity,
+        norm_literal_sq,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pair = (
+        emb.alias("x")
+        .crossJoin(emb.alias("y").limit(3))
+        .select(
+            F.col("x.embedding").alias("a"), F.col("y.embedding").alias("b")
+        )
+        .withColumn("na", F.sqrt(norm_literal_sq("a", 64)))
+        .withColumn("nb", F.sqrt(norm_literal_sq("b", 64)))
+    )
+    both = pair.select(
+        cosine_similarity("a", "b").alias("hof"),
+        cosine_prenormed("a", "b", "na", "nb", 64).alias("split"),
+    )
+    diff = both.filter(~(F.col("hof").eqNullSafe(F.col("split")))).count()
+    assert diff == 0
+
+
 def test_approx_percentile_within_bound(spark, sf_dir):
     """approx_token_percentiles must land within the sketch's rank
     error of the exact percentiles (accuracy 1000 → ±0.1% rank; allow

@@ -7,6 +7,7 @@ payloads the reference reads)."""
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -230,6 +231,33 @@ def test_run_parcel_etl_end_to_end(spark, tmp_path):
         str(tmp_path / "wh" / "metadata" / "dq_report")
     )
     assert audit.filter(F.col("status") == "PASS").count() > 0
+
+    # report layer: the notebook's annotated KPI bar chart from the run's
+    # KPI dict (matplotlib when installed, SVG twin otherwise)
+    from parcel_analytics_etl_notebook_spark.plans.report import (
+        coverage_line,
+        render_kpi_chart,
+    )
+
+    chart = str(tmp_path / "kpi_report.svg")
+    render_kpi_chart(kpi, chart, coverage=coverage_line(fact))
+    svg = open(chart).read()
+    assert svg.count('class="kpi-bar"') == 3  # three KPI bars
+    assert f"{kpi['avg_delivery_days']:.2f}" in svg  # value annotation
+    assert f"{kpi['total_packages']:,}" in svg  # total-packages box
+    assert "Data covers:" in svg  # coverage subtitle
+    try:
+        import matplotlib  # noqa: F401
+
+        png = render_kpi_chart(
+            kpi, str(tmp_path / "kpi_report.png"), coverage=coverage_line(fact)
+        )
+        assert os.path.getsize(png) > 0
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError, match="matplotlib"):
+            render_kpi_chart(kpi, str(tmp_path / "kpi_report.png"))
 
 
 def test_fixture_exercises_multiline_csv(spark, tmp_path):

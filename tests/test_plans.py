@@ -151,3 +151,38 @@ def test_bucketized_range_join_is_hash_not_nested_loop(spark):
     p = plan_of(spark, "value_band_stats_bucketized")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_bucketized_range_join_edge_cases(spark):
+    """Empty values frame must not raise (vmax None), intervals past
+    the value max must not explode a descending bucket sequence, and a
+    caller-supplied value_max must skip the extra scan yet match."""
+    from parcel_analytics_etl_notebook_spark.operators.rangejoin import (
+        range_join_bucketized,
+    )
+
+    vals = spark.createDataFrame(
+        [(1, 10.0), (2, 75.0), (3, None)], "id int, v double"
+    )
+    # catch-all interval + one far past vmax (lo=1e9 would explode ~2e7
+    # buckets if the lo bucket weren't dropped/clamped)
+    bands = spark.createDataFrame(
+        [("all", 0.0, 1e12), ("far", 1e9, 2e9), ("mid", 50.0, 100.0)],
+        "band string, lo double, hi double",
+    )
+    got = range_join_bucketized(vals, bands, "v", width=50.0)
+    rows = {(r["id"], r["band"]) for r in got.collect()}
+    assert rows == {(1, "all"), (2, "all"), (2, "mid")}
+
+    # caller-supplied bound (any upper bound, not necessarily exact max)
+    got2 = range_join_bucketized(vals, bands, "v", width=50.0, value_max=500.0)
+    assert {(r["id"], r["band"]) for r in got2.collect()} == rows
+
+    empty = spark.createDataFrame([], "id int, v double")
+    assert range_join_bucketized(empty, bands, "v", width=50.0).count() == 0
+
+    # degenerate hi < lo interval: no match, no descending sequence
+    degen = spark.createDataFrame(
+        [("bad", 100.0, 0.0)], "band string, lo double, hi double"
+    )
+    assert range_join_bucketized(vals, degen, "v", width=50.0).count() == 0

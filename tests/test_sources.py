@@ -64,6 +64,63 @@ def test_csv_audit_sink_appends(spark, tmp_path):
     assert {r["check"] for r in back.collect()} == {"cp1", "cp2"}
 
 
+def test_stage_csv_to_parquet_restores_parallelism(spark, tmp_path):
+    """The staging recipe must round-trip a multiline CSV (embedded
+    newlines intact) into a MULTI-FILE parquet copy whose scan planning
+    is no longer one-task-per-file — the documented multiLine cliff."""
+    from parcel_analytics_etl_notebook_spark.plans.parcel_fixtures import (
+        write_fixture_csv,
+    )
+    from parcel_analytics_etl_notebook_spark.sources.readers import (
+        read_csv_multiline,
+        stage_csv_to_parquet,
+    )
+
+    csv_path = str(tmp_path / "raw.csv")
+    write_fixture_csv(csv_path, n_shipments=60)
+    raw = read_csv_multiline(spark, csv_path)
+    n_raw = raw.count()
+    # the cliff itself: one CSV file == one task, regardless of size
+    assert raw.rdd.getNumPartitions() == 1
+
+    staged = stage_csv_to_parquet(
+        spark, csv_path, str(tmp_path / "staged"), target_files=4
+    )
+    assert staged.count() == n_raw
+    assert len(glob.glob(str(tmp_path / "staged" / "*.parquet"))) == 4
+    # staged scan plans multiple tasks — parallelism restored
+    assert staged.rdd.getNumPartitions() > 1
+    # embedded newlines survived the round trip
+    multi = staged.filter(F.col(staged.columns[-1]).contains("\n")).count()
+    raw_multi = raw.filter(F.col(raw.columns[-1]).contains("\n")).count()
+    assert multi == raw_multi and multi > 0
+
+
+def test_dq_report_read_view_merges_generations(spark, tmp_path):
+    """read_dq_report must return ALL append generations merged, newest
+    first — the view the reference materializes by rewriting the whole
+    CSV on every run (etl/main.py:308-315), recovered at read time."""
+    from parcel_analytics_etl_notebook_spark.sources.writers import read_dq_report
+
+    out = str(tmp_path / "audit")
+    schema = "checkpoint string, check string, status string, timestamp string"
+    g1 = spark.createDataFrame(
+        [("run1", "nonempty", "PASS", "2024-01-01 10:00:00")], schema
+    )
+    g2 = spark.createDataFrame(
+        [("run2", "nonempty", "PASS", "2024-02-01 10:00:00"),
+         ("run2", "nulls", "FAIL", "2024-02-01 10:00:01")], schema
+    )
+    write_csv_audit(g1, out)
+    write_csv_audit(g2, out)
+    view = read_dq_report(spark, out)
+    rows = view.collect()
+    assert [r["timestamp"] for r in rows] == [
+        "2024-02-01 10:00:01", "2024-02-01 10:00:00", "2024-01-01 10:00:00",
+    ]
+    assert view.columns == ["checkpoint", "check", "status", "timestamp"]
+
+
 def test_approx_distinct_error_bound(spark):
     """HLL++ at rsd=0.02 must land within a loose 10% of exact counts."""
     approx = {
