@@ -128,12 +128,14 @@ def _ensure_loaded() -> None:
         queries_relational2,
         queries_relational3,
         queries_relational4,
+        queries_relational5,
     )
 
     try:
         from parcel_analytics_etl_notebook_spark.plans import (  # noqa: F401
             queries_llm,
             queries_llm2,
+            queries_llm3,
         )
     except ImportError:
         pass

@@ -133,16 +133,44 @@ def event_date_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.crossJoin(o)
 
 
-@register("approx_distinct_users", oracle=None)  # sketch ≠ exact: rows-only
+@register(
+    "approx_distinct_users",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS sketch_within_10pct
+FROM events
+GROUP BY event_type
+""",
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user counts per event type — the 100-TB
     substitute for exact countDistinct (reference A6): no expand, one
-    pass, mergeable sketches. Not oracle-checked (DuckDB's approx
-    sketch differs); the unit test bounds its error vs exact."""
+    pass, mergeable sketches.
+
+    Sketch estimates can't be hash-compared across engines (DuckDB's
+    HLL differs), so the sketch is verified as a DETERMINISTIC bound
+    flag instead: Spark evaluates |approx − exact| ≤ max(2, 10%·exact)
+    in-query and the oracle pins the flag TRUE — a drifting sketch
+    flips the value hash. The exact columns hash-match as usual. The
+    exact countDistinct exists here only to make the sketch externally
+    checkable; the production path is the sketch alone (drop the exact
+    column and the expand it costs goes with it)."""
     events = table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    agg = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("__approx"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("__approx") - F.col("exact_users"))
+            <= F.greatest(F.lit(2), F.round(0.1 * F.col("exact_users")))
+        ).alias("sketch_within_10pct"),
     )
 
 

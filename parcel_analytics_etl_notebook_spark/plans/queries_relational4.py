@@ -234,18 +234,27 @@ GROUP BY depth
     )
 
 
-@register("daily_users_hll_sketch", oracle=None)
+@register(
+    "daily_users_hll_sketch",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS union_within_5pct
+FROM events
+""",
+)
 def daily_users_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL,
     Spark 4 native): per-day user sketches via hll_sketch_agg, re-merged
-    with hll_union_agg into running and global estimates — the
-    incremental-rollup answer to countDistinct at 100 TB, where exact
-    distinct across days/partitions can't be pre-aggregated but
-    sketches can.
+    with hll_union_agg into a global estimate — the incremental-rollup
+    answer to countDistinct at 100 TB, where exact distinct across
+    days/partitions can't be pre-aggregated but sketches can.
 
-    Rows-only oracle: DuckDB's approx_count_distinct is a different HLL
-    implementation with different estimates; the error-bound unit test
-    (tests/test_operators.py) checks estimates against exact counts.
+    Cross-engine sketch estimates differ, so (as in
+    approx_distinct_users) the union estimate is verified as a
+    deterministic bound flag the oracle pins TRUE, alongside
+    hash-checked exact columns; the exact distinct exists only for
+    that external check — production rolls up sketches alone.
 
     Scale: sketch partials merge map-side like any algebraic aggregate
     (~1.5 KB per sketch at lgk=12); the day->global re-merge moves
@@ -257,11 +266,20 @@ def daily_users_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.hll_sketch_agg("user_id").alias("sketch"))
     )
-    return (
-        daily.agg(
-            F.count(F.lit(1)).alias("n_days"),
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
-        )
+    merged = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("__approx"),
+    )
+    exact = ev.agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return merged.crossJoin(exact).select(
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("__approx") - F.col("exact_users"))
+            <= F.greatest(F.lit(2), F.round(0.05 * F.col("exact_users")))
+        ).alias("union_within_5pct"),
     )
 
 

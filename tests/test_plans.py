@@ -153,6 +153,32 @@ def test_bucketized_range_join_is_hash_not_nested_loop(spark):
     assert "CartesianProduct" not in p
 
 
+def test_tpch_q3_plan_shape(spark):
+    """Q3: segment/date filters pushed to the scans, filtered customer
+    broadcast, top-10 via TakeOrderedAndProject (never a global sort)."""
+    p = plan_of(spark, "shipping_priority_top10")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "IsNotNull(c_mktsegment)" in p or "EqualTo(c_mktsegment" in p
+    assert "GreaterThan(l_shipdate" in p  # pushed into the lineitem scan
+
+
+def test_tpch_q5_single_big_shuffle(spark):
+    """Q5's only non-broadcast join is lineitem⋈orders: all four dims
+    must broadcast, so exactly one shuffle join survives."""
+    p = plan_of(spark, "local_supplier_volume")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1
+
+
+def test_top_bigrams_window_group_limit(spark):
+    """The per-lang top-5 rank must be WindowGroupLimit-pruned map-side
+    (Spark >=3.5) — the shuffle then carries <=5 rows per partition per
+    lang instead of every bigram."""
+    p = plan_of(spark, "top_bigrams_per_lang")
+    assert "WindowGroupLimit" in p
+
+
 def test_bucketized_range_join_edge_cases(spark):
     """Empty values frame must not raise (vmax None), intervals past
     the value max must not explode a descending bucket sequence, and a

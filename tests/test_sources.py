@@ -122,13 +122,12 @@ def test_dq_report_read_view_merges_generations(spark, tmp_path):
 
 
 def test_approx_distinct_error_bound(spark):
-    """HLL++ at rsd=0.02 must land within a loose 10% of exact counts."""
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in queries()["approx_distinct_users"](
-            spark, "/root/testdata/sf0.001"
-        ).collect()
-    }
+    """HLL++ at rsd=0.02 must land within a loose 10% of exact counts —
+    now encoded IN the query as the oracle-pinned sketch_within_10pct
+    flag, with exact_users hash-checked by the oracle."""
+    rows = queries()["approx_distinct_users"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
     exact = {
         r["event_type"]: r["x"]
         for r in table(spark, "/root/testdata/sf0.001", "events")
@@ -136,8 +135,10 @@ def test_approx_distinct_error_bound(spark):
         .agg(F.count_distinct("user_id").alias("x"))
         .collect()
     }
-    for et, ex in exact.items():
-        assert abs(approx[et] - ex) <= max(2, 0.1 * ex), (et, approx[et], ex)
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert r["sketch_within_10pct"] is True, r
+        assert r["exact_users"] == exact[r["event_type"]]
 
 
 def test_compact_parquet(spark, tmp_path):
