@@ -534,3 +534,128 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 2.0).alias("is_outlier"),
         )
     )
+
+
+@register(
+    "ngram_novelty_rate",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS l FROM documents),
+flags AS (SELECT doc_id, (doc_id * 2654435761) % 10 < 8 AS is_train FROM documents),
+b AS (SELECT t.doc_id, t.lang,
+             unnest(list_transform(range(1, len(l)),
+                 i -> l[i] || ' ' || l[i+1])) AS bigram
+      FROM t WHERE len(l) >= 2),
+train_b AS (SELECT DISTINCT lang, bigram FROM b JOIN flags USING (doc_id)
+            WHERE is_train),
+test_b AS (SELECT DISTINCT lang, bigram FROM b JOIN flags USING (doc_id)
+           WHERE NOT is_train)
+SELECT te.lang,
+       CAST(count(*) AS BIGINT) AS n_test_bigrams,
+       CAST(sum(CASE WHEN tr.bigram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       round(sum(CASE WHEN tr.bigram IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS novelty_rate
+FROM test_b te
+LEFT JOIN train_b tr ON te.lang = tr.lang AND te.bigram = tr.bigram
+GROUP BY te.lang ORDER BY te.lang
+""",
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-bigram novelty of the eval split vs the train split,
+    per language (same deterministic hash split as
+    stratified_split_documents / split_contamination_rate) — the LM
+    generalization probe: low novelty means the eval set mostly
+    re-tests memorized n-grams. Distinct-reduce BEFORE the join, so
+    the anti-probe shuffles only unique (lang, bigram) pairs."""
+    docs = table(spark, sf_dir, "documents")
+    flags = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * F.lit(2654435761)) % 10 < 8).alias("is_train"),
+    )
+    b = (
+        docs.select("doc_id", "lang", tokens("text").alias("l"))
+        .filter(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(l)-2), "
+                    "i -> concat_ws(' ', l[i], l[i+1]))"
+                )
+            ).alias("bigram"),
+        )
+        .join(flags, on="doc_id")
+    )
+    train_b = (
+        b.filter(F.col("is_train")).select("lang", "bigram").distinct()
+    )
+    test_b = (
+        b.filter(~F.col("is_train")).select("lang", "bigram").distinct()
+    )
+    novel = F.when(F.col("__hit").isNull(), 1).otherwise(0)
+    return (
+        test_b.join(
+            train_b.withColumn("__hit", F.lit(1)),
+            on=["lang", "bigram"],
+            how="left",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_bigrams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(F.sum(novel) / F.count(F.lit(1)), 4).alias("novelty_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "source_mixture_weights",
+    oracle=f"""
+WITH t AS (SELECT source, doc_id, len({_SQL_TOKS}) AS n FROM documents),
+agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS n_tokens
+        FROM t GROUP BY source),
+tot AS (SELECT sum(n_tokens) AS total FROM agg)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / total, 6) AS actual_share,
+       round((1.0 / (SELECT count(*) FROM agg)) / (n_tokens / total), 4)
+           AS uniform_weight
+FROM agg, tot ORDER BY source
+""",
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights that rebalance the corpus to a
+    UNIFORM token share across sources — the mixture-reweighting step
+    every pretraining data recipe applies (upweight rare domains,
+    downweight dominant ones). weight = target_share / actual_share;
+    a sampler multiplies per-doc selection probability by it. One
+    explode-free token-count pass + a |sources|-row aggregate and a
+    scalar total broadcast back."""
+    docs = table(spark, sf_dir, "documents")
+    agg = docs.select(
+        "source", F.size(tokens("text")).cast("bigint").alias("n")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+    )
+    tot = agg.agg(
+        F.sum("n_tokens").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("total"), 6).alias("actual_share"),
+            F.round(
+                (1.0 / F.col("n_sources"))
+                / (F.col("n_tokens") / F.col("total")),
+                4,
+            ).alias("uniform_weight"),
+        )
+        .orderBy("source")
+    )

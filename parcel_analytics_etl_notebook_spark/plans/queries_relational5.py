@@ -206,3 +206,133 @@ def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("supplier_cnt").desc(), "p_brand")
     )
+
+
+@register(
+    "returned_items_report",
+    oracle="""
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned items): top 20 customers by revenue of
+    returned lines in a quarter — the "who is hurting us" report. The
+    returnflag + date filters push into the scans; customer and nation
+    broadcast; top-20 via TakeOrderedAndProject."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(  # noqa: E741
+        F.col("l_returnflag") == "R"
+    )
+    n = table(spark, sf_dir, "nation")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "customer_spend_distribution",
+    oracle="""
+WITH spend AS (
+    SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment,
+           round(sum(o.o_totalprice), 2) AS total_spend
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+)
+SELECT c_custkey, c_mktsegment, total_spend,
+       round(percent_rank() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY total_spend), 6) AS spend_pr,
+       round(cume_dist() OVER (PARTITION BY c_mktsegment
+                               ORDER BY total_spend), 6) AS spend_cd
+FROM spend
+""",
+)
+def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-segment spend distribution via percent_rank + cume_dist —
+    the distribution-function window family (reference's window gap,
+    SURVEY §2.5). Both functions depend only on the ORDER key, so ties
+    yield identical values on any engine; spend is rounded before
+    ranking so float jitter can't reorder. One agg + one window on the
+    same segment partitioning."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("total_spend")
+    return spend.select(
+        "c_custkey",
+        "c_mktsegment",
+        "total_spend",
+        F.round(F.percent_rank().over(w), 6).alias("spend_pr"),
+        F.round(F.cume_dist().over(w), 6).alias("spend_cd"),
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+)
+SELECT event_type, next_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type),
+             4) AS p_next
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY event_type, next_type
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (lead window ordered by ts with the event_id tiebreak —
+    deterministic under timestamp collisions). The classic
+    behavioral-analytics view; one shuffle on user_id for the window,
+    then a |types|²-row aggregate with a tiny share window on top."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    share = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(share), 4).alias("p_next"),
+    ).orderBy("event_type", "next_type")

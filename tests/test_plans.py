@@ -179,6 +179,21 @@ def test_top_bigrams_window_group_limit(spark):
     assert "WindowGroupLimit" in p
 
 
+def test_tpch_q10_plan_shape(spark):
+    """Q10: the returnflag filter must reach the lineitem scan and the
+    top-20 must be TakeOrderedAndProject."""
+    p = plan_of(spark, "returned_items_report")
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(l_returnflag,R)" in p
+
+
+def test_transition_matrix_single_user_shuffle(spark):
+    """The lead window shuffles once on user_id; the (type, next_type)
+    aggregate is map-side combinable on top of it."""
+    p = plan_of(spark, "event_transition_matrix")
+    assert p.count("hashpartitioning(user_id") == 1
+
+
 def test_bucketized_range_join_edge_cases(spark):
     """Empty values frame must not raise (vmax None), intervals past
     the value max must not explode a descending bucket sequence, and a
