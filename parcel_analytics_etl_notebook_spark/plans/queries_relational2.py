@@ -158,10 +158,17 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkable; the production path is the sketch alone (drop the exact
     column and the expand it costs goes with it)."""
     events = table(spark, sf_dir, "events")
-    agg = events.groupBy("event_type").agg(
+    # dedup-first instead of count_distinct's expand: one map-side-
+    # combinable shuffle to (type, user) with per-pair event counts,
+    # then exact = count, total = sum, and the HLL over the deduped
+    # keys — identical estimate, since HLL is duplicate-insensitive
+    pairs = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    agg = pairs.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("__approx"),
-        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
-        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("exact_users"),
+        F.sum("__c").alias("n_events"),
     )
     return agg.select(
         "event_type",

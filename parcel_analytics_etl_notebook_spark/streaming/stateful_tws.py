@@ -161,24 +161,27 @@ class SessionizerProcessor(StatefulProcessor):
     per-session state or output (here: value totals emitted exactly
     once per closed session).
 
-    Per key, state is the one OPEN session (start, last, count, sum).
-    Each batch MERGES its events with the open session as sorted
-    intervals (so a late in-watermark event earlier than the open
-    session extends it backwards, or forms its own earlier session when
-    > gap before it), EMITTING every session that a > gap jump closes;
-    the still-open tail goes back to state with a timer at
-    last_event + gap. When
-    the watermark passes that point, ``handleExpiredTimer`` emits the
-    session and clears state — so state size is O(open sessions), never
-    O(history), and a session with no successor still closes. This is
-    the streaming twin of operators/sessionize.session_stats.
+    Per key, state is the LIST of pending sessions (start, last, count,
+    sum). Each batch MERGES its events with the pending sessions as
+    sorted intervals — so a late (in-watermark) event earlier than a
+    pending session extends it backwards, bridges two pending sessions
+    into one, or forms its own earlier session. A session is EMITTED
+    only once the event-time watermark passes ``last + gap`` (checked
+    on input and again when the timer at the earliest pending expiry
+    fires) — an in-batch gap alone is NOT enough to close a session,
+    because a later batch may still deliver an in-watermark event that
+    belongs to it (the property test drives exactly that interleaving).
+    State is O(pending sessions), never O(history). This is the
+    streaming twin of operators/sessionize.session_stats.
     """
 
     def __init__(self, gap_ms: int = 30 * 60 * 1000) -> None:
         self._gap_ms = gap_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self._open = handle.getValueState("open_session", _SESSION_STATE_SCHEMA)
+        self._pending = handle.getListState(
+            "pending_sessions", _SESSION_STATE_SCHEMA
+        )
         self._handle = handle
 
     def _out(self, key, sessions) -> Iterator[pd.DataFrame]:
@@ -193,6 +196,29 @@ class SessionizerProcessor(StatefulProcessor):
                 }
             )
 
+    @staticmethod
+    def _watermark_ms(timerValues: Any) -> int:
+        try:
+            wm = timerValues.getCurrentWatermarkInMs()
+            return int(wm) if wm is not None else -1
+        except Exception:
+            return -1
+
+    def _flush(self, key, pending, wm_ms: int) -> Iterator[pd.DataFrame]:
+        """Emit every pending session the watermark has passed; store
+        the rest with a timer at the earliest remaining expiry."""
+        closed = [s for s in pending if s[1] + self._gap_ms <= wm_ms]
+        kept = [s for s in pending if s[1] + self._gap_ms > wm_ms]
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._pending.clear()
+        if kept:
+            self._pending.put(kept)
+            self._handle.registerTimer(
+                min(s[1] for s in kept) + self._gap_ms
+            )
+        yield from self._out(key, closed)
+
     def handleInputRows(
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
     ) -> Iterator[pd.DataFrame]:
@@ -205,22 +231,17 @@ class SessionizerProcessor(StatefulProcessor):
             ).tolist()
             vals = pdf["value"].fillna(0.0).tolist()
             events.extend(zip(ts_ms, vals))
-        if not events and not self._open.exists():
-            return
-        # Interval merge, not a forward fold: the open session from
-        # state enters as an atomic [start, last] interval ALONGSIDE the
-        # batch's events, all sorted by start — so a late (in-watermark)
-        # event EARLIER than the open session extends it backwards
-        # (start = min) when within gap, or forms its own separate
-        # earlier session when not, exactly matching the batch twin
-        # (operators/sessionize) over the same event set.
         intervals: list[tuple[int, int, int, float]] = [
-            (t, t, 1, v) for t, v in sorted(events)
+            (t, t, 1, v) for t, v in events
         ]
-        if self._open.exists():
-            intervals.append(self._open.get())
-            for t in self._handle.listTimers():
-                self._handle.deleteTimer(t)
+        if self._pending.exists():
+            intervals.extend(tuple(s) for s in self._pending.get())
+        if not intervals:
+            return
+        # interval merge: pending sessions enter as atomic [start, last]
+        # blocks alongside single-event intervals, all sorted by start —
+        # late events extend/bridge/precede pending sessions exactly as
+        # the batch twin would over the union of all events seen
         intervals.sort(key=lambda iv: (iv[0], iv[1]))
         merged: list[tuple[int, int, int, float]] = [intervals[0]]
         for s, e, n, v in intervals[1:]:
@@ -229,21 +250,15 @@ class SessionizerProcessor(StatefulProcessor):
                 merged[-1] = (ps, max(pe, e), pn + n, pv + v)
             else:
                 merged.append((s, e, n, v))
-        # every merged session except the latest is definitively closed
-        # (a > gap jump follows it inside this batch); the latest stays
-        # open until its event-time timer fires
-        start, last, n, total = merged[-1]
-        self._open.update((start, last, n, total))
-        self._handle.registerTimer(last + self._gap_ms)
-        yield from self._out(key, merged[:-1])
+        yield from self._flush(key, merged, self._watermark_ms(timerValues))
 
     def handleExpiredTimer(
         self, key: Any, timerValues: Any, expiredTimerInfo: Any
     ) -> Iterator[pd.DataFrame]:
-        if self._open.exists():
-            start, last, n, total = self._open.get()
-            self._open.clear()
-            yield from self._out(key, [(start, last, n, total)])
+        if not self._pending.exists():
+            return
+        pending = [tuple(s) for s in self._pending.get()]
+        yield from self._flush(key, pending, self._watermark_ms(timerValues))
 
     def close(self) -> None:
         pass

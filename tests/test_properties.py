@@ -149,3 +149,105 @@ def test_global_index_is_the_sorted_permutation(spark, rows, nparts):
     expected = {t: i + 1 for i, t in enumerate(sorted(rows))}
     for r in out:
         assert r["global_idx"] == expected[(r["a"], r["b"])]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.one_of(st.none(), st.floats(-500, 500)), min_size=0, max_size=25),
+    st.lists(
+        st.tuples(st.floats(-500, 500), st.floats(-500, 2000)),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([7.0, 50.0, 400.0]),
+)
+def test_bucketized_range_join_matches_inequality_join(spark, vals, ivs, width):
+    """The bucketized rewrite == the plain inequality join for ANY
+    values/intervals (nulls, empty sides, degenerate hi<lo, intervals
+    past the value max, any width)."""
+    from parcel_analytics_etl_notebook_spark.operators.rangejoin import (
+        range_join_bucketized,
+    )
+
+    values = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)] or [(0, None)], "id int, v double"
+    )
+    ivs_rows = [(j, lo, hi) for j, (lo, hi) in enumerate(ivs)]
+    intervals = spark.createDataFrame(ivs_rows, "band int, lo double, hi double")
+    got = {
+        (r["id"], r["band"])
+        for r in range_join_bucketized(
+            values, intervals, "v", width=width
+        ).collect()
+    }
+    expected = {
+        (i, j)
+        for i, v in enumerate(vals)
+        if v is not None
+        for j, (lo, hi) in enumerate(ivs)
+        if lo <= v < hi
+    }
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    st.integers(1, 3),
+)
+def test_tws_sessionizer_interval_merge_matches_model(ts_units, n_batches):
+    """Streaming sessionizer over ANY batch split / arrival order ==
+    one-shot gap sessionization of the union — late events must extend
+    pending sessions backwards, bridge them, or form earlier sessions,
+    and nothing may close before the watermark allows it (the hazard:
+    an in-batch gap is not sufficient evidence a session is over)."""
+    import pandas as pd
+
+    from parcel_analytics_etl_notebook_spark.streaming.stateful_tws import (
+        SessionizerProcessor,
+    )
+    from tests.test_streaming import FakeTimerValues, FakeTWSHandle
+
+    GAP = 10
+    proc = SessionizerProcessor(gap_ms=GAP)
+    handle = FakeTWSHandle()
+    proc.init(handle)
+
+    chunks = [ts_units[i::n_batches] for i in range(n_batches)]
+    emitted = []
+
+    def drain(outs):
+        for out in outs:
+            emitted.extend(
+                (r.session_start_ms, r.session_end_ms, r.n_events)
+                for r in out.itertuples(index=False)
+            )
+
+    for chunk in chunks:
+        if not chunk:
+            continue
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(list(chunk), unit="ms"),
+                "value": [1.0] * len(chunk),
+            }
+        )
+        # watermark stuck at -1 while data is in flight: nothing closes
+        drain(proc.handleInputRows((1,), iter([pdf]), FakeTimerValues(-1)))
+    assert emitted == []  # watermark never advanced
+    # watermark jumps past everything → all sessions emit exactly once
+    drain(proc.handleExpiredTimer((1,), FakeTimerValues(10**9), None))
+    assert not handle._s.exists()
+
+    all_ts = sorted(ts_units)
+    model = []
+    cur = [all_ts[0], all_ts[0], 1]
+    for t in all_ts[1:]:
+        if t - cur[1] > GAP:
+            model.append(tuple(cur))
+            cur = [t, t, 1]
+        else:
+            cur[1] = t
+            cur[2] += 1
+    model.append(tuple(cur))
+    assert sorted(emitted) == sorted(model)

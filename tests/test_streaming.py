@@ -386,80 +386,105 @@ def test_tws_sessionizer_with_event_time_timers(spark, tmp_path):
     assert all(uid != 3 for uid, _ in got2)  # user 3 still open
 
 
+class FakeListState:
+    def __init__(self):
+        self.v = []
+
+    def exists(self):
+        return bool(self.v)
+
+    def get(self):
+        return iter(self.v)
+
+    def put(self, rows):
+        self.v = [tuple(r) for r in rows]
+
+    def clear(self):
+        self.v = []
+
+
+class FakeTWSHandle:
+    def __init__(self):
+        self._s = FakeListState()
+        self.timers = []
+
+    def getListState(self, name, schema):
+        return self._s
+
+    def listTimers(self):
+        return list(self.timers)
+
+    def deleteTimer(self, t):
+        self.timers.remove(t)
+
+    def registerTimer(self, t):
+        self.timers.append(t)
+
+
+class FakeTimerValues:
+    def __init__(self, wm_ms):
+        self._wm = wm_ms
+
+    def getCurrentWatermarkInMs(self):
+        return self._wm
+
+
 def test_tws_sessionizer_backwards_extension_unit():
-    """A late in-watermark event EARLIER than the open session must
-    extend it backwards (within gap) or close as its own earlier
-    session (> gap before start) — matching the batch sessionization
-    twin. Pure-python unit test over the processor with a fake handle
-    (the streaming harness can't easily inject out-of-order batches)."""
+    """A late in-watermark event EARLIER than a pending session must
+    extend it backwards (within gap) or form its own earlier PENDING
+    session (> gap before start) — and nothing may emit before the
+    watermark passes last+gap, even across an in-batch gap (a later
+    batch can still deliver an in-watermark event for it). Pure-python
+    unit test over the processor with a fake handle."""
     import pandas as pd
 
     from parcel_analytics_etl_notebook_spark.streaming.stateful_tws import (
         SessionizerProcessor,
     )
 
-    class FakeState:
-        def __init__(self):
-            self.v = None
-
-        def exists(self):
-            return self.v is not None
-
-        def get(self):
-            return self.v
-
-        def update(self, v):
-            self.v = tuple(v)
-
-        def clear(self):
-            self.v = None
-
-    class FakeHandle:
-        def __init__(self, state):
-            self._s = state
-            self.timers = []
-
-        def getValueState(self, name, schema):
-            return self._s
-
-        def listTimers(self):
-            return list(self.timers)
-
-        def deleteTimer(self, t):
-            self.timers.remove(t)
-
-        def registerTimer(self, t):
-            self.timers.append(t)
-
     GAP = 30 * 60 * 1000
     proc = SessionizerProcessor(gap_ms=GAP)
-    state = FakeHandle(FakeState())
-    proc.init(state)
+    handle = FakeTWSHandle()
+    proc.init(handle)
 
-    def feed(ms_vals):
+    def feed(ms_vals, wm=-1):
         pdf = pd.DataFrame(
             {"ts": pd.to_datetime(ms_vals, unit="ms"), "value": [1.0] * len(ms_vals)}
         )
-        return list(proc.handleInputRows((7,), iter([pdf]), None))
+        return list(proc.handleInputRows((7,), iter([pdf]), FakeTimerValues(wm)))
 
     T = 100 * GAP
-    assert feed([T]) == []  # opens (T, T)
-    assert proc._open.get() == (T, T, 1, 1.0)
+    assert feed([T]) == []  # opens (T, T), pending
+    assert handle._s.v == [(T, T, 1, 1.0)]
 
-    # late event within gap BEFORE the open session: extends backwards
+    # late event within gap BEFORE the pending session: extends backwards
     assert feed([T - GAP // 2]) == []
-    assert proc._open.get() == (T - GAP // 2, T, 2, 2.0)
+    assert handle._s.v == [(T - GAP // 2, T, 2, 2.0)]
 
-    # late event > gap before the open session's START: its own earlier
-    # session, emitted closed; the open session is untouched
-    out = feed([T - 10 * GAP])
-    assert len(out) == 1
+    # late event > gap before the session's START: its own earlier
+    # session — PENDING, not emitted (watermark hasn't passed it)
+    assert feed([T - 10 * GAP]) == []
+    assert handle._s.v == [
+        (T - 10 * GAP, T - 10 * GAP, 1, 1.0),
+        (T - GAP // 2, T, 2, 2.0),
+    ]
+    # one timer at the EARLIEST pending expiry
+    assert handle.timers == [T - 10 * GAP + GAP]
+
+    # watermark passes the early session only → exactly it emits
+    out = list(
+        proc.handleExpiredTimer((7,), FakeTimerValues(T - 8 * GAP), None)
+    )
+    assert len(out) == 1 and len(out[0]) == 1
     row = out[0].iloc[0]
     assert row["session_start_ms"] == T - 10 * GAP
     assert row["session_end_ms"] == T - 10 * GAP
-    assert proc._open.get() == (T - GAP // 2, T, 2, 2.0)
-    # exactly one live timer, at open.last + gap
-    assert state.timers == [T + GAP]
+    assert handle._s.v == [(T - GAP // 2, T, 2, 2.0)]
+    assert handle.timers == [T + GAP]
+
+    # a bridging event merges two pending sessions into one
+    assert feed([T - GAP]) == []
+    assert handle._s.v == [(T - GAP, T, 3, 3.0)]
 
 
 def test_stream_stream_left_outer_interval_join(spark):
