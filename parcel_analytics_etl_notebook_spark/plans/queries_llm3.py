@@ -659,3 +659,198 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _lsh_recall_oracle() -> str:
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm import _SQL_COS
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm2 import (
+        _lsh_bucket_sql,
+    )
+
+    return f"""
+WITH bk AS (
+    SELECT vec_id, label, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+    FROM embeddings
+),
+exact AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           a.bucket AS bucket_a, b.bucket AS bucket_b
+    FROM bk a JOIN bk b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_SQL_COS.format('a.embedding', 'b.embedding')}, 6) >= 0.4
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN bucket_a = bucket_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_captured,
+       round(sum(CASE WHEN bucket_a = bucket_b THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS recall
+FROM exact
+"""
+
+
+@register("lsh_cosine_recall", oracle=_lsh_recall_oracle())
+def lsh_cosine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH blocking recall against ground-truth cosine pairs
+    (label-blocked, cosine ≥ 0.4): what fraction of true near-dup pairs
+    land in the same LSH bucket — the embedding analog of
+    minhash_jaccard_error, run before trusting bucket-blocked dedup
+    corpus-wide. Composes the exact pair query with the bucket map
+    (broadcast — it's id→int); one small aggregate at the end."""
+    from parcel_analytics_etl_notebook_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm2 import (
+        _lsh_bucket_col,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blocked(
+        emb, block_col="label", threshold=0.4, broadcast_build=True
+    ).select("id_a", "id_b")
+    bk = emb.select("vec_id", _lsh_bucket_col("embedding").alias("bucket"))
+    a = bk.select(F.col("vec_id").alias("id_a"), F.col("bucket").alias("__ba"))
+    b = bk.select(F.col("vec_id").alias("id_b"), F.col("bucket").alias("__bb"))
+    hit = F.when(F.col("__ba") == F.col("__bb"), 1).otherwise(0)
+    return (
+        pairs.join(F.broadcast(a), on="id_a")
+        .join(F.broadcast(b), on="id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(hit).cast("bigint").alias("n_captured"),
+            F.round(F.sum(hit) / F.count(F.lit(1)), 4).alias("recall"),
+        )
+    )
+
+
+def _funnel_oracle() -> str:
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm import (
+        _lang_score_sql,
+    )
+
+    g = "greatest(s_en, s_de, s_es, s_fr, s_zh)"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS l FROM documents),
+base AS (
+    SELECT doc_id, lang, len(l) AS n_tokens,
+           CASE WHEN len(l) < 3 THEN NULL
+                ELSE list_transform(range(1, len(l)-1),
+                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END AS gr,
+           {_lang_score_sql('en')} AS s_en,
+           {_lang_score_sql('de')} AS s_de,
+           {_lang_score_sql('es')} AS s_es,
+           {_lang_score_sql('fr')} AS s_fr,
+           {_lang_score_sql('zh')} AS s_zh
+    FROM t
+),
+ent AS (
+    SELECT doc_id,
+           -sum((c * 1.0 / n) * log2(c * 1.0 / n)) AS entropy
+    FROM (
+        SELECT doc_id, tok, count(*) AS c,
+               sum(count(*)) OVER (PARTITION BY doc_id) AS n
+        FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents)
+        GROUP BY doc_id, tok
+    ) GROUP BY doc_id
+),
+flags AS (
+    SELECT b.doc_id,
+           b.n_tokens >= 15 AS pass_len,
+           (b.gr IS NULL OR 1.0 - len(list_distinct(b.gr)) * 1.0 / len(b.gr)
+                <= 0.02) AS pass_rep,
+           coalesce(e.entropy, 0) >= 3.0 AS pass_ent,
+           (CASE WHEN {g} = 0 THEN 'und'
+                 WHEN s_en = {g} THEN 'en'
+                 WHEN s_de = {g} THEN 'de'
+                 WHEN s_es = {g} THEN 'es'
+                 WHEN s_fr = {g} THEN 'fr'
+                 ELSE 'zh' END) = b.lang AS pass_lang
+    FROM base b LEFT JOIN ent e ON b.doc_id = e.doc_id
+)
+SELECT stage, n_docs FROM (
+    SELECT 0 AS ord, '0_all' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM flags
+    UNION ALL
+    SELECT 1, '1_min_length', CAST(sum(CASE WHEN pass_len THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+    UNION ALL
+    SELECT 2, '2_low_repetition', CAST(sum(CASE WHEN pass_len AND pass_rep THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+    UNION ALL
+    SELECT 3, '3_entropy', CAST(sum(CASE WHEN pass_len AND pass_rep AND pass_ent THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+    UNION ALL
+    SELECT 4, '4_lang_match', CAST(sum(CASE WHEN pass_len AND pass_rep AND pass_ent AND pass_lang THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+) ORDER BY ord
+"""
+
+
+@register("quality_filter_funnel", oracle=_funnel_oracle())
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor counts through a staged quality-filter chain (length →
+    repetition → entropy → language agreement) — the acceptance funnel
+    a curation pipeline reports before committing a corpus build. All
+    per-doc flags compute in one projection (+ the entropy aggregate
+    joined back); the funnel itself is ONE pass of conditional sums
+    unpivoted to rows, not five filtered scans."""
+    from parcel_analytics_etl_notebook_spark.operators.textqa import predict_lang
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        tokens("text").alias("l"),
+        predict_lang(tokens("text")).alias("pred"),
+    ).select(
+        "doc_id",
+        "lang",
+        "pred",
+        F.size("l").alias("n_tokens"),
+        F.expr(
+            "CASE WHEN size(l) < 3 THEN NULL "
+            "ELSE transform(sequence(0, size(l)-3), "
+            "i -> concat_ws(' ', l[i], l[i+1], l[i+2])) END"
+        ).alias("gr"),
+    )
+    c = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = c.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    ent = (
+        c.join(n, on="doc_id")
+        .groupBy("doc_id")
+        .agg((-F.sum(p * F.log2(p))).alias("entropy"))
+    )
+    flags = base.join(ent, on="doc_id", how="left").select(
+        (F.col("n_tokens") >= 15).alias("pass_len"),
+        (
+            F.col("gr").isNull()
+            | (1.0 - F.size(F.array_distinct("gr")) / F.size("gr") <= 0.02)
+        ).alias("pass_rep"),
+        (F.coalesce(F.col("entropy"), F.lit(0.0)) >= 3.0).alias("pass_ent"),
+        (F.col("pred") == F.col("lang")).alias("pass_lang"),
+    )
+    cnt = F.count(F.lit(1))
+
+    def surv(*cols):
+        cond = cols[0]
+        for extra in cols[1:]:
+            cond = cond & extra
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    one = flags.agg(
+        cnt.alias("s0"),
+        surv(F.col("pass_len")).alias("s1"),
+        surv(F.col("pass_len"), F.col("pass_rep")).alias("s2"),
+        surv(F.col("pass_len"), F.col("pass_rep"), F.col("pass_ent")).alias("s3"),
+        surv(
+            F.col("pass_len"),
+            F.col("pass_rep"),
+            F.col("pass_ent"),
+            F.col("pass_lang"),
+        ).alias("s4"),
+    )
+    return one.select(
+        F.expr(
+            "stack(5, '0_all', s0, '1_min_length', s1, "
+            "'2_low_repetition', s2, '3_entropy', s3, '4_lang_match', s4) "
+            "AS (stage, n_docs)"
+        )
+    )

@@ -336,3 +336,195 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(share), 4).alias("p_next"),
     ).orderBy("event_type", "next_type")
+
+
+@register(
+    "nation_pair_trade_volume",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+ORDER BY supp_nation, cust_nation, ship_year
+""",
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue flowing between two nations
+    in either direction, per supplier-nation/customer-nation/year. The
+    OR pair filter evaluates on broadcast dim columns AFTER the
+    equi-joins — it never becomes a join condition, so no nested-loop
+    plan; lineitem⋈orders stays the only shuffle."""
+    l = table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("__sn_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("__cn_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@register(
+    "nation_market_share",
+    oracle="""
+WITH sales AS (
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           n1.n_name AS supp_nation,
+           l.l_extendedprice * (1 - l.l_discount) AS rev
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    JOIN region r   ON n2.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+)
+SELECT order_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0 END), 2)
+           AS target_revenue,
+       round(sum(rev), 2) AS total_revenue,
+       round(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0 END)
+             / sum(rev), 4) AS market_share
+FROM sales GROUP BY order_year ORDER BY order_year
+""",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's share of PROMO
+    part revenue sold into a region, per order year. The share is a
+    conditional-sum ratio inside one aggregate — never a self-join of
+    two aggregates; part/customer-region filters prune before the
+    joins; all dims broadcast."""
+    l = table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__cn_key"),
+        F.col("n_regionkey").alias("__cn_region"),
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("__sn_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("__cn_key"))
+        .join(F.broadcast(r), F.col("__cn_region") == r.r_regionkey)
+    )
+    rev = _rev()
+    target = F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(0.0)
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg(
+            F.round(F.sum(target), 2).alias("target_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(F.sum(target) / F.sum(rev), 4).alias("market_share"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id,
+           CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_week,
+           datediff('day', f.cohort_week,
+                    CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS week_offset
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+       CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM activity
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-event week,
+    counted once per (cohort, week-offset) they were active in — the
+    canonical product-analytics triangle. Two aggregates over events
+    plus one join back; the firsts table is user-cardinality (small
+    relative to events) and the DISTINCT collapses activity before the
+    final count, both map-side combinable."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, on="user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
