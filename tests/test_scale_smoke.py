@@ -85,3 +85,60 @@ def test_sessionize_10m(big_events):
     # gaps ≤1800s for ranks 0..50, >1800s after → exactly 50 sessions/user
     assert agg["n_sessions"] == 100_000 * 50
     assert time.perf_counter() - t0 < 180
+
+
+@pytest.fixture(scope="module")
+def big_docs(spark):
+    """1M synthetic docs × 12 tokens (12M tokens), generated distributed
+    from spark.range — exercises the explode-heavy text operators an
+    order of magnitude past the parquet fixtures."""
+    words = F.array(*[F.lit(f"w{i}") for i in range(50)])
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(11)),
+        lambda i: F.element_at(
+            words, ((F.col("id") * 31 + i * 7919) % 50 + 1).cast("int")
+        ),
+    )
+    return spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"), F.array_join(toks, " ").alias("text")
+    )
+
+
+def test_token_entropy_12m_tokens(big_docs):
+    """Two map-side-combinable aggregates over 12M exploded tokens —
+    the token_entropy_quality shape at 2000x the sf0.001 fixture."""
+    from parcel_analytics_etl_notebook_spark.functions.textfns import tokens
+
+    t0 = time.perf_counter()
+    c = (
+        big_docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = c.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    ent = (
+        c.join(n, on="doc_id")
+        .groupBy("doc_id")
+        .agg((-F.sum(p * F.log2(p))).alias("entropy"))
+    )
+    assert ent.count() == 1_000_000
+    assert time.perf_counter() - t0 < 180
+
+
+def test_transition_matrix_10m(big_events):
+    """lead-window transition counts on 10M events / 100k users: one
+    user_id shuffle, |types|^2-row output."""
+    from pyspark.sql import Window
+
+    t0 = time.perf_counter()
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = big_events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").count()
+    rows = counts.collect()
+    # 6-value cycle of event types -> every observed transition count
+    # sums to N minus one per user
+    assert sum(r["count"] for r in rows) == N - 100_000
+    assert time.perf_counter() - t0 < 180
