@@ -129,6 +129,7 @@ def _ensure_loaded() -> None:
         queries_relational3,
         queries_relational4,
         queries_relational5,
+        queries_relational6,
     )
 
     try:

@@ -227,3 +227,54 @@ def test_bucketized_range_join_edge_cases(spark):
         [("bad", 100.0, 0.0)], "band string, lo double, hi double"
     )
     assert range_join_bucketized(vals, degen, "v", width=50.0).count() == 0
+
+
+def test_tpch_q6_scan_only_no_shuffle_join(spark):
+    """Q6 is filter + global agg: every predicate must reach the
+    parquet scan's PushedFilters and no join may appear at all."""
+    p = plan_of(spark, "forecast_revenue_change")
+    assert "Join" not in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity" in p
+    assert "GreaterThanOrEqual(l_discount" in p
+
+
+def test_tpch_q4_exists_decorrelates_to_semi(spark):
+    """Q4's EXISTS must compile to one LeftSemi join — no aggregate-
+    then-join-back dedup, no correlated re-scan."""
+    p = plan_of(spark, "order_priority_checks")
+    assert "LeftSemi" in p
+
+
+def test_tpch_q22_anti_join_and_scalar_threshold(spark):
+    """Q22: the NOT EXISTS is a LeftAnti probe on date-filtered orders,
+    and the balance threshold is one broadcast scalar (no re-agg)."""
+    p = plan_of(spark, "dormant_high_balance_customers")
+    assert "LeftAnti" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_tpch_q19_part_prefilter_pushdown(spark):
+    """Q19's OR-of-ANDs: the derived part-only disjunction must prune
+    the part scan (brand filter visible in PushedFilters) instead of
+    evaluating only post-join."""
+    p = plan_of(spark, "bracketed_discount_revenue")
+    assert "p_brand" in p and "Or(" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_tpch_q21_single_lineitem_orders_shuffle(spark):
+    """Q21 decorrelated: one lineitem⋈orders join plus one per-order
+    aggregate — the two correlated EXISTS subqueries must NOT appear as
+    extra joins against lineitem."""
+    p = plan_of(spark, "suppliers_kept_orders_waiting")
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tpch_q2_window_min_not_self_join(spark):
+    """Q2's correlated MIN decorrelates to a row_number window — there
+    must be no second aggregate-and-rejoin of the offers table."""
+    p = plan_of(spark, "min_cost_supplier_per_part")
+    assert "RunningWindowFunction" in p or "Window" in p
+    assert "TakeOrderedAndProject" in p
