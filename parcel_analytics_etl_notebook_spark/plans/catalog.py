@@ -137,6 +137,7 @@ def _ensure_loaded() -> None:
             queries_llm,
             queries_llm2,
             queries_llm3,
+            queries_llm4,
         )
     except ImportError:
         pass

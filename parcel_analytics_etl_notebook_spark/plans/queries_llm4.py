@@ -1,0 +1,395 @@
+"""LLM-pipeline operators, round 3b: cross-document duplication
+analysis, corpus-law diagnostics, and batched similarity search.
+
+Families added here (extends queries_llm/2/3):
+- exact substring-level duplication (Lee et al., "Deduplicating
+  Training Data Makes Language Models Better"): per-document fraction
+  of 5-gram spans that also occur in ANOTHER document — the signal the
+  exact-substring dedup pass thresholds on (distinct from the
+  within-doc repeated_ngram_ratio and the pairwise ngram_jaccard);
+- template/boilerplate detection by shared document prefixes (the
+  cheap web-scrape header detector);
+- corpus-law diagnostics: Zipf slope per language (regr_slope over
+  log-log rank/frequency) and the Heaps-law vocabulary growth curve at
+  corpus checkpoints — both standard sanity gates on synthetic or
+  filtered training corpora;
+- batched ANN: top-k for a SET of query vectors in one pass (the
+  evaluation shape — single-query ann_cosine_topk is the unit form)
+  and hard-negative mining (top similar items with a DIFFERENT label,
+  the contrastive-training curation step).
+
+All token math is explode + aggregate; similarity math is the HOF
+cosine (JVM-side; see ann_cosine_topk for the dim= crossover note).
+Oracle-parity conventions as in plans/catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parcel_analytics_etl_notebook_spark.functions.textfns import tokens
+from parcel_analytics_etl_notebook_spark.functions.vectors import (
+    cosine_similarity,
+)
+from parcel_analytics_etl_notebook_spark.plans.catalog import register, table
+from parcel_analytics_etl_notebook_spark.plans.queries_llm import (
+    _SQL_COS,
+    _SQL_TOKS,
+)
+
+#: 5-token spans of token-list {0} (DuckDB 1-based; Spark twin is
+#: 0-based sequence(0, size-5))
+_SQL_5GRAMS = (
+    "list_transform(range(1, len({0})-3), "
+    "i -> {0}[i] || ' ' || {0}[i+1] || ' ' || {0}[i+2] || ' ' || "
+    "{0}[i+3] || ' ' || {0}[i+4])"
+)
+
+
+@register(
+    "dup_ngram_span_fraction",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+g AS (SELECT DISTINCT doc_id, unnest({_SQL_5GRAMS.format('l')}) AS gram
+      FROM t WHERE len(l) >= 5),
+gc AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       round(avg(CASE WHEN gc.nd >= 2 THEN 1.0 ELSE 0.0 END), 4)
+           AS dup_frac
+FROM g JOIN gc USING (gram)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+""",
+)
+def dup_ngram_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication signal: per document, the
+    fraction of its DISTINCT word 5-grams that occur in at least one
+    OTHER document (a gram seen twice in one doc but nowhere else does
+    not count). This is the per-doc score an exact-substring dedup pass
+    (Lee et al. 2022) thresholds or trims on.
+
+    Scale shape: docs explode to distinct (doc, gram) once; the gram
+    document-frequency is ONE map-side-combinable aggregate (never a
+    pair join — unlike LSH candidate generation, df-counting is linear
+    in corpus size, so no hot-gram cap is needed); the join back is on
+    the same gram partitioning the count produced."""
+    docs = table(spark, sf_dir, "documents")
+    g = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks)-5), i -> "
+                    "concat_ws(' ', toks[i], toks[i+1], toks[i+2], "
+                    "toks[i+3], toks[i+4]))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    gc = g.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        g.join(gc, on="gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.avg(F.when(F.col("nd") >= 2, 1.0).otherwise(0.0)), 4
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "template_prefix_stats",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, lang, {_SQL_TOKS} AS l FROM documents),
+p AS (SELECT doc_id, source, lang,
+             l[1] || ' ' || l[2] || ' ' || l[3] || ' ' || l[4] AS prefix
+      FROM t WHERE len(l) >= 4)
+SELECT prefix,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM p
+GROUP BY prefix
+HAVING count(*) >= 2
+ORDER BY n_docs DESC, prefix
+""",
+)
+def template_prefix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detection by shared document openings: the
+    4-token prefix of each document, kept where ≥2 documents share it —
+    the cheap detector for scraped-template corpora (shared headers,
+    nav text, license banners). One tiny projection per doc (no
+    explode), one aggregate on the prefix — at 100 TB this is a
+    hash-agg over |docs| short strings, map-side combinable."""
+    docs = table(spark, sf_dir, "documents")
+    p = (
+        docs.select(
+            "source", "lang", tokens("text").alias("toks")
+        )
+        .filter(F.size("toks") >= 4)
+        .select(
+            "source",
+            "lang",
+            F.concat_ws(
+                " ",
+                F.col("toks")[0],
+                F.col("toks")[1],
+                F.col("toks")[2],
+                F.col("toks")[3],
+            ).alias("prefix"),
+        )
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "prefix")
+    )
+
+
+@register(
+    "zipf_slope_by_lang",
+    oracle=f"""
+WITH tok AS (SELECT lang, unnest({_SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT lang, term, count(*) AS freq FROM tok
+       WHERE term <> '' GROUP BY lang, term),
+ranked AS (SELECT lang, freq,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY freq DESC, term) AS rnk
+           FROM tf)
+SELECT lang,
+       round(regr_slope(ln(freq), ln(rnk)), 4) AS zipf_slope,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(freq) AS BIGINT) AS n_tokens
+FROM ranked GROUP BY lang ORDER BY lang
+""",
+)
+def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law slope per language: regress log(frequency) on
+    log(rank) over the term-frequency table. Natural text sits near −1;
+    a flat slope flags synthetic/keyword-stuffed corpora, a cliff flags
+    truncated vocabularies — a standard corpus sanity gate. Rank is
+    deterministic (freq desc, term tiebreak); the regression is the
+    built-in regr_slope aggregate on both engines, so the whole query
+    is two map-side-combinable aggregates and one |vocab|-row window."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("lang", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), "term")
+    ranked = tf.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.round(
+                F.regr_slope(F.log("freq"), F.log("rnk")), 4
+            ).alias("zipf_slope"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("freq").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "vocab_growth_curve",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+firsts AS (
+    SELECT term, min(doc_id) AS first_doc
+    FROM (SELECT doc_id, unnest(l) AS term FROM t) u
+    WHERE term <> '' GROUP BY term
+),
+dtok AS (SELECT doc_id, len(l) AS n_tok FROM t),
+chk AS (
+    SELECT f.frac,
+           CAST(floor(f.frac * (SELECT max(doc_id) FROM documents))
+                AS BIGINT) AS chk_doc
+    FROM (VALUES (0.2), (0.4), (0.6), (0.8), (1.0)) AS f(frac)
+)
+SELECT chk.frac AS frac, chk.chk_doc AS chk_doc,
+       (SELECT CAST(count(*) AS BIGINT) FROM firsts
+        WHERE first_doc <= chk.chk_doc) AS vocab_size,
+       (SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM dtok
+        WHERE doc_id <= chk.chk_doc) AS n_tokens
+FROM chk ORDER BY frac
+""",
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct-term count vs cumulative
+    token count at five corpus checkpoints (20%..100% of the doc-id
+    range — id-relative so the same query scales across SFs).
+    Sub-linear growth is healthy; a linear curve flags id-heavy or
+    noisy text, a flat one an exhausted synthetic vocabulary.
+
+    Scale shape: "cumulative distinct" is NOT computed by re-scanning
+    per checkpoint — each term reduces to its FIRST document id (one
+    aggregate), then a 5-row broadcast of checkpoints joins against
+    term-firsts and per-doc token counts. O(vocab + docs), not
+    O(checkpoints × corpus)."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("toks"))
+    firsts = (
+        t.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    dtok = t.select("doc_id", F.size("toks").alias("n_tok"))
+    maxid = docs.agg(F.max("doc_id").alias("__maxid"))
+    chk = (
+        spark.createDataFrame(
+            [(0.2,), (0.4,), (0.6,), (0.8,), (1.0,)], "frac double"
+        )
+        .crossJoin(F.broadcast(maxid))
+        .select(
+            "frac",
+            F.floor(F.col("frac") * F.col("__maxid"))
+            .cast("bigint")
+            .alias("chk_doc"),
+        )
+    )
+    vocab = (
+        firsts.join(
+            F.broadcast(chk), firsts.first_doc <= chk.chk_doc
+        )
+        .groupBy("frac", "chk_doc")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    toks = (
+        dtok.join(F.broadcast(chk), dtok.doc_id <= chk.chk_doc)
+        .groupBy("frac", "chk_doc")
+        .agg(F.coalesce(F.sum("n_tok"), F.lit(0)).alias("n_tokens"))
+    )
+    return (
+        vocab.join(toks, on=["frac", "chk_doc"])
+        .select("frac", "chk_doc", "vocab_size", "n_tokens")
+        .orderBy("frac")
+    )
+
+
+@register(
+    "ann_multi_query_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+           WHERE vec_id BETWEEN 0 AND 4),
+sims AS (
+    SELECT q.qid, e.vec_id,
+           round({_SQL_COS.format('e.embedding', 'q.qvec')}, 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.qid
+),
+ranked AS (
+    SELECT qid, vec_id, cosine,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, vec_id) AS rank
+    FROM sims
+)
+SELECT qid, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+ORDER BY qid, rank
+""",
+)
+def ann_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact top-k: nearest 3 corpus vectors for EACH of a
+    5-vector query batch in one pass — the retrieval-evaluation shape
+    (single-query ann_cosine_topk is the unit form). The query batch
+    broadcasts (one corpus scan regardless of batch size); the per-query
+    top-3 is a rank window partitioned by query id, which Spark prunes
+    map-side via WindowGroupLimit — each partition forwards ≤3 rows per
+    query, so the shuffle carries O(batch · k), never the scored
+    corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("__qvec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("qid", "rank")
+    )
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qvec
+           FROM embeddings WHERE vec_id BETWEEN 0 AND 4),
+sims AS (
+    SELECT q.qid, q.qlabel, e.vec_id, e.label AS neg_label,
+           round({_SQL_COS.format('e.embedding', 'q.qvec')}, 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.label <> q.qlabel
+),
+ranked AS (
+    SELECT qid, qlabel, vec_id, neg_label, cosine,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, vec_id) AS rank
+    FROM sims
+)
+SELECT qid, qlabel, vec_id, neg_label, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 2
+ORDER BY qid, rank
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    in the query batch, the 2 most-similar vectors with a DIFFERENT
+    label — maximally confusing negatives. Same broadcast-batch +
+    WindowGroupLimit shape as ann_multi_query_topk with the label
+    disequality folded into the scoring filter (evaluated on broadcast
+    columns, so it prunes before the cosine is computed). At 100 TB the
+    anchor batch shards into broadcast-sized chunks and the corpus is
+    scanned once per chunk."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("__qvec"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("__qvec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 2)
+        .orderBy("qid", "rank")
+    )

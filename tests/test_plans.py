@@ -278,3 +278,21 @@ def test_tpch_q2_window_min_not_self_join(spark):
     p = plan_of(spark, "min_cost_supplier_per_part")
     assert "RunningWindowFunction" in p or "Window" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_multi_query_topk_window_group_limit(spark):
+    """Batched ANN: the per-query top-3 must be WindowGroupLimit-pruned
+    map-side so the shuffle carries O(batch * k) rows, and the query
+    batch must broadcast (no corpus shuffle)."""
+    p = plan_of(spark, "ann_multi_query_topk")
+    assert "WindowGroupLimit" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_dup_ngram_span_no_pair_join(spark):
+    """Cross-doc 5-gram duplication is df-counting, not candidate-pair
+    generation: no cartesian/nested-loop anywhere in the plan."""
+    p = plan_of(spark, "dup_ngram_span_fraction")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
