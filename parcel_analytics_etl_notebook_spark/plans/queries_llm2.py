@@ -582,25 +582,95 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Approximate percentiles (sketch family, rows-only like the HLL query)
+# Approximate percentiles (sketch family, oracle-verified through a
+# deterministic rank-error bound — same pattern as the HLL queries)
 # --------------------------------------------------------------------------
-@register("approx_token_percentiles", oracle=None)
+@register(
+    "approx_token_percentiles",
+    oracle=f"""
+WITH t AS (SELECT lang, len({_SQL_TOKS}) AS n_tokens FROM documents)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n_tokens, 0.5), 4) AS p50_exact,
+       round(quantile_cont(n_tokens, 0.9), 4) AS p90_exact,
+       round(quantile_cont(n_tokens, 0.99), 4) AS p99_exact,
+       TRUE AS p50_in_bound, TRUE AS p90_in_bound, TRUE AS p99_in_bound
+FROM t GROUP BY lang ORDER BY lang
+""",
+)
 def approx_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language p50/p90/p99 of document token counts via
     approx_percentile (KLL-style mergeable sketch, accuracy 1/1000).
-    Rows-only (``oracle=None``): the sketch's exact outputs are
-    engine-specific, like the HLL query — the error bound against exact
-    percentile() is unit-tested instead
-    (test_operators.test_approx_percentile_within_bound). At fact scale
-    this replaces exact percentile's per-group value buffering with
-    bounded sketch state — the same swap SCALING.md prescribes past
-    ~10⁷ rows/group."""
+
+    Sketch outputs are engine-specific, so (like the HLL queries) the
+    sketch is verified THROUGH the oracle as a deterministic bound:
+    each approximate percentile's true rank — counted in-query against
+    the actual token counts — must sit within p·n ± max(1, 1% of n)
+    (a deliberately weaker claim than the sketch's 1/1000 guarantee so
+    the flag is stable at tiny n). The oracle pins the flags TRUE and
+    hash-checks exact interpolated percentiles alongside; a drifting
+    sketch flips the value hash. At fact scale the sketch replaces
+    exact percentile's per-group value buffering with bounded mergeable
+    state — the swap SCALING.md prescribes past ~10⁷ rows/group; the
+    exact columns exist here only for the external check."""
     docs = table(spark, sf_dir, "documents")
-    t = docs.select("lang", F.size(tokens("text")).cast("bigint").alias("n_tokens"))
-    return t.groupBy("lang").agg(
-        F.expr("approx_percentile(n_tokens, 0.5, 1000)").alias("p50"),
-        F.expr("approx_percentile(n_tokens, 0.9, 1000)").alias("p90"),
-        F.expr("approx_percentile(n_tokens, 0.99, 1000)").alias("p99"),
+    t = docs.select(
+        "lang", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    agg = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("approx_percentile(n_tokens, 0.5, 1000)").alias("__a50"),
+        F.expr("approx_percentile(n_tokens, 0.9, 1000)").alias("__a90"),
+        F.expr("approx_percentile(n_tokens, 0.99, 1000)").alias("__a99"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_exact"),
+        F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90_exact"),
+        F.round(F.expr("percentile(n_tokens, 0.99)"), 4).alias("p99_exact"),
+    )
+    # true rank of each sketch output, counted against the data itself:
+    # one extra broadcast join + aggregate over the same token table
+    sums = []
+    for tag in ("50", "90", "99"):
+        sums.append(
+            F.sum(
+                (F.col("n_tokens") <= F.col(f"__a{tag}")).cast("long")
+            ).alias(f"__le{tag}")
+        )
+        sums.append(
+            F.sum(
+                (F.col("n_tokens") < F.col(f"__a{tag}")).cast("long")
+            ).alias(f"__lt{tag}")
+        )
+    ranks = (
+        t.join(F.broadcast(agg.select("lang", "__a50", "__a90", "__a99")),
+               on="lang")
+        .groupBy("lang")
+        .agg(*sums)
+    )
+
+    def in_bound(tag: str, p: float):
+        # tie-safe two-sided rank check: some value at the sketch's
+        # output must occupy rank p·n within tolerance — i.e. fewer
+        # than p·n + tol values lie strictly below it AND at least
+        # p·n − tol lie at or below it
+        tol = F.greatest(F.lit(1.0), 0.01 * F.col("n_docs"))
+        return (
+            (F.col(f"__le{tag}") >= p * F.col("n_docs") - tol)
+            & (F.col(f"__lt{tag}") <= p * F.col("n_docs") + tol)
+        )
+
+    return (
+        agg.join(ranks, on="lang")
+        .select(
+            "lang",
+            "n_docs",
+            "p50_exact",
+            "p90_exact",
+            "p99_exact",
+            in_bound("50", 0.5).alias("p50_in_bound"),
+            in_bound("90", 0.9).alias("p90_in_bound"),
+            in_bound("99", 0.99).alias("p99_in_bound"),
+        )
+        .orderBy("lang")
     )
 
 

