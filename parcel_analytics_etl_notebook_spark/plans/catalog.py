@@ -130,6 +130,7 @@ def _ensure_loaded() -> None:
         queries_relational4,
         queries_relational5,
         queries_relational6,
+        queries_relational7,
     )
 
     try:

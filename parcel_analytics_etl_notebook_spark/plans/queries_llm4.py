@@ -16,7 +16,9 @@ Families added here (extends queries_llm/2/3):
 - batched ANN: top-k for a SET of query vectors in one pass (the
   evaluation shape — single-query ann_cosine_topk is the unit form)
   and hard-negative mining (top similar items with a DIFFERENT label,
-  the contrastive-training curation step).
+  the contrastive-training curation step);
+- deterministic weighted sampling (Efraimidis–Spirakis keys over a
+  hash-uniform — the reproducible "sample ∝ tokens" corpus draw).
 
 All token math is explode + aggregate; similarity math is the HOF
 cosine (JVM-side; see ann_cosine_topk for the dim= crossover note).
@@ -393,3 +395,49 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 2)
         .orderBy("qid", "rank")
     )
+
+
+@register(
+    "token_weighted_sample",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, lang, len({_SQL_TOKS}) AS n_tokens FROM documents
+),
+keyed AS (
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(ln(((doc_id * 2654435761 + 97) % 1000003 + 1)
+                    / 1000004.0) / n_tokens, 6) AS sample_key
+    FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, lang, n_tokens, sample_key
+FROM keyed
+ORDER BY sample_key DESC, doc_id
+LIMIT 100
+""",
+)
+def token_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis): each document gets key ln(u)/w with u a
+    multiplicative-hash uniform from doc_id and w its token count; the
+    top-k by key IS a token-weighted sample — the standard
+    "sample proportional to tokens" pretraining subset draw, made
+    rerunnable and engine-stable by replacing the RNG with a key hash
+    (df.sample() is partitioning-dependent, unusable for reproducible
+    corpus draws). Keys are rounded before ranking so the boundary is
+    float-jitter-proof; top-k is TakeOrderedAndProject — per-partition
+    heads, no global sort, no shuffle of the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(tokens("text")).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    u = (
+        (F.col("doc_id") * F.lit(2654435761) + F.lit(97)) % F.lit(1000003)
+        + 1
+    ) / F.lit(1000004.0)
+    keyed = t.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.log(u) / F.col("n_tokens"), 6).alias("sample_key"),
+    )
+    return keyed.orderBy(F.col("sample_key").desc(), "doc_id").limit(100)

@@ -296,3 +296,20 @@ def test_dup_ngram_span_no_pair_join(spark):
     p = plan_of(spark, "dup_ngram_span_fraction")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_cdc_latest_state_single_key_shuffle(spark):
+    """CDC snapshot: the latest-row window and the n_changes count
+    window must share ONE user_id exchange (the count window also rules
+    out WindowGroupLimit — full history must travel while the audit
+    column exists)."""
+    p = plan_of(spark, "cdc_latest_state")
+    assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_funnel_single_user_shuffle(spark):
+    """Sessionizer + both step windows + per-session reduce must share
+    ONE user_id exchange; only the final 1-row rollup adds a single
+    partition."""
+    p = plan_of(spark, "session_conversion_funnel")
+    assert p.count("hashpartitioning(user_id") == 1
