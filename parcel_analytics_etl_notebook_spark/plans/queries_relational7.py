@@ -272,3 +272,403 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "pointintime_priority_join",
+    oracle="""
+WITH ord AS (
+    SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+           CASE WHEN lag(o_orderpriority) OVER w
+                     IS DISTINCT FROM o_orderpriority
+                THEN 1 ELSE 0 END AS chg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+isl AS (
+    SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS UNBOUNDED PRECEDING) AS island
+    FROM ord
+),
+iv AS (
+    SELECT o_custkey, island, min(o_orderpriority) AS regime,
+           min(o_orderdate) AS valid_from
+    FROM isl GROUP BY o_custkey, island
+),
+iv2 AS (
+    SELECT o_custkey, regime, valid_from,
+           lead(valid_from) OVER (PARTITION BY o_custkey
+                                  ORDER BY valid_from, island) AS valid_to
+    FROM iv
+),
+lines AS (
+    SELECT l.l_shipdate, o.o_custkey, o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT iv2.regime AS regime,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN lines.o_orderpriority <> iv2.regime
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_drifted
+FROM lines JOIN iv2 ON lines.o_custkey = iv2.o_custkey
+  AND lines.l_shipdate >= iv2.valid_from
+  AND (iv2.valid_to IS NULL OR lines.l_shipdate < iv2.valid_to)
+GROUP BY iv2.regime ORDER BY regime
+""",
+)
+def pointintime_priority_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of-validity) dimension join — the feature-store
+    correctness primitive: each lineitem is joined to the customer's
+    order-priority REGIME that was valid at SHIP time, where regimes
+    are SCD2 islands derived from the order history (change detection →
+    island → [valid_from, valid_to) interval). Because shipping lags
+    ordering, a line can ship under a LATER regime than its own order's
+    — n_drifted counts exactly those, the leakage a naive "join current
+    value" computes wrong.
+
+    Scale shape: the interval build is one window pass over orders
+    (key-partitioned); the PIT join is an EQUI-join on the customer key
+    with the interval predicate as a residual filter — per-key interval
+    counts are bounded by change counts, so no explosion; for
+    non-keyed interval joins use operators/rangejoin instead. The
+    half-open [from, to) intervals guarantee each line matches exactly
+    one regime (ship date >= its order date >= the key's first
+    valid_from)."""
+    o = table(spark, sf_dir, "orders")
+    wk = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ord_ = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.when(
+            ~F.lag("o_orderpriority")
+            .over(wk)
+            .eqNullSafe(F.col("o_orderpriority")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    isl = ord_.withColumn(
+        "island",
+        F.sum("chg").over(
+            wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = isl.groupBy("o_custkey", "island").agg(
+        F.min("o_orderpriority").alias("regime"),
+        F.min("o_orderdate").alias("valid_from"),
+    )
+    wl = Window.partitionBy("o_custkey").orderBy("valid_from", "island")
+    iv2 = iv.withColumn("valid_to", F.lead("valid_from").over(wl)).select(
+        F.col("o_custkey").alias("__ck"), "regime", "valid_from", "valid_to"
+    )
+    lines = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .join(
+            o.select("o_orderkey", "o_custkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    pit = lines.join(
+        iv2,
+        (F.col("o_custkey") == F.col("__ck"))
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("l_shipdate") < F.col("valid_to"))),
+    )
+    return (
+        pit.groupBy("regime")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (F.col("o_orderpriority") != F.col("regime")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_drifted"),
+        )
+        .orderBy("regime")
+    )
+
+
+@register(
+    "table_profile_orders",
+    oracle="""
+WITH a AS (
+    SELECT count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS nn1,
+           count(DISTINCT o_orderkey) AS nd1,
+           CAST(min(o_orderkey) AS VARCHAR) AS mn1,
+           CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+           count(*) - count(o_custkey) AS nn2,
+           count(DISTINCT o_custkey) AS nd2,
+           CAST(min(o_custkey) AS VARCHAR) AS mn2,
+           CAST(max(o_custkey) AS VARCHAR) AS mx2,
+           count(*) - count(o_orderstatus) AS nn3,
+           count(DISTINCT o_orderstatus) AS nd3,
+           min(o_orderstatus) AS mn3,
+           max(o_orderstatus) AS mx3,
+           count(*) - count(o_totalprice) AS nn4,
+           count(DISTINCT o_totalprice) AS nd4,
+           CAST(round(min(o_totalprice), 2) AS VARCHAR) AS mn4,
+           CAST(round(max(o_totalprice), 2) AS VARCHAR) AS mx4,
+           count(*) - count(o_orderdate) AS nn5,
+           count(DISTINCT o_orderdate) AS nd5,
+           CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS mn5,
+           CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS mx5,
+           count(*) - count(o_orderpriority) AS nn6,
+           count(DISTINCT o_orderpriority) AS nd6,
+           min(o_orderpriority) AS mn6,
+           max(o_orderpriority) AS mx6
+    FROM orders
+)
+SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_nulls AS BIGINT) AS n_nulls,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       min_value, max_value
+FROM (
+    SELECT 'o_orderkey' AS col_name, n_rows, nn1 AS n_nulls,
+           nd1 AS n_distinct, mn1 AS min_value, mx1 AS max_value FROM a
+    UNION ALL SELECT 'o_custkey', n_rows, nn2, nd2, mn2, mx2 FROM a
+    UNION ALL SELECT 'o_orderstatus', n_rows, nn3, nd3, mn3, mx3 FROM a
+    UNION ALL SELECT 'o_totalprice', n_rows, nn4, nd4, mn4, mx4 FROM a
+    UNION ALL SELECT 'o_orderdate', n_rows, nn5, nd5, mn5, mx5 FROM a
+    UNION ALL SELECT 'o_orderpriority', n_rows, nn6, nd6, mn6, mx6 FROM a
+) u ORDER BY col_name
+""",
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiler: per-column null count, exact distinct
+    count, and stringified min/max for every orders column, stacked
+    long-format — the generalization of the reference's run_dq_checks
+    (``/root/reference/etl/main.py:21-65``, which issued 1 + 3
+    separate count() actions per checkpoint) into ONE aggregate whose
+    24 metrics share a single scan; the 1-row-to-6-rows unpivot is
+    driver-free. At 100 TB swap the exact count_distincts for
+    approx_count_distinct and this stays a one-scan profile."""
+    o = table(spark, sf_dir, "orders")
+    # min/max aggregate in the column's NATIVE type (string-casting
+    # before the aggregate would compare lexicographically: '999' >
+    # '1499'); rendering to string happens after, per type
+    renderers = {
+        "o_orderkey": "CAST({0} AS STRING)",
+        "o_custkey": "CAST({0} AS STRING)",
+        "o_orderstatus": "{0}",
+        "o_totalprice": "CAST(round({0}, 2) AS STRING)",
+        "o_orderdate": "CAST(to_date({0}) AS STRING)",
+        "o_orderpriority": "{0}",
+    }
+    a = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            x
+            for cname in renderers
+            for x in [
+                F.sum(F.col(cname).isNull().cast("long")).alias(
+                    f"__nn_{cname}"
+                ),
+                F.count_distinct(F.col(cname)).alias(f"__nd_{cname}"),
+                F.min(cname).alias(f"__mn_{cname}"),
+                F.max(cname).alias(f"__mx_{cname}"),
+            ]
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, "
+        f"{r.format(f'__mn_{c}')}, {r.format(f'__mx_{c}')}"
+        for c, r in renderers.items()
+    )
+    cols = list(renderers)
+    return a.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        "n_rows",
+    ).select(
+        "col_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    ).orderBy("col_name")
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+WITH li AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS orphans_orders,
+           CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS orphans_part,
+           CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS orphans_supplier
+    FROM lineitem l
+    LEFT JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN part p     ON l.l_partkey = p.p_partkey
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+),
+oc AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT rel, n_rows, n_orphans FROM (
+    SELECT 'lineitem->orders' AS rel, n_rows, orphans_orders AS n_orphans
+    FROM li
+    UNION ALL SELECT 'lineitem->part', n_rows, orphans_part FROM li
+    UNION ALL SELECT 'lineitem->supplier', n_rows, orphans_supplier FROM li
+    UNION ALL SELECT 'orders->customer', n_rows, orphans FROM oc
+) u ORDER BY rel
+""",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan-row counts for every FK edge
+    of the star, computed as null-probe counts over LEFT joins — all
+    three lineitem edges share ONE scan (the dims broadcast, so the
+    three probes pipeline with zero extra shuffles), plus one
+    orders→customer pass. This is the warehouse-grade generalization
+    of the reference's per-column null checks — it audits the JOINS
+    the fact table claims, the thing that silently broke in the
+    reference's uuid()-keyed warehouse (SURVEY §4.3). A zero result is
+    the assertion; any nonzero count names the broken edge."""
+    l = table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    li = (
+        l.join(F.broadcast(o.select("o_orderkey")),
+               l.l_orderkey == F.col("o_orderkey"), "left")
+        .join(F.broadcast(p.select("p_partkey")),
+              l.l_partkey == F.col("p_partkey"), "left")
+        .join(F.broadcast(s.select("s_suppkey")),
+              l.l_suppkey == F.col("s_suppkey"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_orderkey").isNull().cast("long")).alias("__o"),
+            F.sum(F.col("p_partkey").isNull().cast("long")).alias("__p"),
+            F.sum(F.col("s_suppkey").isNull().cast("long")).alias("__s"),
+        )
+    )
+    oc = (
+        o.join(F.broadcast(c.select("c_custkey")),
+               o.o_custkey == F.col("c_custkey"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("c_custkey").isNull().cast("long")).alias("__c"),
+        )
+    )
+    li_rows = li.select(
+        F.expr(
+            "stack(3, 'lineitem->orders', __o, 'lineitem->part', __p, "
+            "'lineitem->supplier', __s) AS (rel, n_orphans)"
+        ),
+        "n_rows",
+    )
+    oc_rows = oc.select(
+        F.lit("orders->customer").alias("rel"),
+        F.col("__c").alias("n_orphans"),
+        "n_rows",
+    )
+    return (
+        li_rows.unionByName(oc_rows)
+        .select(
+            "rel",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_orphans").cast("bigint").alias("n_orphans"),
+        )
+        .orderBy("rel")
+    )
+
+
+@register(
+    "lateral_top_orders",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey,
+       round(t.o_totalprice, 2) AS o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_mktsegment = 'BUILDING'
+ORDER BY c.c_custkey, o_totalprice DESC, t.o_orderkey
+""",
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL surface): each
+    BUILDING-segment customer paired with their top-2 orders by value —
+    the per-row-subquery formulation of grouped top-k, same answer as
+    the row_number window (top_orders_per_customer) by construction.
+    Catalyst decorrelates the LATERAL ORDER BY LIMIT into a join +
+    per-key limit rather than re-running the subquery per customer;
+    deterministic via the o_orderkey tiebreak inside the LIMIT."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__lat_customer"
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    return spark.sql(
+        """
+SELECT c.c_custkey, t.o_orderkey,
+       round(t.o_totalprice, 2) AS o_totalprice
+FROM __lat_customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM __lat_orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_mktsegment = 'BUILDING'
+ORDER BY c.c_custkey, o_totalprice DESC, t.o_orderkey
+"""
+    )
+
+
+@register(
+    "status_flow_bag_diff",
+    oracle="""
+WITH early AS (SELECT o_custkey, o_orderstatus FROM orders
+               WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+late AS (SELECT o_custkey, o_orderstatus FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+SELECT
+    CAST((SELECT count(*) FROM
+          (SELECT * FROM early INTERSECT ALL SELECT * FROM late) x)
+         AS BIGINT) AS retained_pairs,
+    CAST((SELECT count(*) FROM
+          (SELECT * FROM early EXCEPT ALL SELECT * FROM late) x)
+         AS BIGINT) AS lost_pairs,
+    CAST((SELECT count(*) FROM
+          (SELECT * FROM late EXCEPT ALL SELECT * FROM early) x)
+         AS BIGINT) AS gained_pairs
+""",
+)
+def status_flow_bag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    multiset overlap and both one-sided differences of (customer,
+    status) occurrences between the pre- and post-1998 order books.
+    ALL-variants keep duplicate cardinality — retained+lost equals the
+    early count exactly, an identity DISTINCT set ops break. Spark
+    plans these as aggregate + generate (count-min replication), one
+    shuffle each, no join explosion."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__bag_orders")
+    return spark.sql(
+        """
+WITH early AS (SELECT o_custkey, o_orderstatus FROM __bag_orders
+               WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+late AS (SELECT o_custkey, o_orderstatus FROM __bag_orders
+         WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+SELECT
+    CAST((SELECT count(*) FROM
+          (SELECT * FROM early INTERSECT ALL SELECT * FROM late) x)
+         AS BIGINT) AS retained_pairs,
+    CAST((SELECT count(*) FROM
+          (SELECT * FROM early EXCEPT ALL SELECT * FROM late) x)
+         AS BIGINT) AS lost_pairs,
+    CAST((SELECT count(*) FROM
+          (SELECT * FROM late EXCEPT ALL SELECT * FROM early) x)
+         AS BIGINT) AS gained_pairs
+"""
+    )

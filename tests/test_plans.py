@@ -313,3 +313,19 @@ def test_funnel_single_user_shuffle(spark):
     partition."""
     p = plan_of(spark, "session_conversion_funnel")
     assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_ri_audit_broadcast_probes(spark):
+    """All three lineitem FK probes must broadcast — one scan of the
+    fact side, no shuffle joins."""
+    p = plan_of(spark, "referential_integrity_audit")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_table_profile_single_aggregate(spark):
+    """The 6-column profile must be ONE aggregate over one scan — no
+    per-column jobs (the reference issued 4 actions per checkpoint)."""
+    p = plan_of(spark, "table_profile_orders")
+    assert p.count("Location: InMemoryFileIndex") == 1  # one scan node
+    assert "Expand" in p  # the multi-distinct rewrite, not per-column jobs
