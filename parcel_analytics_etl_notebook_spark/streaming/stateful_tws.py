@@ -38,6 +38,7 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StructField,
@@ -299,4 +300,87 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         outputMode="append",
         timeMode="None",
+    )
+
+
+CDC_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("last_value", DoubleType()),
+        StructField("last_ts_ms", LongType()),
+        StructField("n_changes", LongType()),
+        StructField("deleted", BooleanType()),
+    ]
+)
+
+_CDC_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_ms", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_value", DoubleType()),
+        StructField("n_changes", LongType()),
+        StructField("deleted", BooleanType()),
+    ]
+)
+
+
+class CdcLatestProcessor(StatefulProcessor):
+    """Streaming twin of the batch ``cdc_latest_state`` query:
+    last-writer-wins per key with tombstones ('error' rows), maintained
+    incrementally. State is ONE row per key — (latest ts, event_id,
+    value, change count, deleted flag) — so snapshot maintenance is
+    O(keys) state and O(touched keys) output per micro-batch, never a
+    history replay (the batch query's window over all changes). The
+    (ts, event_id) pair reproduces the batch tiebreak exactly, so a
+    late-but-in-watermark change older than the current state is
+    ignored rather than regressing the snapshot."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._st = handle.getValueState("cdc", _CDC_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        if self._st.exists():
+            ts, eid, val, n, deleted = self._st.get()
+        else:
+            ts, eid, val, n, deleted = -1, -1, None, 0, False
+        for pdf in rows:
+            n += len(pdf)
+            for r in pdf.itertuples(index=False):
+                r_ts = int(r.ts.value // 1_000_000)  # pandas ns → ms
+                r_eid = int(r.event_id)
+                if (r_ts, r_eid) > (ts, eid):
+                    ts, eid = r_ts, r_eid
+                    deleted = r.event_type == "error"
+                    val = None if deleted else float(r.value)
+        self._st.update((ts, eid, val, n, deleted))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_value": [val],
+                "last_ts_ms": [ts],
+                "n_changes": [n],
+                "deleted": [deleted],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def cdc_latest_stream(events_stream: DataFrame) -> DataFrame:
+    """Changelog stream of per-key current state (CDC snapshot
+    maintenance). Downstream sinks upsert by user_id and drop rows with
+    ``deleted`` — together with the batch twin this is the
+    Kappa-architecture pair: same semantics, incremental state."""
+    return (
+        events_stream.select("user_id", "ts", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=CdcLatestProcessor(),
+            outputStructType=CDC_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="None",
+        )
     )

@@ -543,3 +543,58 @@ def test_stream_stream_left_outer_interval_join(spark):
     got_pairs = {(r["purchase_event_id"], r["view_event_id"]) for r in got}
     assert got_pairs == expected
     assert any(v is None for _, v in got_pairs)  # unmatched really emit
+
+
+def test_streaming_cdc_latest_matches_batch(spark, tmp_path):
+    """Kappa check: the final streaming CDC snapshot (last emission per
+    key, deleted keys dropped) must equal the batch cdc_latest_state
+    query over the same events."""
+    from tests.conftest import PROTOBUF_OK
+
+    if not PROTOBUF_OK:
+        pytest.skip("no protobuf runtime available")
+    from parcel_analytics_etl_notebook_spark.plans.catalog import queries
+    from parcel_analytics_etl_notebook_spark.streaming.sessions import (
+        read_events_stream,
+    )
+    from parcel_analytics_etl_notebook_spark.streaming.stateful_tws import (
+        cdc_latest_stream,
+        rocksdb_state_conf,
+    )
+
+    rocksdb_state_conf(spark)
+    stream = read_events_stream(spark, SF)
+    q = (
+        cdc_latest_stream(stream)
+        .writeStream.format("memory")
+        .queryName("tws_cdc")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = spark.table("tws_cdc")
+    final = (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("last_value", "last_ts_ms", "n_changes", "deleted"),
+                "n_changes",
+            ).alias("s")
+        )
+        .select("user_id", "s.last_value", "s.last_ts_ms", "s.n_changes", "s.deleted")
+        .filter(~F.col("deleted"))
+    )
+    got = {r["user_id"]: r for r in final.collect()}
+    want = {
+        r["user_id"]: r
+        for r in queries()["cdc_latest_state"](spark, SF).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for uid, w in want.items():
+        g = got[uid]
+        assert g["n_changes"] == w["n_changes"]
+        assert abs(round(g["last_value"], 4) - w["last_value"]) < 1e-9
+        assert g["last_ts_ms"] == int(w["last_ts"].timestamp() * 1000)
