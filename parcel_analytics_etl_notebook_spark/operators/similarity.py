@@ -241,13 +241,10 @@ def cosine_pairs_blocked(
     if vectorized:
         score = _cosine_pandas_udf(round_to)(F.col("__va"), F.col("__vb"))
     elif dim is not None:
-        dot_sql = _unrolled_dot_sql("__va", "__vb", dim)
+        # the ONE place the guard/divide expression lives — inlining a
+        # copy here once let the two "bit-identical" paths drift
         score = F.round(
-            F.expr(
-                f"CASE WHEN __na = 0 OR __nb = 0 THEN CAST(NULL AS DOUBLE) "
-                f"ELSE ({dot_sql}) / (__na * __nb) END"
-            ),
-            round_to,
+            cosine_prenormed("__va", "__vb", "__na", "__nb", dim), round_to
         )
     else:
         score = F.round(cosine_similarity("__va", "__vb"), round_to)

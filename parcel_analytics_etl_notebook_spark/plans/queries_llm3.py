@@ -41,6 +41,58 @@ _STOPWORDS = (
 )
 _SQL_STOP = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
 
+#: token bigrams of token-list {0} — the ONE definition both engines
+#: share (three queries build bigrams; a drift in any copy would break
+#: exactly one oracle pair, so there are no copies)
+_SQL_BIGRAMS = (
+    "list_transform(range(1, len({0})), i -> {0}[i] || ' ' || {0}[i+1])"
+)
+
+
+def _bigrams(col: str = "l"):
+    """Spark twin of _SQL_BIGRAMS (0-based sequence)."""
+    return F.expr(
+        f"transform(sequence(0, size({col})-2), "
+        f"i -> concat_ws(' ', {col}[i], {col}[i+1]))"
+    )
+
+
+#: NULL-guarded token trigrams of token-list {0} (docs shorter than 3
+#: tokens yield NULL, which downstream ratio math must coalesce)
+_SQL_TRIGRAMS_GUARDED = (
+    "CASE WHEN len({0}) < 3 THEN NULL "
+    "ELSE list_transform(range(1, len({0})-1), "
+    "i -> {0}[i] || ' ' || {0}[i+1] || ' ' || {0}[i+2]) END"
+)
+
+
+def _trigrams_guarded(col: str):
+    """Spark twin of _SQL_TRIGRAMS_GUARDED."""
+    return F.expr(
+        f"CASE WHEN size({col}) < 3 THEN NULL "
+        f"ELSE transform(sequence(0, size({col})-3), "
+        f"i -> concat_ws(' ', {col}[i], {col}[i+1], {col}[i+2])) END"
+    )
+
+
+def _doc_entropy(docs: DataFrame) -> DataFrame:
+    """(doc_id, entropy): Shannon entropy of each doc's token
+    distribution — the ONE Spark definition shared by
+    token_entropy_quality and quality_filter_funnel."""
+    c = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = c.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        c.join(n, on="doc_id")
+        .groupBy("doc_id")
+        .agg((-F.sum(p * F.log2(p))).alias("entropy"))
+    )
+
+
 
 @register(
     "doc_length_deciles",
@@ -87,9 +139,7 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
 g AS (SELECT doc_id,
-             CASE WHEN len(l) < 3 THEN NULL
-                  ELSE list_transform(range(1, len(l)-1),
-                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END AS gr
+             {_SQL_TRIGRAMS_GUARDED.format('l')} AS gr
       FROM t)
 SELECT doc_id,
        CAST(coalesce(len(gr), 0) AS BIGINT) AS n_ngrams,
@@ -105,11 +155,7 @@ def repeated_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     g = docs.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id",
-        F.expr(
-            "CASE WHEN size(toks) < 3 THEN NULL "
-            "ELSE transform(sequence(0, size(toks)-3), "
-            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END"
-        ).alias("gr"),
+        _trigrams_guarded("toks").alias("gr"),
     )
     return g.select(
         "doc_id",
@@ -204,8 +250,7 @@ def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_bigrams_per_lang",
     oracle=f"""
 WITH t AS (SELECT lang, doc_id, {_SQL_TOKS} AS l FROM documents),
-b AS (SELECT lang, unnest(list_transform(range(1, len(l)),
-             i -> l[i] || ' ' || l[i+1])) AS bigram
+b AS (SELECT lang, unnest({_SQL_BIGRAMS.format('l')}) AS bigram
       FROM t WHERE len(l) >= 2),
 c AS (SELECT lang, bigram, CAST(count(*) AS BIGINT) AS cnt
       FROM b GROUP BY 1, 2)
@@ -229,10 +274,7 @@ def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             F.explode(
-                F.expr(
-                    "transform(sequence(0, size(l)-2), "
-                    "i -> concat_ws(' ', l[i], l[i+1]))"
-                )
+                _bigrams("l")
             ).alias("bigram"),
         )
     )
@@ -252,8 +294,7 @@ def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bigram_surprisal_stats",
     oracle=f"""
 WITH t AS (SELECT lang, doc_id, {_SQL_TOKS} AS l FROM documents),
-b AS (SELECT lang, unnest(list_transform(range(1, len(l)),
-             i -> l[i] || ' ' || l[i+1])) AS bigram
+b AS (SELECT lang, unnest({_SQL_BIGRAMS.format('l')}) AS bigram
       FROM t WHERE len(l) >= 2),
 c12 AS (SELECT lang, bigram, count(*) AS c12 FROM b GROUP BY 1, 2),
 c1 AS (SELECT lang, split_part(bigram, ' ', 1) AS w1, sum(c12) AS c1
@@ -284,10 +325,7 @@ def bigram_surprisal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             F.explode(
-                F.expr(
-                    "transform(sequence(0, size(l)-2), "
-                    "i -> concat_ws(' ', l[i], l[i+1]))"
-                )
+                _bigrams("l")
             ).alias("bigram"),
         )
     )
@@ -542,8 +580,7 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS l FROM documents),
 flags AS (SELECT doc_id, (doc_id * 2654435761) % 10 < 8 AS is_train FROM documents),
 b AS (SELECT t.doc_id, t.lang,
-             unnest(list_transform(range(1, len(l)),
-                 i -> l[i] || ' ' || l[i+1])) AS bigram
+             unnest({_SQL_BIGRAMS.format('l')}) AS bigram
       FROM t WHERE len(l) >= 2),
 train_b AS (SELECT DISTINCT lang, bigram FROM b JOIN flags USING (doc_id)
             WHERE is_train),
@@ -579,10 +616,7 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             F.explode(
-                F.expr(
-                    "transform(sequence(0, size(l)-2), "
-                    "i -> concat_ws(' ', l[i], l[i+1]))"
-                )
+                _bigrams("l")
             ).alias("bigram"),
         )
         .join(flags, on="doc_id")
@@ -731,9 +765,7 @@ def _funnel_oracle() -> str:
 WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS l FROM documents),
 base AS (
     SELECT doc_id, lang, len(l) AS n_tokens,
-           CASE WHEN len(l) < 3 THEN NULL
-                ELSE list_transform(range(1, len(l)-1),
-                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END AS gr,
+           {_SQL_TRIGRAMS_GUARDED.format('l')} AS gr,
            {_lang_score_sql('en')} AS s_en,
            {_lang_score_sql('de')} AS s_de,
            {_lang_score_sql('es')} AS s_es,
@@ -800,24 +832,9 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "pred",
         F.size("l").alias("n_tokens"),
-        F.expr(
-            "CASE WHEN size(l) < 3 THEN NULL "
-            "ELSE transform(sequence(0, size(l)-3), "
-            "i -> concat_ws(' ', l[i], l[i+1], l[i+2])) END"
-        ).alias("gr"),
+        _trigrams_guarded("l").alias("gr"),
     )
-    c = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    n = c.groupBy("doc_id").agg(F.sum("c").alias("n"))
-    p = F.col("c") / F.col("n")
-    ent = (
-        c.join(n, on="doc_id")
-        .groupBy("doc_id")
-        .agg((-F.sum(p * F.log2(p))).alias("entropy"))
-    )
+    ent = _doc_entropy(docs)
     flags = base.join(ent, on="doc_id", how="left").select(
         (F.col("n_tokens") >= 15).alias("pass_len"),
         (

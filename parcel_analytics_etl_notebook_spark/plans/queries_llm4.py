@@ -278,9 +278,23 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("frac", "chk_doc")
         .agg(F.coalesce(F.sum("n_tok"), F.lit(0)).alias("n_tokens"))
     )
+    # LEFT joins from the checkpoint frame: a checkpoint with no docs
+    # or terms at-or-below it (possible when floor(frac·maxid) < the
+    # smallest doc_id) must still appear with zeros, as the oracle's
+    # scalar subqueries do — inner joins would drop the row
     return (
-        vocab.join(toks, on=["frac", "chk_doc"])
-        .select("frac", "chk_doc", "vocab_size", "n_tokens")
+        chk.join(vocab, on=["frac", "chk_doc"], how="left")
+        .join(toks, on=["frac", "chk_doc"], how="left")
+        .select(
+            "frac",
+            "chk_doc",
+            F.coalesce("vocab_size", F.lit(0)).cast("bigint").alias(
+                "vocab_size"
+            ),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias(
+                "n_tokens"
+            ),
+        )
         .orderBy("frac")
     )
 

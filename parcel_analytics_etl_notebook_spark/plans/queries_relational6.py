@@ -162,7 +162,7 @@ WITH v AS (
     GROUP BY l.l_partkey
 )
 SELECT l_partkey, part_value
-FROM v, (SELECT sum(part_value) AS total FROM v) g
+FROM v, (SELECT round(sum(part_value), 2) AS total FROM v) g
 WHERE part_value > 0.002 * g.total
 ORDER BY part_value DESC, l_partkey
 """,
@@ -183,7 +183,9 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.round(F.sum(_rev()), 2).alias("part_value"))
     )
-    total = v.agg(F.sum("part_value").alias("__total"))
+    # the threshold scalar is rounded too — an unrounded float sum
+    # would expose the boundary compare to summation-order jitter
+    total = v.agg(F.round(F.sum("part_value"), 2).alias("__total"))
     return (
         v.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > 0.002 * F.col("__total"))

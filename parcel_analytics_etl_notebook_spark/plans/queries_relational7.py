@@ -530,9 +530,11 @@ SELECT rel, n_rows, n_orphans FROM (
 def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: orphan-row counts for every FK edge
     of the star, computed as null-probe counts over LEFT joins — all
-    three lineitem edges share ONE scan (the dims broadcast, so the
-    three probes pipeline with zero extra shuffles), plus one
-    orders→customer pass. This is the warehouse-grade generalization
+    three lineitem edges share ONE scan: the true dims (part, supplier)
+    broadcast and pipeline for free, while the orders key probe is the
+    one shuffle join (orders is fact-scale; broadcasting it would be
+    the 100 TB OOM). Plus one orders→customer pass with customer
+    broadcast. This is the warehouse-grade generalization
     of the reference's per-column null checks — it audits the JOINS
     the fact table claims, the thing that silently broke in the
     reference's uuid()-keyed warehouse (SURVEY §4.3). A zero result is
@@ -543,7 +545,10 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     c = table(spark, sf_dir, "customer")
     li = (
-        l.join(F.broadcast(o.select("o_orderkey")),
+        # orders is FACT-scale — its key probe must stay a shuffle join
+        # (forcing a broadcast here is the 100 TB OOM); only the true
+        # dims (part, supplier, customer) broadcast
+        l.join(o.select("o_orderkey"),
                l.l_orderkey == F.col("o_orderkey"), "left")
         .join(F.broadcast(p.select("p_partkey")),
               l.l_partkey == F.col("p_partkey"), "left")

@@ -207,9 +207,16 @@ class SessionizerProcessor(StatefulProcessor):
 
     def _flush(self, key, pending, wm_ms: int) -> Iterator[pd.DataFrame]:
         """Emit every pending session the watermark has passed; store
-        the rest with a timer at the earliest remaining expiry."""
-        closed = [s for s in pending if s[1] + self._gap_ms <= wm_ms]
-        kept = [s for s in pending if s[1] + self._gap_ms > wm_ms]
+        the rest with a timer at the earliest remaining expiry.
+
+        STRICT close (`last + gap < wm`): Spark's late filter drops
+        only eventTime < watermark, so an event AT the watermark is
+        still deliverable — and at ts == last + gap the batch twin's
+        merge rule (`t - last > gap` starts a new session, equality
+        merges) folds it into this session. Closing at equality would
+        emit the session one event early and split it."""
+        closed = [s for s in pending if s[1] + self._gap_ms < wm_ms]
+        kept = [s for s in pending if s[1] + self._gap_ms >= wm_ms]
         for t in self._handle.listTimers():
             self._handle.deleteTimer(t)
         self._pending.clear()
@@ -353,7 +360,13 @@ class CdcLatestProcessor(StatefulProcessor):
                 if (r_ts, r_eid) > (ts, eid):
                     ts, eid = r_ts, r_eid
                     deleted = r.event_type == "error"
-                    val = None if deleted else float(r.value)
+                    # preserve NULL values (batch twin emits NULL, not
+                    # NaN — float(None)/float(nan) would diverge)
+                    val = (
+                        None
+                        if deleted or pd.isna(r.value)
+                        else float(r.value)
+                    )
         self._st.update((ts, eid, val, n, deleted))
         yield pd.DataFrame(
             {

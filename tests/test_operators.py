@@ -699,3 +699,32 @@ def test_token_batch_packing_invariants(spark, sf_dir):
         if bid < max(by_batch):  # last batch may be underfull
             assert sum(toks) >= 1  # non-empty
         assert sum(toks) < 4096 + max(toks)  # boundary-doc overflow only
+
+
+def test_prenormed_dim_branch_matches_hof(spark, sf_dir):
+    """The dim= (codegen'd prenormed) branches of brute_force_topk and
+    assign_centroids must return bit-identical results to the HOF
+    branch — they are the documented path past ~10^5 rows and no
+    catalog query exercises them (catalog stays HOF: compile-dominated
+    at small SF)."""
+    from parcel_analytics_etl_notebook_spark.operators.similarity import (
+        assign_centroids,
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") == 0)
+
+    hof = brute_force_topk(emb, q, k=10).collect()
+    pre = brute_force_topk(emb, q, k=10, dim=dim).collect()
+    assert [tuple(r) for r in hof] == [tuple(r) for r in pre]
+
+    cents = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 4))
+    a_hof = assign_centroids(emb, cents).select("vec_id", "centroid_id")
+    a_pre = assign_centroids(emb, cents, dim=dim).select(
+        "vec_id", "centroid_id"
+    )
+    assert sorted(map(tuple, a_hof.collect())) == sorted(
+        map(tuple, a_pre.collect())
+    )

@@ -251,3 +251,45 @@ def test_tws_sessionizer_interval_merge_matches_model(ts_units, n_batches):
             cur[2] += 1
     model.append(tuple(cur))
     assert sorted(emitted) == sorted(model)
+
+
+def test_tws_sessionizer_watermark_boundary_event():
+    """Regression: an event AT the watermark (Spark drops only
+    eventTime < watermark) arriving exactly gap after the session's
+    last event must MERGE into it (batch rule: strict `> gap` splits),
+    so the session must not have been flushed when the watermark merely
+    EQUALS last + gap."""
+    import pandas as pd
+
+    from parcel_analytics_etl_notebook_spark.streaming.stateful_tws import (
+        SessionizerProcessor,
+    )
+    from tests.test_streaming import FakeTimerValues, FakeTWSHandle
+
+    GAP = 10
+    proc = SessionizerProcessor(gap_ms=GAP)
+    handle = FakeTWSHandle()
+    proc.init(handle)
+    emitted = []
+
+    def drain(outs):
+        for out in outs:
+            emitted.extend(
+                (r.session_start_ms, r.session_end_ms, r.n_events)
+                for r in out.itertuples(index=False)
+            )
+
+    def batch(ts_list, wm):
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(ts_list, unit="ms"),
+                "value": [1.0] * len(ts_list),
+            }
+        )
+        drain(proc.handleInputRows((1,), iter([pdf]), FakeTimerValues(wm)))
+
+    batch([100], 100 + GAP)  # wm == last + gap: still deliverable range
+    assert emitted == []  # must NOT close yet
+    batch([100 + GAP], 100 + GAP)  # the boundary event: merges
+    drain(proc.handleExpiredTimer((1,), FakeTimerValues(10**9), None))
+    assert emitted == [(100, 100 + GAP, 2)]  # ONE session, not two

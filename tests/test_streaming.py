@@ -598,3 +598,60 @@ def test_streaming_cdc_latest_matches_batch(spark, tmp_path):
         assert g["n_changes"] == w["n_changes"]
         assert abs(round(g["last_value"], 4) - w["last_value"]) < 1e-9
         assert g["last_ts_ms"] == int(w["last_ts"].timestamp() * 1000)
+
+
+class FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def test_cdc_processor_preserves_null_values_unit():
+    """A non-tombstone change with a NULL value must emit last_value
+    None (the batch twin emits NULL) — not NaN, which float(r.value)
+    would produce; and a stale in-watermark change must not regress
+    the (ts, event_id) state."""
+    import pandas as pd
+
+    from parcel_analytics_etl_notebook_spark.streaming.stateful_tws import (
+        CdcLatestProcessor,
+    )
+
+    proc = CdcLatestProcessor()
+
+    class H:
+        def getValueState(self, name, schema):
+            return FakeValueState()
+
+    proc.init(H())
+
+    def feed(rows):
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([r[0] for r in rows], unit="ms"),
+                "event_id": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+                "value": [r[3] for r in rows],
+            }
+        )
+        outs = list(proc.handleInputRows((7,), iter([pdf]), None))
+        return outs[-1].iloc[0]
+
+    out = feed([(100, 1, "click", None)])
+    assert out["last_value"] is None or pd.isna(out["last_value"])
+    assert not out["deleted"]
+
+    # newer real value
+    out = feed([(200, 2, "click", 5.0)])
+    assert out["last_value"] == 5.0
+    # stale change (older ts) must not regress the snapshot
+    out = feed([(150, 3, "click", 9.0)])
+    assert out["last_value"] == 5.0 and out["n_changes"] == 3
