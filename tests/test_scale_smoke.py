@@ -142,3 +142,78 @@ def test_transition_matrix_10m(big_events):
     # sums to N minus one per user
     assert sum(r["count"] for r in rows) == N - 100_000
     assert time.perf_counter() - t0 < 180
+
+
+def test_cdc_snapshot_10m(big_events):
+    """CDC latest-state on 10M changes / 100k keys: the top-1 window +
+    count share one key shuffle; output is O(keys). Every user's
+    highest-(ts, event_id) row has rank 99 (ranks 51..99 strictly
+    increase in ts), whose event_type cycles with id — keys whose last
+    change is a tombstone-equivalent drop out."""
+    import time as _t
+
+    from pyspark.sql import Window
+
+    t0 = _t.perf_counter()
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id")
+    snap = (
+        big_events.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select("user_id", "value", "n_changes")
+    )
+    n = snap.count()
+    assert n == 100_000  # no 'error' type in the synthetic cycle
+    assert _t.perf_counter() - t0 < 180
+
+
+def test_funnel_10m(big_events):
+    """Ordered signup→view→purchase funnel over 10M events: the
+    sessionizer and both step windows must complete on one user_id
+    exchange; output is one row."""
+    import time as _t
+
+    from pyspark.sql import Window
+
+    from parcel_analytics_etl_notebook_spark.operators.sessionize import (
+        sessionize,
+    )
+
+    t0 = _t.perf_counter()
+    s = sessionize(
+        big_events.select("user_id", "ts", "event_type"),
+        key="user_id",
+        ts_col="ts",
+        gap_seconds=1800,
+    )
+    ws = Window.partitionBy("user_id", "session_idx")
+    s1 = s.withColumn(
+        "t_signup",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(ws),
+    )
+    s2 = s1.withColumn(
+        "t_view",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view")
+                & (F.col("ts") >= F.col("t_signup")),
+                F.col("ts"),
+            )
+        ).over(ws),
+    )
+    sess = s2.groupBy("user_id", "session_idx").agg(
+        F.max(F.col("t_signup").isNotNull()).alias("has_signup"),
+        F.max(F.col("t_view").isNotNull()).alias("has_view"),
+    )
+    row = sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("has_signup") & F.col("has_view")).cast("long")).alias(
+            "qualified"
+        ),
+    ).collect()[0]
+    assert row["n_sessions"] == 100_000 * 50
+    assert row["qualified"] > 0
+    assert _t.perf_counter() - t0 < 240
