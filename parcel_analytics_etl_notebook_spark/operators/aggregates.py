@@ -40,12 +40,17 @@ def dq_summary(df: DataFrame, null_check_cols: list[str] | None = None) -> DataF
     """Single-pass data-quality summary: row count + per-column null
     counts, one row out. The reference issued 1 + N separate ``count()``
     actions re-executing the full lineage each time; this is one job.
+
+    Default checks ALL columns — a DQ gate that silently skipped
+    columns 4+ wouldn't gate. Reference-parity callers pass
+    ``df.columns[:3]`` explicitly (``etl/main.py:45`` checks exactly
+    the first three).
     """
     return df.agg(*_dq_metrics(df, null_check_cols))
 
 
 def _dq_metrics(df: DataFrame, null_check_cols: list[str] | None) -> list[Column]:
-    cols = null_check_cols if null_check_cols is not None else df.columns[:3]
+    cols = null_check_cols if null_check_cols is not None else df.columns
     aggs: list[Column] = [F.count(F.lit(1)).alias("row_count")]
     for c in cols:
         aggs.append(

@@ -34,14 +34,23 @@ def asof_join_backward(
     ``<right_ts><suffix>``.
     """
     carry = [right_ts] + [c for c in right_values if c != right_ts]
-    l_tag = left.withColumn("__side", F.lit(1))
-    for c in carry:
-        l_tag = l_tag.withColumn(f"{c}{suffix}", F.lit(None).cast(dict(right.dtypes)[c]))
+    rtypes = dict(right.dtypes)
+    # carry ONE struct of the whole right row, not per-column fills: a
+    # per-column last(..., ignorenulls) would skip a legitimately-NULL
+    # value in the matched row and stitch values from DIFFERENT right
+    # rows. The struct is non-null exactly when a right row exists, so
+    # ignorenulls means "no right row yet", never "this value was NULL".
+    struct_type = "struct<" + ",".join(
+        f"`{c}`:{rtypes[c]}" for c in carry
+    ) + ">"
+    l_tag = left.withColumn("__side", F.lit(1)).withColumn(
+        "__r", F.lit(None).cast(struct_type)
+    )
     r_tag = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in carry],
+        F.struct(*[F.col(c) for c in carry]).alias("__r"),
     )
     l_cols = [c for c in l_tag.columns if c not in ("__side",)]
     l_tag = l_tag.withColumn("__ts", F.col(left_ts))
@@ -58,9 +67,10 @@ def asof_join_backward(
         .orderBy(F.col("__ts"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned
+    filled = unioned.withColumn(
+        "__r", F.last(F.col("__r"), ignorenulls=True).over(w)
+    )
+    out = filled.filter(F.col("__side") == 1)
     for c in carry:
-        filled = filled.withColumn(
-            f"{c}{suffix}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
-        )
-    return filled.filter(F.col("__side") == 1).drop("__side", "__ts")
+        out = out.withColumn(f"{c}{suffix}", F.col("__r").getField(c))
+    return out.drop("__side", "__ts", "__r")

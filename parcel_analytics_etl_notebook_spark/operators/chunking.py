@@ -46,6 +46,12 @@ def chunk_tokens(
     """
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
+    if stride > chunk_size:
+        raise ValueError(
+            f"stride={stride} > chunk_size={chunk_size} would silently "
+            "skip tokens between chunks — every token must belong to at "
+            "least one chunk"
+        )
     n = F.size(tokens_col)
     n_chunks = chunk_count(n, chunk_size, stride)
     pairs = F.explode(

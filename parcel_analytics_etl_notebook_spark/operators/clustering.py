@@ -71,7 +71,12 @@ def assign_nearest(
             for cid, vec in centroids
         ]
     )
-    # fold: keep the struct with higher sim (or lower cid on exact tie)
+    # fold: keep the struct with higher sim (or lower cid on exact tie).
+    # A NULL-sim candidate (zero-norm vector) must never WIN — the old
+    # `acc.sim IS NULL → take x` rule let every candidate replace the
+    # previous one, pinning zero-norm rows to the LAST centroid. Now a
+    # zero-norm row keeps cid NULL (no nearest centroid), matching the
+    # window twin's semantics of "similarity undefined".
     best = F.aggregate(
         pairs,
         F.struct(
@@ -79,9 +84,12 @@ def assign_nearest(
             F.lit(None).cast("double").alias("sim"),
         ),
         lambda acc, x: F.when(
-            acc["sim"].isNull()
-            | (x["sim"] > acc["sim"])
-            | ((x["sim"] == acc["sim"]) & (x["cid"] < acc["cid"])),
+            x["sim"].isNotNull()
+            & (
+                acc["sim"].isNull()
+                | (x["sim"] > acc["sim"])
+                | ((x["sim"] == acc["sim"]) & (x["cid"] < acc["cid"]))
+            ),
             x,
         ).otherwise(acc),
     )

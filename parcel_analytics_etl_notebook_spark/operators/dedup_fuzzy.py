@@ -167,9 +167,18 @@ def lsh_candidate_pairs(
             f"signature length {sig_len} is not divisible by bands={bands}: "
             f"the last {sig_len % bands} MinHash values would be ignored"
         )
-    sig_len_expr = F.size(F.col(sig_col))
-    rows_per_band = (sig_len_expr / bands).cast("int")
-    banded = sig_df.select(
+    # rows_per_band from the VALIDATED parameter, never the data: the
+    # old size()/bands form silently ignored trailing positions of a
+    # signature longer than sig_len — the exact bug the divisibility
+    # guard exists to prevent. The assert_true evaluates per row and
+    # raises on any signature whose actual length disagrees.
+    rows_per_band = sig_len // bands
+    checked = F.expr(
+        f"CASE WHEN assert_true(size({sig_col}) = {sig_len}, "
+        f"'minhash signature length <> sig_len={sig_len}') IS NULL "
+        f"THEN {sig_col} END"
+    )
+    banded = sig_df.withColumn(sig_col, checked).select(
         F.col(id_col),
         F.explode(
             F.transform(

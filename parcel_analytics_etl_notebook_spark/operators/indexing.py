@@ -64,7 +64,11 @@ def stable_global_index(
 
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     indexed = _attach_offset(with_pid, offsets).withColumn(
-        out_col, (F.col("__off") + F.row_number().over(w)).cast("bigint")
+        # widen BEFORE adding: int32 __off + int32 row_number wraps
+        # negative past 2^31 rows under non-ANSI arithmetic — the exact
+        # scale this operator exists for
+        out_col,
+        F.col("__off").cast("bigint") + F.row_number().over(w).cast("bigint"),
     )
     return indexed.drop("__pid", "__off")
 
@@ -85,11 +89,17 @@ def _attach_offset(with_pid: DataFrame, offsets: dict) -> DataFrame:
     num_partitions rows) offsets frame instead."""
     items = sorted(offsets.items())
     if len(items) <= _MAX_LITERAL_OFFSETS:
-        offset_map = F.create_map(*[F.lit(x) for kv in items for x in kv])
+        offset_map = F.create_map(
+            *[
+                c
+                for p, v in items
+                for c in (F.lit(p), F.lit(v).cast("bigint"))
+            ]
+        )
         return with_pid.withColumn("__off", offset_map[F.col("__pid")])
     spark = with_pid.sparkSession
     lookup = spark.createDataFrame(
-        [(int(p), float(v)) for p, v in items], "__pid int, __off double"
+        [(int(p), int(v)) for p, v in items], "__pid int, __off bigint"
     )
     return with_pid.join(F.broadcast(lookup), on="__pid", how="left")
 

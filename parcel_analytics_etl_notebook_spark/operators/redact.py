@@ -30,16 +30,21 @@ def redact_pii(col: Column | str) -> Column:
 
 
 def pii_counts(col: Column | str) -> dict[str, Column]:
-    """Per-pattern match counts (for audit/metrics). Patterns go in as
-    ``lit`` columns — embedding them in an ``expr`` SQL string would
-    re-interpret the regex backslashes."""
-    c = F.col(col) if isinstance(col, str) else col
-    return {
-        token.strip("<>").lower(): F.size(
-            F.regexp_extract_all(c, F.lit(pattern), F.lit(0))
+    """Per-pattern match counts (for audit/metrics), computed on the
+    PROGRESSIVELY-redacted text exactly as :func:`redact_pii` applies
+    the patterns — pattern i counts what replacement i actually
+    replaces, so a phone number inside an already-redacted email is not
+    double-counted and the audit sums reconcile with the redacted
+    output. Patterns go in as ``lit`` columns — embedding them in an
+    ``expr`` SQL string would re-interpret the regex backslashes."""
+    cur = F.col(col) if isinstance(col, str) else col
+    out: dict[str, Column] = {}
+    for pattern, token in PII_PATTERNS:
+        out[token.strip("<>").lower()] = F.size(
+            F.regexp_extract_all(cur, F.lit(pattern), F.lit(0))
         ).cast("bigint")
-        for pattern, token in PII_PATTERNS
-    }
+        cur = F.regexp_replace(cur, pattern, token)
+    return out
 
 
 def redact_documents(

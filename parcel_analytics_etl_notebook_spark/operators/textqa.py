@@ -68,22 +68,35 @@ def lang_scores(toks: Column) -> dict[str, Column]:
 
 def predict_lang(toks: Column) -> Column:
     """Argmax language with a fixed priority order on ties (en first);
-    'und' (undetermined) when no marker hits at all."""
+    'und' (undetermined) when no marker hits at all — including a NULL
+    token array (whose scores are NULL/negative depending on ANSI
+    mode: without the explicit guards a NULL doc would come out NULL
+    or, under legacy size(NULL)=-1, tie every score and be labeled
+    'en')."""
     scores = lang_scores(toks)
     best = F.greatest(*scores.values())
-    pred = F.when(best == 0, F.lit("und"))
+    pred = F.when(toks.isNull() | best.isNull() | (best <= 0), F.lit("und"))
     for lang in LANG_MARKERS:  # dict order == priority order
         pred = pred.when(scores[lang] == best, F.lit(lang))
     return pred
 
 
 def doc_fingerprint(toks: Column) -> Column:
-    """Order-sensitive polynomial rolling hash over token codepoints
-    (mod large prime): a cheap, deterministic document fingerprint that
-    is reproducible in ANSI SQL (DuckDB ``list_reduce``). Two documents
-    with identical token streams collide; any reorder/edit shifts it."""
+    """Order-sensitive polynomial rolling hash over tokens (mod large
+    prime): a cheap, deterministic document fingerprint reproducible in
+    ANSI SQL (DuckDB ``list_reduce``). Each token contributes its FULL
+    codepoint rolling hash (an earlier form hashed only each token's
+    first codepoint, so 'cat'/'car' collided); identical token streams
+    collide by construction, any reorder or in-token edit shifts it."""
+    def _tok_hash(x):
+        return F.aggregate(
+            F.split(x, ""),
+            F.lit(0).cast("long"),
+            lambda a, ch: (a * 31 + F.ascii(ch)) % F.lit(FP_MOD),
+        )
+
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, x: (acc * 31 + F.ascii(x)) % F.lit(FP_MOD),
+        lambda acc, x: (acc * 31 + _tok_hash(x)) % F.lit(FP_MOD),
     )

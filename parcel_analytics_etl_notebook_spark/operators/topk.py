@@ -51,8 +51,8 @@ def top_k_per_group_salted(
     the surviving k·salts rows per group — trivially small. Identical
     output because any row in the true global top-k is necessarily in
     its salt's top-k (``order_by`` must be a total order, unique
-    tiebreak included; the first-phase salt assignment is random but the
-    RESULT is salt-independent).
+    tiebreak included; the first-phase salt assignment is an arbitrary
+    but DETERMINISTIC content hash and the RESULT is salt-independent).
 
     When you DON'T need this: Spark ≥3.5 plans
     row_number/rank/dense_rank + a ``<= k`` filter as WindowGroupLimit
@@ -63,8 +63,14 @@ def top_k_per_group_salted(
     pushdown doesn't cover.
     """
     nparts = salts or df.sparkSession.sparkContext.defaultParallelism
+    # DETERMINISTIC salt (repo invariant, see skew.py): rand(seed) still
+    # depends on partition index and in-partition order, so a retried
+    # task after a fetch failure could re-salt rows differently than
+    # the copies consumers already fetched — dropping/duplicating
+    # phase-1 survivors. A content hash re-derives identically.
     salted = df.withColumn(
-        "__salt", (F.rand(seed=0) * nparts).cast("int")
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(nparts)).cast("int"),
     )
     w1 = Window.partitionBy(*group_keys, "__salt").orderBy(*order_by)
     survivors = (

@@ -324,7 +324,7 @@ def build_warehouse(df_flat: DataFrame) -> dict[str, DataFrame]:
 def dq_checkpoint(df: DataFrame, checkpoint: str, cols: list[str] | None = None) -> DataFrame:
     """PASS/FAIL DQ report rows in the reference's schema
     (``etl/main.py:21-65`` / FIXTURES.md §C) from ONE aggregate pass."""
-    summary = dq_summary(df, cols).collect()[0].asDict()
+    summary = dq_summary(df, cols or df.columns[:3]).collect()[0].asDict()
     return _dq_report(df.sparkSession, summary, checkpoint)
 
 

@@ -227,7 +227,11 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents)
 SELECT doc_id,
        CAST(list_reduce(list_prepend('0', l),
-            (acc, x) -> CAST((CAST(acc AS BIGINT)*31 + unicode(x)) % 1000000007 AS VARCHAR)) AS BIGINT)
+            (acc, x) -> CAST((CAST(acc AS BIGINT)*31 +
+                list_reduce(list_prepend('0', string_split(x, '')),
+                    (a, ch) -> CAST((CAST(a AS BIGINT)*31 + unicode(ch))
+                               % 1000000007 AS VARCHAR))::BIGINT)
+                % 1000000007 AS VARCHAR)) AS BIGINT)
        AS fingerprint
 FROM t
 """,
@@ -721,8 +725,13 @@ SELECT doc_id,
            '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g'),
            '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS redacted_sha,
        CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
-       CAST(len(regexp_extract_all(text, '\d{3}[-.]\d{3}[-.]\d{4}')) AS BIGINT) AS n_phone,
-       CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip
+       CAST(len(regexp_extract_all(regexp_replace(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+           '\d{3}[-.]\d{3}[-.]\d{4}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+           '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip
 FROM documents
 """,
 )

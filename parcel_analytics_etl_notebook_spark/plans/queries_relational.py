@@ -386,7 +386,8 @@ def dq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass DQ checkpoint: row count + null counts of the first 3
     columns in ONE aggregate job (the reference runs 1+3 separate
     actions per checkpoint, re-executing lineage each time — §4.3)."""
-    return dq_summary(table(spark, sf_dir, "orders"))
+    o = table(spark, sf_dir, "orders")
+    return dq_summary(o, o.columns[:3])
 
 
 # --------------------------------------------------------------------------

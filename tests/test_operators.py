@@ -728,3 +728,111 @@ def test_prenormed_dim_branch_matches_hof(spark, sf_dir):
     assert sorted(map(tuple, a_hof.collect())) == sorted(
         map(tuple, a_pre.collect())
     )
+
+
+def test_asof_carries_null_from_matched_row(spark):
+    """The matched right row's NULL value must stay NULL — not be
+    back-filled from an older right row (value-stitching bug)."""
+    from parcel_analytics_etl_notebook_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    left = spark.createDataFrame([(1, 3)], "k int, lt int")
+    right = spark.createDataFrame(
+        [(1, 1, 100.0), (1, 2, None)], "k int, rt int, price double"
+    )
+    row = asof_join_backward(
+        left, right, on="k", left_ts="lt", right_ts="rt",
+        right_values=["price"],
+    ).collect()[0]
+    assert row["rt_asof"] == 2
+    assert row["price_asof"] is None  # NOT 100.0 from the older row
+
+
+def test_doc_fingerprint_full_token_sensitivity(spark):
+    """Fingerprints must differ for tokens sharing a first character
+    ('cat' vs 'car' — the first-codepoint-only bug)."""
+    from parcel_analytics_etl_notebook_spark.operators.textqa import (
+        doc_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["cat"]), (2, ["car"])], "id int, toks array<string>"
+    )
+    fps = {r["id"]: r["fp"] for r in df.select(
+        "id", doc_fingerprint(F.col("toks")).alias("fp")
+    ).collect()}
+    assert fps[1] != fps[2]
+
+
+def test_pii_counts_no_double_count(spark):
+    """A phone-shaped substring inside an email must not count as a
+    phone: counts are sequential on the progressively-redacted text."""
+    from parcel_analytics_etl_notebook_spark.operators.redact import (
+        redact_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "reach me at 555-123-4567@corp.com")], "doc_id int, text string"
+    )
+    row = redact_documents(df).collect()[0]
+    assert row["n_email"] == 1
+    assert row["n_phone"] == 0
+    assert "<EMAIL>" in row["redacted_text"]
+
+
+def test_chunk_tokens_rejects_gapping_stride(spark):
+    from parcel_analytics_etl_notebook_spark.operators.chunking import (
+        chunk_tokens,
+    )
+
+    df = spark.createDataFrame([(1, ["a"] * 10)], "id int, toks array<string>")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_tokens(df, "toks", chunk_size=4, stride=5)
+
+
+def test_lsh_rejects_wrong_signature_length(spark):
+    """A signature whose actual length differs from sig_len must raise
+    at runtime, not silently drop trailing positions."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
+        lsh_candidate_pairs,
+    )
+
+    sig = spark.createDataFrame(
+        [(1, list(range(18))), (2, list(range(18)))],
+        "doc_id int, minhash array<int>",
+    )
+    with pytest.raises(Exception) as exc:
+        lsh_candidate_pairs(sig, bands=4, sig_len=16).collect()
+    assert "sig_len" in str(exc.value)
+
+
+def test_predict_lang_null_tokens_is_und(spark):
+    from parcel_analytics_etl_notebook_spark.operators.textqa import (
+        predict_lang,
+    )
+
+    df = spark.createDataFrame([(1,)], "id int").select(
+        predict_lang(F.lit(None).cast("array<string>")).alias("lang")
+    )
+    assert df.collect()[0]["lang"] == "und"
+
+
+def test_assign_nearest_zero_vector_gets_null_centroid(spark):
+    """A zero-norm vector has no defined nearest centroid: cid must be
+    NULL, never silently the last centroid in the list."""
+    from parcel_analytics_etl_notebook_spark.operators.clustering import (
+        assign_nearest,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    cents = [(10, [1.0, 0.0]), (20, [0.0, 1.0])]
+    got = {r["vec_id"]: r["centroid_id"] for r in assign_nearest(
+        df, cents
+    ).collect()}
+    assert got[1] == 10
+    assert got[2] is None
