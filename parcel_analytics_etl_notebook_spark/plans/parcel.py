@@ -171,6 +171,13 @@ def build_warehouse(df_flat: DataFrame) -> dict[str, DataFrame]:
     the whole lineage per table per action instead)."""
     df_flat = df_flat.persist()
 
+    # client_key uses the REFERENCE's "_" separator verbatim
+    # (etl/main.py:167): it is an observable output column, so the key
+    # format is part of parity — even though "_" is ambiguous when a
+    # component contains it and concat_ws skips NULLs. New schemas
+    # should use functions/keys.surrogate_key (KEY_SEP \x1f) instead;
+    # the NULL case is excluded here by the isNotNull filter (also
+    # reference behavior, etl/main.py:170).
     clients = df_flat.select(
         F.concat_ws("_", "brand_code_alpha", "sign_code").alias("client_key"),
         "brand_code_alpha",
@@ -198,6 +205,12 @@ def build_warehouse(df_flat: DataFrame) -> dict[str, DataFrame]:
         )
     )
 
+    # NULL-keyed dim rows (e.g. the all-NULL state tuple from events
+    # without a state struct) are RETAINED, and the FK joins below use
+    # plain equality — so those rows are deliberately unreachable and
+    # the fact keeps a NULL FK. That is the reference's own SQL-null
+    # semantics (SURVEY §2.3 J4: "null keys never match; rows with
+    # null state stay FK-null"), preserved on purpose.
     dim_state = (
         df_flat.select("state_code", "state_date", "state_nature", "state_subcode")
         .dropDuplicates()
@@ -207,6 +220,11 @@ def build_warehouse(df_flat: DataFrame) -> dict[str, DataFrame]:
         )
     )
 
+    # built inline rather than via star.build_date_dim: that helper
+    # casts the date parts to bigint for DuckDB-oracle hash parity,
+    # while THIS pipeline reproduces the reference's schema (year()
+    # et al. are int, etl/main.py:205-209) — the two variants differ
+    # on purpose.
     dim_date = (
         df_flat.select(F.to_date("event_date").alias("date"))
         .dropDuplicates()

@@ -56,23 +56,33 @@ def _funnel_update(
     signup, view, purchase, n_seen, done = (
         state.get if state.exists else (None, None, None, 0, 0)
     )
+    # ORDERED funnel (matches the batch twin queries_relational7.
+    # session_conversion_funnel): view counts only at-or-after the
+    # earliest signup, purchase only at-or-after that view. Events are
+    # processed in ts order within the batch; a later batch's earlier
+    # signup lowers the anchor but already-accepted steps stay valid
+    # (they are >= the old anchor > the new one).
+    rows = []
     for pdf in pdfs:
         n_seen += len(pdf)
-        if done:
-            continue
-        for ts, et in zip(pdf["ts"], pdf["event_type"]):
-            us = int(ts.value // 1000)  # pandas ns → µs
-            if et == "signup" and (signup is None or us < signup):
-                signup = us
-            elif et == "view" and (view is None or us < view):
-                view = us
-            elif et == "purchase" and (purchase is None or us < purchase):
-                purchase = us
+        rows.extend(zip(pdf["ts"], pdf["event_type"]))
+    rows.sort(key=lambda r: r[0].value)
+    for ts, et in rows:
+        us = int(ts.value // 1000)  # pandas ns → µs
+        if et == "signup" and (signup is None or us < signup):
+            signup = us
+        elif et == "view" and signup is not None and us >= signup and (
+            view is None or us < view
+        ):
+            view = us
+        elif et == "purchase" and view is not None and us >= view and (
+            purchase is None or us < purchase
+        ):
+            purchase = us
     complete = (
-        not done and signup is not None and view is not None and purchase is not None
+        signup is not None and view is not None and purchase is not None
     )
     if complete:
-        done = 1
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -82,12 +92,23 @@ def _funnel_update(
                 "n_events_seen": [n_seen],
             }
         )
-    state.update((signup, view, purchase, n_seen, done))
+        # clear immediately: live state stays O(active incomplete
+        # users), never O(all users ever completed). The trade: events
+        # arriving AFTER completion re-open an empty funnel, and a user
+        # could re-emit if all three ordered steps recur — downstream
+        # sinks dedup on user_id (or add EventTimeTimeout eviction when
+        # a late-data horizon exists)
+        state.remove()
+    else:
+        state.update((signup, view, purchase, n_seen, done))
 
 
 def funnel_completions(events: DataFrame) -> DataFrame:
-    """Emit one row per user at the micro-batch where their
-    signup+view+purchase funnel first completes."""
+    """Emit one row per user at the micro-batch where their ORDERED
+    signup → view → purchase funnel first completes (view at-or-after
+    the earliest signup, purchase at-or-after that view — the batch
+    twin's step rule). State is removed once a user completes, keeping
+    live state O(active incomplete users)."""
     filtered = events.filter(
         events.event_type.isin("signup", "view", "purchase")
     ).select("user_id", "ts", "event_type")

@@ -75,20 +75,26 @@ def ensure_protobuf_runtime() -> bool:
     Python workers; return True when the transformWithState protocol can
     run.
 
-    With a pip-installed ``protobuf`` this is a no-op. Otherwise it
-    applies ``vendor/sitecustomize.py``'s shim (pure-Python runtime from
-    the local Google Cloud SDK, version gate relaxed) to this process
-    and prepends ``vendor/`` to ``PYTHONPATH`` so worker interpreters
-    self-apply it via ``site`` at startup. Must be called BEFORE the
-    SparkSession / JVM launches for workers to inherit the env.
+    With a pip-installed ``protobuf`` this is a TRUE no-op — the import
+    probe runs FIRST and the function touches neither PYTHONPATH nor
+    sys.path (mutating them unconditionally would shadow real modules
+    with the vendored shim for every later worker). Only on ImportError
+    does it apply ``vendor/sitecustomize.py``'s shim (pure-Python
+    runtime from the local Google Cloud SDK, version gate relaxed) to
+    this process and prepend ``vendor/`` to ``PYTHONPATH`` so worker
+    interpreters self-apply it via ``site`` at startup. Must be called
+    BEFORE the SparkSession / JVM launches for workers to inherit the
+    env.
     """
-    if _VENDOR_DIR not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            _VENDOR_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
-        ).rstrip(os.pathsep)
     try:
         import google.protobuf.descriptor  # noqa: F401
     except ImportError:
+        if _VENDOR_DIR not in os.environ.get("PYTHONPATH", "").split(
+            os.pathsep
+        ):
+            os.environ["PYTHONPATH"] = (
+                _VENDOR_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
+            ).rstrip(os.pathsep)
         sys.path.insert(0, _VENDOR_DIR)
         import importlib
 
@@ -272,6 +278,23 @@ class SessionizerProcessor(StatefulProcessor):
         pass
 
 
+_INTERVAL_UNITS_MS = {
+    "millisecond": 1, "milliseconds": 1,
+    "second": 1000, "seconds": 1000,
+    "minute": 60_000, "minutes": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000,
+}
+
+
+def _interval_ms(spec: str) -> int:
+    """Parse 'N unit' interval strings ('30 minutes') to milliseconds."""
+    parts = spec.strip().split()
+    if len(parts) != 2 or parts[1].lower() not in _INTERVAL_UNITS_MS:
+        raise ValueError(f"unsupported interval spec: {spec!r}")
+    return int(float(parts[0]) * _INTERVAL_UNITS_MS[parts[1].lower()])
+
+
 def session_stats_tws(
     events_stream: DataFrame,
     gap: str = "30 minutes",
@@ -279,13 +302,17 @@ def session_stats_tws(
 ) -> DataFrame:
     """Timer-closed per-user sessions via transformWithStateInPandas
     (timeMode EventTime — requires a watermark on ``ts`` and the
-    RocksDB state store, :func:`rocksdb_state_conf`)."""
+    RocksDB state store, :func:`rocksdb_state_conf`). ``gap`` accepts
+    the same "N units" strings as the watermark and is parsed into the
+    processor's gap_ms (it was silently ignored before — every caller
+    got 30 minutes)."""
+    gap_ms = _interval_ms(gap)
     return (
         events_stream.withWatermark("ts", watermark)
         .select("user_id", "ts", "value")
         .groupBy("user_id")
         .transformWithStateInPandas(
-            statefulProcessor=SessionizerProcessor(),
+            statefulProcessor=SessionizerProcessor(gap_ms=gap_ms),
             outputStructType=SESSION_OUTPUT_SCHEMA,
             outputMode="append",
             timeMode="EventTime",
@@ -322,7 +349,7 @@ CDC_OUTPUT_SCHEMA = StructType(
 
 _CDC_STATE_SCHEMA = StructType(
     [
-        StructField("last_ts_ms", LongType()),
+        StructField("last_ts_ns", LongType()),
         StructField("last_event_id", LongType()),
         StructField("last_value", DoubleType()),
         StructField("n_changes", LongType()),
@@ -338,7 +365,10 @@ class CdcLatestProcessor(StatefulProcessor):
     value, change count, deleted flag) — so snapshot maintenance is
     O(keys) state and O(touched keys) output per micro-batch, never a
     history replay (the batch query's window over all changes). The
-    (ts, event_id) pair reproduces the batch tiebreak exactly, so a
+    (ts, event_id) comparison runs at FULL nanosecond precision (a
+    millisecond truncation would let a stale event_id win between two
+    sub-ms-apart changes, diverging from the batch tiebreak); only the
+    emitted last_ts_ms column is truncated for display. A
     late-but-in-watermark change older than the current state is
     ignored rather than regressing the snapshot."""
 
@@ -355,7 +385,7 @@ class CdcLatestProcessor(StatefulProcessor):
         for pdf in rows:
             n += len(pdf)
             for r in pdf.itertuples(index=False):
-                r_ts = int(r.ts.value // 1_000_000)  # pandas ns → ms
+                r_ts = int(r.ts.value)  # full ns — see docstring
                 r_eid = int(r.event_id)
                 if (r_ts, r_eid) > (ts, eid):
                     ts, eid = r_ts, r_eid
@@ -372,7 +402,7 @@ class CdcLatestProcessor(StatefulProcessor):
             {
                 "user_id": [key[0]],
                 "last_value": [val],
-                "last_ts_ms": [ts],
+                "last_ts_ms": [ts // 1_000_000 if ts >= 0 else ts],
                 "n_changes": [n],
                 "deleted": [deleted],
             }

@@ -64,9 +64,9 @@ def test_streaming_lifecycle_counts(spark):
 
 
 def test_stateful_funnel_completions(spark):
-    """applyInPandasWithState funnel: every user with all three stages
-    emits exactly one completion row whose timestamps equal the batch
-    conditional-min pivot."""
+    """applyInPandasWithState funnel: every user completing the ORDERED
+    signup -> view(>=signup) -> purchase(>=view) chain emits exactly one
+    completion row whose timestamps equal the batch ordered pivot."""
     from parcel_analytics_etl_notebook_spark.streaming.stateful import (
         funnel_completions,
     )
@@ -83,14 +83,37 @@ def test_stateful_funnel_completions(spark):
     q.awaitTermination(180)
     got = {r["user_id"]: r for r in spark.table("funnel").collect()}
 
+    from pyspark.sql import Window
+
+    ev = table(spark, SF, "events").filter(
+        F.col("event_type").isin("signup", "view", "purchase")
+    )
+    wu = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "s",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(wu),
+    )
+    s2 = s1.withColumn(
+        "v",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view") & (F.col("ts") >= F.col("s")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
     batch = (
-        table(spark, SF, "events")
-        .filter(F.col("event_type").isin("signup", "view", "purchase"))
-        .groupBy("user_id")
+        s2.groupBy("user_id")
         .agg(
-            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s"),
-            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"),
-            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+            F.first("s").alias("s"),
+            F.first("v").alias("v"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("v")),
+                    F.col("ts"),
+                )
+            ).alias("p"),
         )
         .filter("s IS NOT NULL AND v IS NOT NULL AND p IS NOT NULL")
         .collect()
@@ -655,3 +678,17 @@ def test_cdc_processor_preserves_null_values_unit():
     # stale change (older ts) must not regress the snapshot
     out = feed([(150, 3, "click", 9.0)])
     assert out["last_value"] == 5.0 and out["n_changes"] == 3
+
+
+def test_session_stats_tws_gap_is_parsed():
+    """The gap parameter must reach the processor (it was silently
+    ignored — every caller got the 30-minute default)."""
+    from parcel_analytics_etl_notebook_spark.streaming.stateful_tws import (
+        _interval_ms,
+    )
+
+    assert _interval_ms("30 minutes") == 1_800_000
+    assert _interval_ms("5 seconds") == 5_000
+    assert _interval_ms("2 hours") == 7_200_000
+    with pytest.raises(ValueError):
+        _interval_ms("fortnight")
