@@ -41,7 +41,14 @@ from parcel_analytics_etl_notebook_spark.plans.catalog import register, table
 # Shared SQL fragments for the oracles -------------------------------------
 
 #: tokens of `text` as a DuckDB list
-_SQL_TOKS = r"string_split_regex(trim(text), '\s+')"
+#: DuckDB twin of functions/textfns.tokens(): NULL and blank text both
+#: yield [] — bare string_split_regex gives [''] for blank and NULL for
+#: NULL, which would break every token-count oracle on such docs
+_SQL_TOKS = (
+    r"(CASE WHEN text IS NULL OR trim(text) = '' "
+    r"THEN CAST([] AS VARCHAR[]) "
+    r"ELSE string_split_regex(trim(text), '\s+') END)"
+)
 
 #: char-level polynomial hash of a DuckDB VARCHAR expression {0}
 _SQL_POLY = (
@@ -122,7 +129,7 @@ SELECT doc_id,
        round(len(list_distinct(l)) / CAST(len(l) AS DOUBLE), 4) AS unique_ratio,
        round(list_sum(list_transform(l, x -> CAST(length(x) AS DOUBLE))) / len(l), 4) AS avg_token_len,
        round(len(list_filter(l, x -> x IN ('the', 'a'))) / CAST(len(l) AS DOUBLE), 4) AS stopword_ratio,
-       (len(l) >= 20 AND len(list_distinct(l)) / CAST(len(l) AS DOUBLE) >= 0.3) AS quality_flag
+       (len(l) >= 20 AND round(len(list_distinct(l)) / CAST(len(l) AS DOUBLE), 4) >= 0.3) AS quality_flag
 FROM t
 """,
 )

@@ -160,10 +160,10 @@ def token_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(tokens("text")).cast("bigint").alias("n_tokens"),
-        (-F.size(tokens("text"))).alias("__neg"),
     )
     run = global_running_sum(
-        docs, order_cols=["__neg", "doc_id"], sum_col="n_tokens", out_col="run"
+        docs.withColumn("__neg", -F.col("n_tokens")),
+        order_cols=["__neg", "doc_id"], sum_col="n_tokens", out_col="run"
     )
     return run.select(
         "doc_id",
@@ -196,11 +196,19 @@ def _kmeans_ctes(k: int, dim: int, iters: int) -> str:
     ]
     for i in range(iters):
         parts.append(
+            # the sim IS NOT NULL filter matches clustering.assign_nearest:
+            # a zero-norm vector has NULL cosine to every centroid and is
+            # EXCLUDED from assignment/means (without it, NULLS-LAST +
+            # rn=1 would still hand the row to the lowest cid and shift
+            # that cluster's mean — diverging from the Spark fold)
             f"""asg{i} AS (
-    SELECT e.vec_id, e.embedding, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY round({_SQL_COS.format('e.embedding', 'c.cvec')}, 9) DESC, c.cid) AS rn
-    FROM embeddings e CROSS JOIN cent{i} c)"""
+    SELECT * FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               round({_SQL_COS.format('e.embedding', 'c.cvec')}, 9) AS sim,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round({_SQL_COS.format('e.embedding', 'c.cvec')}, 9) DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent{i} c) s
+    WHERE s.sim IS NOT NULL)"""
         )
         parts.append(
             f"""cent{i + 1} AS (
@@ -444,7 +452,9 @@ def embedding_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", _lsh_bucket_col("embedding").alias("bucket")
     )
-    return cosine_pairs_blocked(emb, block_col="bucket", threshold=0.4, dim=_KM_DIM)
+    # _LSH_DIM, not the k-means quantizer dim: the two are unrelated
+    # concepts that merely both equal 64 today
+    return cosine_pairs_blocked(emb, block_col="bucket", threshold=0.4, dim=_LSH_DIM)
 
 
 # --------------------------------------------------------------------------

@@ -110,11 +110,11 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_date_bounds",
     oracle="""
-SELECT CAST(min(ts) AS TIMESTAMP) AS first_event,
-       CAST(max(ts) AS TIMESTAMP) AS last_event,
-       min(o_orderdate) AS first_order,
-       max(o_orderdate) AS last_order
-FROM events, orders
+SELECT e.first_event, e.last_event, o.first_order, o.last_order
+FROM (SELECT CAST(min(ts) AS TIMESTAMP) AS first_event,
+             CAST(max(ts) AS TIMESTAMP) AS last_event FROM events) e
+CROSS JOIN (SELECT min(o_orderdate) AS first_order,
+                   max(o_orderdate) AS last_order FROM orders) o
 """,
 )
 def event_date_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,7 +498,8 @@ def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_partkey,
        round(l_extendedprice, 2) AS l_extendedprice
 FROM lineitem
-WHERE (l_orderkey * 2654435761 + l_linenumber * 40503 + l_partkey) % 100 < 10
+WHERE ((l_orderkey % 1000003) * 2654435761
+       + l_linenumber * 40503 + l_partkey) % 100 < 10
 """,
 )
 def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,8 +509,12 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash instead: stable across runs, engines, and repartitioning.
     The training-data staple for held-out splits."""
     li = table(spark, sf_dir, "lineitem")
+    # reduce the key BEFORE the multiply: a raw orderkey past ~3.47e9
+    # overflows int64 in the product — Spark would wrap negative (and a
+    # negative % admits extra rows) while DuckDB raises; the mod-first
+    # form stays < 2.7e15 for any int64 key on both engines
     bucket = (
-        F.col("l_orderkey") * F.lit(2654435761)
+        (F.col("l_orderkey") % F.lit(1000003)) * F.lit(2654435761)
         + F.col("l_linenumber") * F.lit(40503)
         + F.col("l_partkey")
     ) % 100
@@ -758,7 +763,11 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "first_last_token",
     oracle=r"""
-WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents)
+WITH t AS (SELECT doc_id,
+                  (CASE WHEN text IS NULL OR trim(text) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(text), '\s+') END) AS l
+           FROM documents)
 SELECT doc_id, l[1] AS first_token, l[len(l)] AS last_token,
        CAST(len(l) AS BIGINT) AS n_tokens
 FROM t

@@ -218,9 +218,13 @@ def daily_orders_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     style dense output; reference only ever emits observed days).
 
     Scale: the spine is generated from a 1-row global aggregate and is
-    tiny (#days), so Spark broadcasts it; the real work is the one
-    groupBy(date) shuffle over orders. No driver-side loop — the spine
-    is sequence()+explode inside the plan.
+    tiny (#days). NOTE the hint placement: Spark cannot build-LEFT for
+    a left-outer join, so hinting the preserved spine side is logged
+    and IGNORED ("Hint (strategy=broadcast) is not supported") — the
+    broadcast must go on the daily-aggregate (right) side, which is
+    also small post-aggregation (#observed days). The real work is the
+    one groupBy(date) shuffle over orders. No driver-side loop — the
+    spine is sequence()+explode inside the plan.
     """
     orders = table(spark, sf_dir, "orders")
     bounds = orders.agg(
@@ -236,8 +240,8 @@ def daily_orders_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
     return (
-        F.broadcast(spine)
-        .join(daily, on="order_date", how="left")
+        spine
+        .join(F.broadcast(daily), on="order_date", how="left")
         .select(
             "order_date",
             F.coalesce("orders", F.lit(0)).alias("orders"),

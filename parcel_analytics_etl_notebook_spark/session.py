@@ -45,10 +45,15 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's pinned config."""
     builder = SparkSession.builder.appName(app_name)
-    if master is None and not os.environ.get("SPARK_MASTER"):
-        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
-    if master:
-        builder = builder.master(master)
+    if master is None:
+        # SPARK_MASTER's VALUE is applied (not just used as a
+        # skip-local sentinel — it was silently dropped before, so
+        # `SPARK_MASTER=spark://host:7077 python ...` raised
+        # "A master URL must be set" instead of connecting)
+        master = os.environ.get("SPARK_MASTER") or (
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+        )
+    builder = builder.master(master)
     conf = dict(_BASE_CONF)
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
