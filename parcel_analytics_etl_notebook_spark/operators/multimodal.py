@@ -215,3 +215,105 @@ def zscore_first_component(df: DataFrame) -> DataFrame:
         )
 
     return df.groupBy("label").applyInPandas(norm, ZSCORE_SCHEMA)
+
+
+#: output schema of the container-metadata parser
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def parse_image_header(payload: bytes) -> tuple[str | None, int | None, int | None]:
+    """REAL container-metadata decode, zero dependencies: extract
+    (format, width, height) from PNG / JPEG / GIF / BMP headers by
+    reading the magic bytes directly. Unlike ``decode_stub`` this is not
+    a fake — it is the exact field layout of each container spec (PNG
+    IHDR big-endian at offset 16; GIF logical-screen little-endian at 6;
+    BMP BITMAPINFOHEADER little-endian at 18; JPEG height/width in the
+    first SOFn segment). Pixel decode stays out of scope (no codec libs
+    here); dimension harvesting at ingest is how a multimodal curation
+    pipeline filters by resolution WITHOUT decoding 100 TB of pixels.
+
+    Unknown/truncated containers return (None, None, None) rather than
+    raising — corrupt rows are data, not crashes, at scale.
+    """
+    b = bytes(payload)
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+            return (
+                "png",
+                int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"),
+            )
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            return (
+                "gif",
+                int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"),
+            )
+        if b[:2] == b"BM" and len(b) >= 26:
+            # BITMAPINFOHEADER: int32 width @18, int32 height @22
+            # (height < 0 = top-down DIB; magnitude is the dimension)
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            h = int.from_bytes(b[22:26], "little", signed=True)
+            return ("bmp", abs(w), abs(h))
+        if b[:2] == b"\xff\xd8":  # JPEG SOI: walk segments to SOFn
+            i = 2
+            while i + 3 < len(b):
+                if b[i] != 0xFF:  # desync: not a marker where expected
+                    return ("jpeg", None, None)
+                marker = b[i + 1]
+                if marker == 0xFF:  # fill byte
+                    i += 1
+                    continue
+                if 0xD0 <= marker <= 0xD9:  # RSTn/SOI/EOI: no payload
+                    i += 2
+                    continue
+                if (
+                    0xC0 <= marker <= 0xCF
+                    and marker not in (0xC4, 0xC8, 0xCC)  # not DHT/JPG/DAC
+                ):
+                    if i + 9 <= len(b):  # SOFn: u16 height @+5, width @+7
+                        return (
+                            "jpeg",
+                            int.from_bytes(b[i + 7 : i + 9], "big"),
+                            int.from_bytes(b[i + 5 : i + 7], "big"),
+                        )
+                    return ("jpeg", None, None)
+                i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+            return ("jpeg", None, None)
+    except (IndexError, ValueError):
+        pass
+    return (None, None, None)
+
+
+def extract_image_meta(df: DataFrame) -> DataFrame:
+    """Arrow-batched dimension harvesting over (doc_id, payload) rows —
+    the real-decode counterpart of :func:`extract_features`. Runs
+    map-side with no shuffle; the output is small typed metadata, so the
+    heavy binary column is dropped the moment the header is read."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_image_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": [p[0] for p in parsed],
+                    "width": pd.array(
+                        [p[1] for p in parsed], dtype="Int64"
+                    ),
+                    "height": pd.array(
+                        [p[2] for p in parsed], dtype="Int64"
+                    ),
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(run, IMAGE_META_SCHEMA)

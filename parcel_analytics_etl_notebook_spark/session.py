@@ -30,6 +30,9 @@ _BASE_CONF: dict[str, str] = {
     # parquet nested-schema pruning (on by default; pinned for clarity)
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # let pushFilters() on Python data sources receive predicates
+    # (off by default in 4.1; sources/pydatasource.py implements it)
+    "spark.sql.python.filterPushdown.enabled": "true",
     # the driver's events.parquet uses TIMESTAMP(NANOS) which the vectorized
     # reader rejects; read as int64 nanos and convert explicitly (see
     # plans/catalog.table) — micro-truncation matches DuckDB TIMESTAMP (µs).

@@ -23,7 +23,15 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
 )
 
@@ -65,6 +73,20 @@ class _RangePartition(InputPartition):
 
 
 class SynthCorpusReader(DataSourceReader):
+    """Partition-planning reader with real filter pushdown (Spark 4.1
+    ``pushFilters``): range predicates on ``doc_id`` clamp the generated
+    id range — i.e. PARTITION PRUNING, whole splits never get planned —
+    and equality/membership predicates on ``lang``/``source`` are
+    applied at generation time so skipped rows are never materialized or
+    shipped over Arrow. Both pushed forms are EXACT, so they are
+    consumed (not yielded back) and Spark plans no residual filter for
+    them — the scan itself is the filter, which is the shape a 100 TB
+    source must have (the alternative reads everything and throws most
+    of it away on the executor)."""
+
+    #: columns whose EqualTo/In pushdown is exact at generation time
+    _CAT_COLS = ("lang", "source")
+
     def __init__(self, options: dict):
         self.rows = int(options.get("rows", 1000))
         self.seed = int(options.get("seed", 42))
@@ -75,21 +97,72 @@ class SynthCorpusReader(DataSourceReader):
             raise ValueError(
                 f"numPartitions must be >= 1, got {self.num_partitions}"
             )
+        # pushdown state: [lo, hi) id bounds and per-column allowed sets
+        self.lo = 0
+        self.hi = self.rows
+        self.allowed: dict[str, frozenset] = {}
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Consume doc_id range bounds and lang/source memberships;
+        yield everything else back for Spark to evaluate post-scan."""
+        for f in filters:
+            col = f.attribute[0] if len(f.attribute) == 1 else None
+            if col == "doc_id" and isinstance(
+                f,
+                (EqualTo, GreaterThan, GreaterThanOrEqual,
+                 LessThan, LessThanOrEqual),
+            ) and isinstance(f.value, int):
+                v = f.value
+                if isinstance(f, EqualTo):
+                    self.lo, self.hi = max(self.lo, v), min(self.hi, v + 1)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, v)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, v)
+                else:  # LessThanOrEqual
+                    self.hi = min(self.hi, v + 1)
+            elif col in self._CAT_COLS and isinstance(f, EqualTo) and isinstance(f.value, str):
+                prev = self.allowed.get(col)
+                new = frozenset({f.value})
+                self.allowed[col] = new if prev is None else prev & new
+            elif col in self._CAT_COLS and isinstance(f, In) and all(
+                isinstance(v, str) for v in f.value
+            ):
+                prev = self.allowed.get(col)
+                new = frozenset(f.value)
+                self.allowed[col] = new if prev is None else prev & new
+            elif col in ("doc_id", "text", "n_chars", *self._CAT_COLS) and isinstance(f, IsNotNull):
+                pass  # generated columns are never NULL: trivially true
+            else:
+                yield f
 
     def partitions(self) -> Sequence[InputPartition]:
         # contiguous row-id ranges: output is partition-count-invariant
-        # because rows depend only on (seed, id), never on the split
-        if self.rows == 0:
-            return [_RangePartition(self.seed, 0, 0)]
-        step = -(-self.rows // self.num_partitions)
+        # because rows depend only on (seed, id), never on the split.
+        # Pushed doc_id bounds shrink [lo, hi) BEFORE planning, so out-
+        # of-range splits are pruned here, not filtered on executors.
+        lo, hi = self.lo, max(self.lo, self.hi)
+        if hi == lo:
+            return [_RangePartition(self.seed, lo, lo)]
+        step = -(-(hi - lo) // self.num_partitions)
         return [
-            _RangePartition(self.seed, lo, min(lo + step, self.rows))
-            for lo in range(0, self.rows, step)
+            _RangePartition(self.seed, s, min(s + step, hi))
+            for s in range(lo, hi, step)
         ]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        allowed = self.allowed
         for i in range(partition.start, partition.end):
-            yield _row(partition.seed, i)
+            row = _row(partition.seed, i)
+            if allowed:
+                # schema order: doc_id, text, lang, source, n_chars
+                if "lang" in allowed and row[2] not in allowed["lang"]:
+                    continue
+                if "source" in allowed and row[3] not in allowed["source"]:
+                    continue
+            yield row
 
 
 class SynthCorpusDataSource(DataSource):

@@ -836,3 +836,54 @@ def test_assign_nearest_zero_vector_gets_null_centroid(spark):
     ).collect()}
     assert got[1] == 10
     assert got[2] is None
+
+
+def test_image_header_parse_real_containers(spark):
+    """parse_image_header does REAL container decode: dimensions come
+    out of hand-constructed PNG/GIF/BMP/JPEG byte layouts (per spec),
+    corrupt payloads classify as unknown, and the Spark-side
+    extract_image_meta (mapInPandas) carries the same answers with
+    nullable dims intact."""
+    import struct
+    import zlib
+
+    from parcel_analytics_etl_notebook_spark.operators.multimodal import (
+        extract_image_meta,
+        parse_image_header,
+    )
+
+    # PNG: signature + IHDR chunk (len, type, w, h, bit depth, ...)
+    ihdr = struct.pack(">II5B", 640, 480, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    # GIF89a: logical screen descriptor is little-endian u16 w, h
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    # BMP: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER; height
+    # negative = top-down, magnitude is the real dimension
+    bmp = b"BM" + b"\x00" * 12 + struct.pack("<IiiHH", 40, 800, -600, 1, 24)
+    # JPEG: SOI, APP0 (JFIF), DHT (must be SKIPPED: C4 is not a SOF),
+    # then SOF0 carrying u16 height, width
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    dht = b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 1080, 1920, 3)
+    jpeg = b"\xff\xd8" + app0 + dht + sof0
+    assert parse_image_header(png) == ("png", 640, 480)
+    assert parse_image_header(gif) == ("gif", 320, 200)
+    assert parse_image_header(bmp) == ("bmp", 800, 600)
+    assert parse_image_header(jpeg) == ("jpeg", 1920, 1080)
+    assert parse_image_header(b"\x00garbage") == (None, None, None)
+    # JPEG with no SOF before truncation: known format, unknown dims
+    assert parse_image_header(b"\xff\xd8" + app0) == ("jpeg", None, None)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(jpeg)), (3, bytearray(b"nope"))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_image_meta(df).collect()}
+    assert (rows[1]["format"], rows[1]["width"], rows[1]["height"]) == ("png", 640, 480)
+    assert (rows[2]["format"], rows[2]["width"], rows[2]["height"]) == ("jpeg", 1920, 1080)
+    assert rows[3]["format"] is None and rows[3]["width"] is None
+    assert rows[1]["n_bytes"] == len(png)

@@ -333,3 +333,59 @@ def test_table_profile_single_aggregate(spark):
     p = plan_of(spark, "table_profile_orders")
     assert p.count("Location: InMemoryFileIndex") == 1  # one scan node
     assert "Expand" in p  # the multi-distinct rewrite, not per-column jobs
+
+
+# Queries whose physical plan LEGITIMATELY contains a nested-loop /
+# cartesian shape, each because one side is bounded (1-row global
+# scalar, a broadcast query-vector literal, or a deliberately tiny
+# cross product) — NOT a data-scale blowup. Anything new that lands
+# here must be justified the same way or replanned.
+NESTED_LOOP_ALLOWED = {
+    # 1-row global-scalar cross joins (scalar-subquery pattern)
+    "daily_users_hll_sketch": "1-row global sketch joined to per-day rows",
+    "event_date_bounds": "1-row min/max bounds joined back",
+    "source_mixture_weights": "1-row corpus total for weight normalization",
+    "vocab_growth_curve": "1-row vocab total per checkpoint set",
+    "tfidf_top_terms": "1-row corpus doc-count for idf",
+    "dormant_high_balance_customers": "1-row avg-balance threshold (Q22)",
+    "important_part_value": "1-row global avg threshold (Q11/Q17 shape)",
+    # broadcast query-vector / centroid-literal probes (model-sized)
+    "ann_cosine_topk": "single broadcast query vector",
+    "ann_multi_query_topk": "handful of broadcast query vectors",
+    "hard_negative_mining": "broadcast anchor vectors",
+    "ivf_ann_topk": "broadcast fixed centroids + query",
+    "ivf_recall_at_5": "broadcast centroids + query (recall eval)",
+    "ivf_trained_topk": "broadcast trained centroids + query",
+    # deliberate small cross products / non-equi baselines
+    "region_status_matrix": "5 regions x 3 statuses scaffold cross join",
+    "value_band_stats": "non-equi band join baseline; bucketized twin "
+    "(value_band_stats_bucketized) is the scale path",
+}
+
+
+def test_catalog_has_no_unjustified_nested_loop_joins(spark):
+    """Catalog-wide plan fence: building every registered query, the
+    only CartesianProduct / BroadcastNestedLoopJoin occurrences are the
+    allowlisted bounded-side shapes above. A new query (or a regression
+    in an old one) that plans a data-scale nested loop fails HERE, on
+    plan shape, before it ever melts a cluster. Equi-joins can never
+    plan BNLJ, so this fence is stable across scale factors."""
+    flagged = {}
+    for name, fn in sorted(queries().items()):
+        df = fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            m
+            for m in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if m in plan
+        ]
+        if bad:
+            flagged[name] = bad
+    unjustified = {
+        n: m for n, m in flagged.items() if n not in NESTED_LOOP_ALLOWED
+    }
+    assert not unjustified, f"new nested-loop plans: {unjustified}"
+    # the allowlist must not go stale: entries that no longer plan a
+    # nested loop should be removed (they'd mask future regressions)
+    stale = set(NESTED_LOOP_ALLOWED) - set(flagged)
+    assert not stale, f"allowlist entries no longer needed: {stale}"

@@ -322,9 +322,10 @@ def test_python_datasource_degenerate_options(spark):
     assert empty.columns == ["doc_id", "text", "lang", "source", "n_chars"]
 
 
-def test_orc_roundtrip(spark, tmp_path):
-    """ORC sink → ORC scan preserves rows and schema (native columnar
-    interop path)."""
+def test_orc_helper_roundtrip(spark, tmp_path):
+    """ORC sink → ORC scan via the engine's read_orc/write_orc helpers
+    preserves rows and schema (this had silently shadowed the direct
+    format("orc") roundtrip above by reusing its name — both now run)."""
     from parcel_analytics_etl_notebook_spark.sources.readers import read_orc
     from parcel_analytics_etl_notebook_spark.sources.writers import write_orc
 
@@ -374,3 +375,135 @@ def test_overwrite_partitions_touches_only_landed(spark, tmp_path):
     # partition-value inference types dt as DATE on read — stringify
     got = {(str(r["dt"]), r["v"]) for r in spark.read.parquet(path).collect()}
     assert got == {("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 99)}
+
+
+def test_python_datasource_filter_pushdown_prunes_partitions(spark):
+    """Spark 4.1 pushFilters: doc_id range predicates reach the Python
+    source and shrink the PLANNED id range (partition pruning), and
+    lang equality is applied at generation time — while unsupported
+    predicates come back for Spark to evaluate. Checked two ways: the
+    reader unit surface (bounds + residuals), and end-to-end equality
+    with the unpushed plan."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThan,
+        StringContains,
+    )
+
+    from parcel_analytics_etl_notebook_spark.sources.pydatasource import (
+        SynthCorpusReader,
+        register_synthcorpus,
+    )
+
+    # unit: bounds clamp, categorical set, residual passthrough BY REF
+    r = SynthCorpusReader({"rows": "1000", "numPartitions": "8"})
+    unsupported = StringContains(("text",), "parcel")
+    residual = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("doc_id",), 600),
+                LessThan(("doc_id",), 700),
+                EqualTo(("lang",), "fr"),
+                unsupported,
+            ]
+        )
+    )
+    assert residual == [unsupported] and residual[0] is unsupported
+    assert (r.lo, r.hi) == (600, 700)
+    parts = r.partitions()
+    assert min(p.start for p in parts) == 600
+    assert max(p.end for p in parts) == 700
+    # all planned ids live inside the pushed range — pruning, not
+    # post-filtering: 900 of 1000 ids are never generated
+    assert sum(p.end - p.start for p in parts) == 100
+    assert all(row[2] == "fr" for p in parts for row in r.read(p))
+
+    # end-to-end: pushed plan == unpushed data filtered after the fact
+    register_synthcorpus(spark)
+    base = (
+        spark.read.format("synthcorpus")
+        .option("rows", 1000)
+        .option("seed", 11)
+        .load()
+    )
+    pred = (
+        (F.col("doc_id") >= 600)
+        & (F.col("doc_id") < 700)
+        & (F.col("lang") == "fr")
+        & F.col("text").contains("parcel")
+    )
+    pushed = sorted(base.filter(pred).collect())
+    unpushed = sorted([r_ for r_ in base.collect() if
+                       600 <= r_["doc_id"] < 700 and r_["lang"] == "fr"
+                       and "parcel" in r_["text"]])
+    assert pushed == unpushed and len(pushed) > 0
+
+
+def test_python_datasource_pushdown_contradictory_range_is_empty(spark):
+    """Contradictory pushed bounds (lo > hi) plan an empty split, not a
+    negative range or a crash."""
+    from pyspark.sql.datasource import GreaterThan, LessThan
+
+    from parcel_analytics_etl_notebook_spark.sources.pydatasource import (
+        SynthCorpusReader,
+        register_synthcorpus,
+    )
+
+    r = SynthCorpusReader({"rows": "100"})
+    list(r.pushFilters([GreaterThan(("doc_id",), 80), LessThan(("doc_id",), 20)]))
+    parts = r.partitions()
+    assert sum(p.end - p.start for p in parts) == 0
+
+    register_synthcorpus(spark)
+    df = (
+        spark.read.format("synthcorpus")
+        .option("rows", 100)
+        .load()
+        .filter((F.col("doc_id") > 80) & (F.col("doc_id") < 20))
+    )
+    assert df.count() == 0
+
+
+def test_python_datasink_jsonl_commit_protocol(spark, tmp_path):
+    """Spark 4 Python DataSourceWriter: the jsonlsink writes staged
+    files per task and publishes them atomically on driver commit —
+    part-*.jsonl + _SUCCESS, no .staged-* leftovers — and the data
+    round-trips through spark.read.json with values intact (timestamps
+    ISO-stringified)."""
+    import os
+
+    from parcel_analytics_etl_notebook_spark.sources.pydatasink import (
+        register_jsonlsink,
+    )
+
+    register_jsonlsink(spark)
+    df = table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).repartition(4)
+    out = str(tmp_path / "sink")
+    # Python data sources accept only Append/Overwrite (no ErrorIfExists)
+    df.write.format("jsonlsink").mode("append").save(out)
+
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    parts = [n for n in names if n.startswith("part-")]
+    assert len(parts) == 4
+    assert not [n for n in names if n.startswith(".staged-")]
+
+    back = spark.read.json(out)
+    assert back.count() == df.count()
+    a = df.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).first()["s"]
+    b = back.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).first()["s"]
+    assert a == b
+
+    # append mode adds files without clobbering earlier writes
+    ten = df.limit(10).repartition(1)
+    ten.write.format("jsonlsink").mode("append").save(out)
+    assert spark.read.json(out).count() == df.count() + 10
+
+    # overwrite mode replaces ALL committed files
+    ten.write.format("jsonlsink").mode("overwrite").save(out)
+    names = sorted(os.listdir(out))
+    assert len([n for n in names if n.startswith("part-")]) == 1
+    assert spark.read.json(out).count() == 10
