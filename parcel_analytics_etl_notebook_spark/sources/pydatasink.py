@@ -40,6 +40,7 @@ from decimal import Decimal
 from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -122,19 +123,74 @@ class JsonlSinkWriter(DataSourceWriter):
                     pass
 
 
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming twin: one commit per micro-batch epoch, IDEMPOTENT on
+    the epoch id. After a crash Spark replays the last epoch; its
+    ``_epoch-N`` manifest already existing means the data is already
+    published, so the replayed attempt's staged files are swept instead
+    of republished — end-to-end exactly-once on top of an at-least-once
+    replay, which is precisely the contract a custom streaming sink has
+    to supply itself (the engine guarantees only the replay)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator: Iterator[Row]) -> _StagedFile:
+        return JsonlSinkWriter(self.path, overwrite=False).write(iterator)
+
+    def commit(self, messages: list[_StagedFile], batchId: int) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        manifest = os.path.join(self.path, f"_epoch-{batchId}")
+        staged = sorted(m.name for m in messages if m is not None)
+        if os.path.exists(manifest):  # replayed epoch: already published
+            for name in staged:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
+            return
+        final = [
+            f"part-{batchId:05d}-{i:05d}.jsonl" for i in range(len(staged))
+        ]
+        for src, dst in zip(staged, final):
+            os.replace(
+                os.path.join(self.path, src), os.path.join(self.path, dst)
+            )
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batchId, "files": final}, f)
+        os.replace(tmp, manifest)  # manifest appears atomically, LAST
+
+    def abort(self, messages: list[_StagedFile], batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.name))
+                except OSError:
+                    pass
+
+
 class JsonlSinkDataSource(DataSource):
     """``df.write.format("jsonlsink").mode("overwrite").save(path)`` →
-    ``part-*.jsonl`` + ``_SUCCESS`` under ``path``."""
+    ``part-*.jsonl`` + ``_SUCCESS`` under ``path``. Streaming:
+    ``df.writeStream.format("jsonlsink").option("path", p)`` →
+    per-epoch ``part-<epoch>-*.jsonl`` + ``_epoch-<n>`` manifests."""
 
     @classmethod
     def name(cls) -> str:
         return "jsonlsink"
 
-    def writer(self, schema: StructType, overwrite: bool) -> JsonlSinkWriter:
+    def _path(self) -> str:
         path = self.options.get("path")
         if not path:
             raise ValueError("jsonlsink requires a path: .save(path)")
-        return JsonlSinkWriter(path, overwrite)
+        return path
+
+    def writer(self, schema: StructType, overwrite: bool) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self._path(), overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> JsonlStreamWriter:
+        return JsonlStreamWriter(self._path())
 
 
 def register_jsonlsink(spark: SparkSession) -> None:

@@ -692,3 +692,82 @@ def test_session_stats_tws_gap_is_parsed():
     assert _interval_ms("2 hours") == 7_200_000
     with pytest.raises(ValueError):
         _interval_ms("fortnight")
+
+
+def test_python_streaming_datasink_epoch_commit(spark, tmp_path):
+    """Python DataSourceStreamWriter: the jsonlsink publishes each
+    micro-batch under an atomic per-epoch manifest — part files named by
+    epoch, one _epoch-N marker per batch, no staged leftovers — and a
+    REPLAYED epoch (crash-recovery path) is swept, not republished
+    (exactly-once on top of at-least-once replay)."""
+    import json as _json
+    import os
+    import time
+
+    from parcel_analytics_etl_notebook_spark.sources.pydatasink import (
+        JsonlStreamWriter,
+        register_jsonlsink,
+    )
+    from parcel_analytics_etl_notebook_spark.sources.pydatasource import (
+        register_synthcorpus,
+    )
+
+    register_synthcorpus(spark)
+    register_jsonlsink(spark)
+    out = str(tmp_path / "stream_sink")
+    q = (
+        spark.readStream.format("synthcorpus")
+        .option("seed", 3)
+        .option("batchRows", 70)
+        .option("maxRows", 200)
+        .load()
+        .writeStream.format("jsonlsink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sink_ckpt"))
+        .start()
+    )
+    deadline = time.time() + 120
+    total = 0
+    while time.time() < deadline:
+        parts = [f for f in os.listdir(out) if f.startswith("part-")] if os.path.isdir(out) else []
+        total = sum(1 for p in parts for _ in open(os.path.join(out, p)))
+        if total >= 200:
+            break
+        time.sleep(1)
+    q.stop()
+
+    names = sorted(os.listdir(out))
+    manifests = [n for n in names if n.startswith("_epoch-") and not n.endswith(".tmp")]
+    parts = [n for n in names if n.startswith("part-")]
+    assert total == 200
+    assert len(manifests) >= 3  # 200 rows at 70/batch → ≥3 epochs
+    assert not [n for n in names if n.startswith(".staged-")]
+    # manifest contents name exactly the published epoch files
+    listed = []
+    for m in manifests:
+        listed += _json.load(open(os.path.join(out, m)))["files"]
+    assert sorted(listed) == parts
+    # stream content == batch source content (exactly-once, no dup/loss)
+    got = spark.read.json(out).select("doc_id", "text", "lang", "source", "n_chars")
+    batch = (
+        spark.read.format("synthcorpus")
+        .option("seed", 3).option("rows", 200).load()
+    )
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in batch.collect()
+    )
+
+    # replay path, unit-level: re-committing an epoch whose manifest
+    # exists sweeps the staged duplicate instead of publishing it
+    w = JsonlStreamWriter(out)
+    epoch = int(manifests[0].split("-")[1])
+    dup = os.path.join(out, ".staged-replayed.jsonl")
+    with open(dup, "w") as f:
+        f.write('{"doc_id": 0}\n')
+
+    class _Msg:
+        name = ".staged-replayed.jsonl"
+
+    before = sorted(os.listdir(out))
+    w.commit([_Msg()], epoch)
+    assert sorted(os.listdir(out)) == [n for n in before if n != ".staged-replayed.jsonl"]
