@@ -455,3 +455,84 @@ def token_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(u) / F.col("n_tokens"), 6).alias("sample_key"),
     )
     return keyed.orderBy(F.col("sample_key").desc(), "doc_id").limit(100)
+
+
+@register(
+    "image_meta_profile",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id,
+           16 + doc_id % 1905 AS width,
+           16 + (doc_id * 7) % 1065 AS height
+    FROM documents
+),
+o AS (
+    SELECT CASE WHEN width > height THEN 'landscape'
+                WHEN width < height THEN 'portrait'
+                ELSE 'square' END AS orientation,
+           width, height
+    FROM dims
+)
+SELECT 'png' AS format, orientation,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(min(width) AS BIGINT) AS min_width,
+       CAST(max(width) AS BIGINT) AS max_width,
+       round(avg(width * height / 1000000.0), 4) AS avg_megapixels
+FROM o
+GROUP BY orientation
+ORDER BY orientation
+""",
+)
+def image_meta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resolution profiling through REAL bytes: build a
+    spec-exact PNG header per document JVM-side (signature + IHDR with
+    big-endian dims derived from doc_id), parse it back with the real
+    header decoder (operators/multimodal.parse_image_header — magic
+    bytes, not a stub), and profile the corpus by orientation. The
+    oracle recomputes the dims arithmetically, so the hash check
+    verifies the ENTIRE binary round trip: a single mis-laid header
+    byte or endianness slip shifts width/height and flips the hash.
+
+    Scale shape: construction and parsing are both map-side (concat of
+    literals + one Arrow-batched mapInPandas hop over (doc_id,
+    payload)); the only shuffle is the 3-group aggregate of the SMALL
+    parsed-metadata projection — the binary column dies before the
+    exchange, which is the whole point of harvesting dimensions at
+    ingest instead of decoding pixels downstream."""
+    from parcel_analytics_etl_notebook_spark.operators.multimodal import (
+        extract_image_meta,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(16) + F.col("doc_id") % F.lit(1905)).cast("int")
+    h = (F.lit(16) + (F.col("doc_id") * F.lit(7)) % F.lit(1065)).cast("int")
+    payload = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),  # PNG signature
+        F.unhex(F.lit("0000000D")),  # IHDR length = 13
+        F.encode(F.lit("IHDR"), "UTF-8"),
+        F.unhex(F.lpad(F.hex(w), 8, "0")),  # big-endian u32 width
+        F.unhex(F.lpad(F.hex(h), 8, "0")),  # big-endian u32 height
+        F.unhex(F.lit("0802000000")),  # bit depth 8, truecolor
+        F.unhex(F.lit("00000000")),  # CRC placeholder (not validated)
+    )
+    imgs = docs.select("doc_id", payload.alias("payload"))
+    meta = extract_image_meta(imgs)
+    orientation = (
+        F.when(F.col("width") > F.col("height"), "landscape")
+        .when(F.col("width") < F.col("height"), "portrait")
+        .otherwise("square")
+    )
+    return (
+        meta.select("format", orientation.alias("orientation"),
+                    "width", "height")
+        .groupBy("format", "orientation")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("width").cast("bigint").alias("min_width"),
+            F.max("width").cast("bigint").alias("max_width"),
+            F.round(
+                F.avg(F.col("width") * F.col("height") / F.lit(1000000.0)), 4
+            ).alias("avg_megapixels"),
+        )
+        .orderBy("orientation")
+    )

@@ -293,3 +293,60 @@ def test_tws_sessionizer_watermark_boundary_event():
     batch([100 + GAP], 100 + GAP)  # the boundary event: merges
     drain(proc.handleExpiredTimer((1,), FakeTimerValues(10**9), None))
     assert emitted == [(100, 100 + GAP, 2)]  # ONE session, not two
+
+
+@given(
+    w=st.integers(min_value=0, max_value=2**31 - 1),
+    h=st.integers(min_value=0, max_value=2**31 - 1),
+    fmt=st.sampled_from(["png", "gif", "bmp", "jpeg"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_image_header_parse_roundtrip(w, h, fmt):
+    """Spec-constructed container headers round-trip through the parser
+    for ANY representable dimension (GIF is u16-limited; BMP height may
+    be stored negative/top-down)."""
+    import struct
+
+    from parcel_analytics_etl_notebook_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    if fmt == "png":
+        b = (
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        )
+        expect = (w, h)
+    elif fmt == "gif":
+        w, h = w % 65536, h % 65536
+        b = b"GIF87a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+        expect = (w, h)
+    elif fmt == "bmp":
+        sign = -1 if h % 2 else 1  # exercise top-down storage
+        b = b"BM" + b"\x00" * 12 + struct.pack(
+            "<Iii", 40, w, sign * h
+        ) + b"\x00" * 4
+        expect = (w, h)
+    else:  # jpeg: u16 dims, APP0 + DHT before the SOF0
+        w, h = w % 65536, h % 65536
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        dht = b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+        sof = b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 3)
+        b = b"\xff\xd8" + app0 + dht + sof
+        expect = (w, h)
+    assert parse_image_header(b) == (fmt, *expect)
+
+
+@given(payload=st.binary(min_size=0, max_size=64))
+@settings(max_examples=150, deadline=None)
+def test_image_header_parse_never_raises(payload):
+    """Fuzz: arbitrary bytes — including ones starting with valid magic
+    prefixes — must classify or return unknown, never raise (corrupt
+    rows are data at 100 TB, not crashes)."""
+    from parcel_analytics_etl_notebook_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    for prefix in (b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"BM"):
+        out = parse_image_header(prefix + payload)
+        assert isinstance(out, tuple) and len(out) == 3
