@@ -25,6 +25,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from parcel_analytics_etl_notebook_spark.functions.textfns import (
     normalize_text,
@@ -78,14 +79,14 @@ def run_curation(
 
     base = docs.select(
         "doc_id", "text", "lang", "source", F.size(tokens("text")).cast("bigint").alias("n_tokens")
-    ).persist()
+    ).persist(StorageLevel.DISK_ONLY)
     funnel.append(dict(zip(("stage", "docs", "tokens"), ("raw", *_stage_counts(base)))))
 
     # 1. cheap quality pre-filters (length / uniqueness heuristics)
     q = quality_features(base.select("doc_id", "text"))
     quality = (
         base.join(q.filter("quality_flag").select("doc_id"), "doc_id", "left_semi")
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     )
     funnel.append(dict(zip(("stage", "docs", "tokens"), ("quality", *_stage_counts(quality)))))
 
@@ -96,10 +97,9 @@ def run_curation(
         quality.withColumn("__rn", F.row_number().over(wmin))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     )
     funnel.append(dict(zip(("stage", "docs", "tokens"), ("exact_dedup", *_stage_counts(exact)))))
-    quality.unpersist()
 
     # 3. near-dup dedup: MinHash signatures → banded LSH candidate
     #    pairs (bucket-capped, never all-pairs) → connected components
@@ -114,10 +114,9 @@ def run_curation(
             | (F.col("canonical_id") == F.col("doc_id"))
         )
         .drop("canonical_id")
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     )
     funnel.append(dict(zip(("stage", "docs", "tokens"), ("near_dedup", *_stage_counts(near)))))
-    exact.unpersist()
 
     # 4. decontamination: deterministic holdout split by id hash; drop
     #    TRAIN docs whose token fingerprint appears in the holdout
@@ -130,10 +129,9 @@ def run_curation(
         fp.filter(~F.col("__holdout"))
         .join(holdout_fps, "__fp", "left_anti")
         .drop("__fp", "__holdout")
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     )
     funnel.append(dict(zip(("stage", "docs", "tokens"), ("decontaminated", *_stage_counts(train)))))
-    near.unpersist()
 
     # 5. optional per-language token budget, deterministic doc_id order
     #    (running sum over the lang partition — one key shuffle; a doc
@@ -149,7 +147,7 @@ def run_curation(
             train.withColumn("__cum", F.sum("n_tokens").over(wrun))
             .filter(F.col("__cum") <= lang_token_budget)
             .drop("__cum")
-            .persist()
+            .persist(StorageLevel.DISK_ONLY)
         )
     funnel.append(dict(zip(("stage", "docs", "tokens"), ("budgeted", *_stage_counts(curated)))))
 
@@ -169,10 +167,16 @@ def run_curation(
     write_parquet(manifest, os.path.join(out_dir, "manifest"), target_files=1)
     with open(os.path.join(out_dir, "funnel.json"), "w") as f:
         json.dump(funnel, f, indent=1)
-    if curated is not train:
-        curated.unpersist()
-    train.unpersist()
-    base.unpersist()
+    # unpersist ONLY after everything is published: releasing an
+    # upstream cache while a later stage still holds it in its logical
+    # plan trips a CacheManager rebuild NPE inside the components
+    # fixpoint's localCheckpoint (Spark 4.1, tryRebuildCacheEntry on a
+    # session-less cached plan) — observed at the 150k-doc scale smoke.
+    # One batch release at the end is also simply the safer lifetime:
+    # every stage frame is model/corpus-projection-sized, not payload-
+    # sized, so holding the caches to the end costs little.
+    for frame in (base, quality, exact, near, train, curated):
+        frame.unpersist()
     return {"out": out_dir, "funnel": funnel}
 
 

@@ -217,3 +217,79 @@ def test_funnel_10m(big_events):
     assert row["n_sessions"] == 100_000 * 50
     assert row["qualified"] > 0
     assert _t.perf_counter() - t0 < 240
+
+
+def test_curation_funnel_150k_docs(spark, tmp_path):
+    """The full curation runner (quality → exact dedup → LSH near-dedup
+    → decontamination → publish) over 150k distributed-generated docs
+    with PLANTED duplicate structure: 20% byte-copy their cluster head
+    (exact dedup must remove exactly that mass) and a further 10% share
+    the head's 30-token body under a different lead token (near-dups —
+    LSH + connected components must catch most of them, probabilistic
+    by construction). ~4M shingles, no all-pairs blowup, bounded time."""
+    import os
+
+    from parcel_analytics_etl_notebook_spark.plans.curation_run import (
+        run_curation,
+    )
+
+    n = 150_000
+    words = F.array(*[F.lit(f"tok{i}") for i in range(211)])
+    # ids ending 8,9 byte-copy head (id - id%10); ids ending 7 reuse the
+    # head BODY under their own lead token (near-dup, survives exact
+    # dedup); everyone else is their own head
+    tail = F.col("id") % 10
+    head = F.when(tail >= 7, F.col("id") - tail).otherwise(F.col("id"))
+    # token choice must be a NON-LINEAR hash of (head, position): any
+    # affine formula (head*a + i*b) mod m aliases shifted sequences —
+    # doc families sharing 27/29 shingles — which packs LSH buckets and
+    # OOMs the pair join on a 1g test heap (observed with %211 and
+    # %1000003 variants both); xxhash64 kills the shift structure
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda i: F.element_at(
+            words, (F.pmod(F.xxhash64(head, i), F.lit(211)) + 1).cast("int")
+        ),
+    )
+    lead = F.when(tail.isin(8, 9), head).otherwise(F.col("id"))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("u"), lead.cast("string"), F.lit(" "),
+            F.array_join(toks, " "),
+        ).alias("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("fr"), F.lit("de")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+        F.element_at(
+            F.array(F.lit("web"), F.lit("wiki")),
+            (F.col("id") % 2 + 1).cast("int"),
+        ).alias("source"),
+    )
+
+    t0 = time.perf_counter()
+    out = str(tmp_path / "cur150k")
+    os.makedirs(out)
+    result = run_curation(spark, docs, out, holdout_pct=2)
+    funnel = {s["stage"]: s["docs"] for s in result["funnel"]}
+
+    assert funnel["raw"] == n
+    # quality heuristics pass the synthetic texts (31 tokens, high
+    # uniqueness) — nothing should be dropped there
+    assert funnel["quality"] == n
+    # exact dedup removes exactly the planted byte-copies: 2 of every 10
+    assert funnel["exact_dedup"] == n - (n // 10) * 2
+    # near-dedup catches MOST of the planted body-sharers (each ~0.8
+    # Jaccard to its head; 4x4 LSH banding catches ~90% in expectation)
+    # — at least half, and at most the planted mass plus a small
+    # allowance for chance band collisions among 120k random docs
+    # (observed ~0.4%: collisions chain into components and drop extra
+    # members — recall/precision tuning is the LSH parameter trade, not
+    # a pipeline defect)
+    near_removed = funnel["exact_dedup"] - funnel["near_dedup"]
+    assert (n // 10) // 2 <= near_removed <= (n // 10) + n // 100
+    assert funnel["near_dedup"] >= funnel["decontaminated"] > 0
+    published = spark.read.parquet(os.path.join(out, "curated")).count()
+    assert published == funnel["budgeted"]
+    assert time.perf_counter() - t0 < 300
