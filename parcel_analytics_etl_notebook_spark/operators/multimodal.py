@@ -317,3 +317,38 @@ def extract_image_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, IMAGE_META_SCHEMA)
+
+
+def zscore_first_component_arrow(df: DataFrame) -> DataFrame:
+    """``applyInArrow`` twin of :func:`zscore_first_component`: the
+    per-label group arrives as ONE ``pyarrow.Table`` — no pandas
+    materialization between the JVM and the math. Same rules (sample
+    std ddof=1, degenerate groups → NaN); tests assert row-for-row
+    agreement with the pandas twin, mirroring how
+    :func:`extract_features_arrow` pins :func:`extract_features`.
+    Completes the grouped-map surface: pandas and Arrow forms of both
+    the stateless batch map (mapInPandas/mapInArrow) and the grouped
+    map (applyInPandas/applyInArrow)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def norm(tbl: pa.Table) -> pa.Table:
+        emb = tbl.column("embedding")
+        first = np.array(
+            [v[0].as_py() for v in emb], dtype=np.float64
+        )
+        mu = first.mean()
+        sd = first.std(ddof=1)
+        z = (first - mu) / sd if sd > 0 else np.full_like(first, np.nan)
+        # Arrow is strict about result types (pandas silently upcast):
+        # the fixture stores int32 ids/labels, the schema says bigint
+        return pa.Table.from_arrays(
+            [
+                tbl.column("vec_id").cast(pa.int64()),
+                tbl.column("label").cast(pa.int64()),
+                pa.array(z.astype(np.float32), pa.float32()),
+            ],
+            names=["vec_id", "label", "z_first"],
+        )
+
+    return df.groupBy("label").applyInArrow(norm, ZSCORE_SCHEMA)

@@ -887,3 +887,33 @@ def test_image_header_parse_real_containers(spark):
     assert (rows[2]["format"], rows[2]["width"], rows[2]["height"]) == ("jpeg", 1920, 1080)
     assert rows[3]["format"] is None and rows[3]["width"] is None
     assert rows[1]["n_bytes"] == len(png)
+
+
+def test_apply_in_arrow_matches_pandas_twin(spark):
+    """applyInArrow grouped map must agree row-for-row (NaN-aware) with
+    the applyInPandas twin on real embeddings — including the
+    degenerate singleton-group NaN rule."""
+    import math
+
+    from parcel_analytics_etl_notebook_spark.operators.multimodal import (
+        zscore_first_component,
+        zscore_first_component_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {
+        r["vec_id"]: (r["label"], r["z_first"])
+        for r in zscore_first_component_arrow(emb).collect()
+    }
+    p = {
+        r["vec_id"]: (r["label"], r["z_first"])
+        for r in zscore_first_component(emb).collect()
+    }
+    assert a.keys() == p.keys() and len(a) == emb.count()
+    for k in a:
+        assert a[k][0] == p[k][0]
+        za, zp = a[k][1], p[k][1]
+        if za is None or (isinstance(za, float) and math.isnan(za)):
+            assert zp is None or math.isnan(zp)
+        else:
+            assert abs(za - zp) < 1e-6
