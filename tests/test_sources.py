@@ -507,3 +507,33 @@ def test_python_datasink_jsonl_commit_protocol(spark, tmp_path):
     names = sorted(os.listdir(out))
     assert len([n for n in names if n.startswith("part-")]) == 1
     assert spark.read.json(out).count() == 10
+
+
+def test_python_datasink_abort_cleans_staging(spark, tmp_path):
+    """Negative path: a task failure mid-write must abort the job AND
+    leave the sink directory publishable-clean — no part files, no
+    _SUCCESS, no orphaned .staged-* files (the writer's abort sweep)."""
+    import os
+
+    import pytest as _pytest
+
+    from parcel_analytics_etl_notebook_spark.sources.pydatasink import (
+        register_jsonlsink,
+    )
+
+    register_jsonlsink(spark)
+    out = str(tmp_path / "sink_fail")
+
+    @F.udf("int")
+    def boom(v):
+        raise RuntimeError("injected failure")
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), boom(F.col("id")).alias("v")
+    )
+    with _pytest.raises(Exception):
+        df.write.format("jsonlsink").mode("append").save(out)
+    leftover = os.listdir(out) if os.path.isdir(out) else []
+    assert not [n for n in leftover if n.startswith("part-")]
+    assert "_SUCCESS" not in leftover
+    assert not [n for n in leftover if n.startswith(".staged-")]
