@@ -128,3 +128,60 @@ def load_tables(
         if register_views:
             df.createOrReplaceTempView(name)
     return out
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan across SCHEMA GENERATIONS: ``mergeSchema`` unions
+    the footer schemas of every file, so a table whose later ingest
+    batches added columns reads as one frame (older files yield NULL
+    for the new columns). The production reality of any long-lived
+    warehouse table — the reference's fixed-schema read
+    (``notebooks/report.ipynb`` cell 3) breaks the day a column lands.
+
+    Cost note: mergeSchema reads EVERY file footer at planning time —
+    O(files) driver work. At 100 TB keep it off for stable tables (the
+    engine default) and on only for evolving ones, or better, register
+    the superset schema explicitly and read with that."""
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Malformed-row quarantine scan: returns ``(good, bad)`` frames in
+    ONE pass definition — PERMISSIVE mode parses what it can, routes
+    unparseable lines into a ``_corrupt_record`` column, and the split
+    is a pair of filters over the same scan (Catalyst shares it).
+    ``bad`` carries the raw line for repair/audit; ``good`` drops the
+    capture column. Corrupt rows are DATA at 100 TB — a single
+    malformed line must quarantine, not kill the job (FAILFAST) or
+    silently vanish (DROPMALFORMED).
+
+    The schema must NOT itself contain ``_corrupt_record`` — the column
+    is appended here."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    if "_corrupt_record" in schema.fieldNames():
+        raise ValueError("schema must not predeclare _corrupt_record")
+    with_capture = schema.add("_corrupt_record", StringType())
+    df = (
+        spark.read.option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(with_capture)
+        .csv(path)
+        # Spark requires caching/materializing before filtering on the
+        # corrupt-record column alone (it is populated during parsing,
+        # a raw-data reference a later filter can't see); selecting it
+        # alongside the data columns keeps the query valid
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad

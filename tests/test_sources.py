@@ -537,3 +537,68 @@ def test_python_datasink_abort_cleans_staging(spark, tmp_path):
     assert not [n for n in leftover if n.startswith("part-")]
     assert "_SUCCESS" not in leftover
     assert not [n for n in leftover if n.startswith(".staged-")]
+
+
+def test_read_parquet_evolving_merges_generations(spark, tmp_path):
+    """Two ingest generations with different schemas read as ONE frame
+    under mergeSchema: the old generation yields NULL for the added
+    column; the default reader would have picked one footer and
+    silently dropped the other generation's column."""
+    from parcel_analytics_etl_notebook_spark.sources.readers import (
+        read_parquet_evolving,
+    )
+
+    path = str(tmp_path / "evolving")
+    g1 = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    g2 = spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    )
+    g1.write.parquet(path)
+    g2.write.mode("append").parquet(path)
+    df = read_parquet_evolving(spark, path)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_read_csv_quarantine_splits_good_and_bad(spark, tmp_path):
+    """PERMISSIVE scan with corrupt-record capture: parseable rows land
+    typed in `good`, unparseable lines land raw in `bad`, nothing is
+    dropped, and the job never fails."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from parcel_analytics_etl_notebook_spark.sources.readers import (
+        read_csv_quarantine,
+    )
+
+    path = str(tmp_path / "dirty.csv")
+    with open(path, "w") as f:
+        f.write("id,qty,note\n")
+        f.write("1,10,ok\n")
+        f.write("2,notanumber,bad qty\n")  # type mismatch → corrupt
+        f.write("3,30,fine\n")
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("qty", IntegerType()),
+            StructField("note", StringType()),
+        ]
+    )
+    good, bad = read_csv_quarantine(spark, path, schema)
+    g = {r["id"]: r["qty"] for r in good.collect()}
+    assert g == {1: 10, 3: 30}
+    b = [r["raw_line"] for r in bad.collect()]
+    assert b == ["2,notanumber,bad qty"]
+    # schema guard: predeclaring the capture column is a usage error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_csv_quarantine(
+            spark, path,
+            StructType([StructField("_corrupt_record", StringType())]),
+        )
