@@ -77,9 +77,25 @@ def run_curation(
     """
     funnel: list[dict] = []
 
-    base = docs.select(
+    typed = docs.select(
         "doc_id", "text", "lang", "source", F.size(tokens("text")).cast("bigint").alias("n_tokens")
-    ).persist(StorageLevel.DISK_ONLY)
+    )
+    # invalid rows are DATA: quarantine them with a reason instead of
+    # letting NULL text ride silently through every downstream hash
+    reason = (
+        F.when(F.col("doc_id").isNull(), "null_id")
+        .when(F.col("text").isNull(), "null_text")
+        .when(F.col("n_tokens") == 0, "empty_text")
+    )
+    quarantine = typed.withColumn("reason", reason).filter(
+        F.col("reason").isNotNull()
+    )
+    write_parquet(
+        quarantine, os.path.join(out_dir, "quarantine"), target_files=1
+    )
+    n_quarantined = quarantine.count()
+
+    base = typed.filter(reason.isNull()).persist(StorageLevel.DISK_ONLY)
     funnel.append(dict(zip(("stage", "docs", "tokens"), ("raw", *_stage_counts(base)))))
 
     # 1. cheap quality pre-filters (length / uniqueness heuristics)
@@ -177,7 +193,7 @@ def run_curation(
     # sized, so holding the caches to the end costs little.
     for frame in (base, quality, exact, near, train, curated):
         frame.unpersist()
-    return {"out": out_dir, "funnel": funnel}
+    return {"out": out_dir, "funnel": funnel, "quarantined": n_quarantined}
 
 
 def main(argv: list[str] | None = None) -> int:

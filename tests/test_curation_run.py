@@ -93,3 +93,36 @@ def test_curation_is_deterministic(spark, tmp_path):
             )
         )
     assert ids[0] == ids[1]
+
+
+def test_curation_quarantines_invalid_docs(spark, tmp_path):
+    """NULL/empty-text rows must land in the quarantine side-output
+    with a reason — never in the funnel, never silently dropped."""
+    import os
+
+    base = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text", "lang", "source")
+        .limit(20)
+    )
+    dirty = base.unionByName(
+        spark.createDataFrame(
+            [
+                (900001, None, "en", "web"),
+                (900002, "", "fr", "wiki"),
+                (900003, "   ", "de", "web"),
+            ],
+            "doc_id bigint, text string, lang string, source string",
+        )
+    )
+    out = str(tmp_path / "qrun")
+    os.makedirs(out)
+    result = run_curation(spark, dirty, out)
+    assert result["quarantined"] == 3
+    q = spark.read.parquet(os.path.join(out, "quarantine"))
+    reasons = {r["doc_id"]: r["reason"] for r in q.collect()}
+    assert reasons == {
+        900001: "null_text", 900002: "empty_text", 900003: "empty_text"
+    }
+    # the funnel starts from the VALID rows only
+    assert result["funnel"][0]["docs"] == 20
