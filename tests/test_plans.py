@@ -363,14 +363,40 @@ NESTED_LOOP_ALLOWED = {
 }
 
 
-def test_catalog_has_no_unjustified_nested_loop_joins(spark):
-    """Catalog-wide plan fence: building every registered query, the
-    only CartesianProduct / BroadcastNestedLoopJoin occurrences are the
-    allowlisted bounded-side shapes above. A new query (or a regression
-    in an old one) that plans a data-scale nested loop fails HERE, on
-    plan shape, before it ever melts a cluster. Equi-joins can never
-    plan BNLJ, so this fence is stable across scale factors."""
-    flagged = {}
+# Queries whose plan is ALLOWED to cross into Python — each an
+# Arrow-batched form that exists precisely to exercise that surface.
+# BatchEvalPython (row-at-a-time Python UDF) is allowed NOWHERE.
+PYTHON_EVAL_ALLOWED = {
+    "doc_sentence_stats": "Python UDTF demo (Arrow-batched; posexplode "
+    "twin is the production path)",
+    "embedding_zscore_by_label": "applyInPandas grouped-map surface",
+    "image_meta_profile": "mapInPandas binary header decode",
+    "multimodal_features": "mapInPandas feature extraction over payloads",
+}
+
+
+def test_catalog_plan_fences(spark):
+    """Catalog-wide plan fences, one sweep over every registered query:
+
+    1. nested loops — the only CartesianProduct /
+       BroadcastNestedLoopJoin occurrences are the allowlisted
+       bounded-side shapes above; a query whose join degenerates to a
+       data-scale nested loop fails here before it melts a cluster
+       (equi-joins can never plan BNLJ, so this is scale-stable);
+    2. Python evaluation — BatchEvalPython (row-at-a-time Python UDF,
+       the documented slow path) appears NOWHERE, and the Arrow-batched
+       Python hops appear ONLY in the queries that exist to prove that
+       surface.
+
+    Both allowlists are staleness-checked: an entry that no longer
+    trips its marker must be removed, or it would mask a future
+    regression."""
+    nl_flagged: dict[str, list[str]] = {}
+    py_flagged: dict[str, list[str]] = {}
+    py_markers = (
+        "ArrowEvalPython", "MapInPandas", "MapInArrow",
+        "FlatMapGroupsInPandas", "FlatMapGroupsInArrow", "PythonUDTF",
+    )
     for name, fn in sorted(queries().items()):
         df = fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -380,12 +406,22 @@ def test_catalog_has_no_unjustified_nested_loop_joins(spark):
             if m in plan
         ]
         if bad:
-            flagged[name] = bad
+            nl_flagged[name] = bad
+        assert "BatchEvalPython" not in plan, (
+            f"{name} plans a row-at-a-time Python UDF"
+        )
+        py = [m for m in py_markers if m in plan]
+        if py:
+            py_flagged[name] = py
+
     unjustified = {
-        n: m for n, m in flagged.items() if n not in NESTED_LOOP_ALLOWED
+        n: m for n, m in nl_flagged.items() if n not in NESTED_LOOP_ALLOWED
     }
     assert not unjustified, f"new nested-loop plans: {unjustified}"
-    # the allowlist must not go stale: entries that no longer plan a
-    # nested loop should be removed (they'd mask future regressions)
-    stale = set(NESTED_LOOP_ALLOWED) - set(flagged)
-    assert not stale, f"allowlist entries no longer needed: {stale}"
+    stale = set(NESTED_LOOP_ALLOWED) - set(nl_flagged)
+    assert not stale, f"nested-loop allowlist entries no longer needed: {stale}"
+
+    un_py = {n: m for n, m in py_flagged.items() if n not in PYTHON_EVAL_ALLOWED}
+    assert not un_py, f"new Python-eval plans: {un_py}"
+    stale_py = set(PYTHON_EVAL_ALLOWED) - set(py_flagged)
+    assert not stale_py, f"python-eval allowlist entries no longer needed: {stale_py}"
