@@ -536,3 +536,143 @@ def image_meta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("orientation")
     )
+
+
+@register(
+    "filtered_ann_topk",
+    oracle=f"""
+WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (
+    SELECT e.vec_id, round({_SQL_COS.format('e.embedding', 'qv')}, 6) AS cosine
+    FROM embeddings e JOIN en ON e.vec_id = en.doc_id, q
+    WHERE e.vec_id <> 0
+)
+SELECT vec_id, cosine FROM sims ORDER BY cosine DESC, vec_id LIMIT 5
+""",
+)
+def filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the retrieval-system primitive plain
+    top-k lacks: restrict candidates by a METADATA predicate (here
+    lang='en', resolved through the documents table) before ranking by
+    cosine. Pre-filtering is the correct order at scale: post-filtering
+    a top-k can return fewer than k rows (or none) when the predicate
+    is selective, the classic filtered-ANN failure mode.
+
+    Plan shape: the lang predicate pushes into the documents scan, the
+    id equi-join prunes the corpus BEFORE any similarity math runs, and
+    the ranking stays TakeOrderedAndProject over the surviving rows —
+    the filter costs one key join, never a second pass over scored
+    results."""
+    from parcel_analytics_etl_notebook_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    en_ids = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    candidates = emb.filter(F.col("vec_id") != 0).join(
+        en_ids, "vec_id", "left_semi"
+    )
+    return brute_force_topk(
+        candidates, emb.filter(F.col("vec_id") == 0), k=5
+    )
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+WITH qt AS (
+    SELECT DISTINCT unnest({_SQL_TOKS}) AS tok FROM documents WHERE doc_id = 0
+),
+dt AS (
+    SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS tok
+    FROM documents WHERE doc_id <> 0
+),
+lex AS (
+    SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS overlap
+    FROM dt JOIN qt ON dt.tok = qt.tok GROUP BY dt.doc_id
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+    SELECT lex.doc_id, lex.overlap,
+           round({_SQL_COS.format('e.embedding', 'qv')}, 6) AS cosine
+    FROM lex JOIN embeddings e ON lex.doc_id = e.vec_id, q
+),
+ranked AS (
+    SELECT doc_id, overlap, cosine,
+           row_number() OVER (ORDER BY overlap DESC, doc_id) AS lex_rank,
+           row_number() OVER (ORDER BY cosine DESC, doc_id) AS vec_rank
+    FROM cand
+)
+SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank,
+       round(1.0 / (60 + lex_rank) + 1.0 / (60 + vec_rank), 6) AS rrf_score
+FROM ranked
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+""",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical + vector retrieval fused by Reciprocal Rank
+    Fusion (Cormack et al.: score = Σ 1/(k + rank), k=60) — the
+    standard way to combine a keyword signal and an embedding signal
+    without score calibration, since RRF consumes only RANKS. Candidate
+    generation is lexical (docs sharing ≥1 distinct token with query
+    doc 0 — the inverted-index step), then each candidate gets a
+    deterministic lexical rank (shared-token count) and vector rank
+    (cosine to the query embedding), fused and re-ranked.
+
+    Scale shape: the token join is explode + broadcast of the QUERY'S
+    token set (query-sized, not corpus-sized); the overlap aggregate
+    shuffles on doc_id and the embedding join reuses that key. The two
+    rank windows are global but run over the CANDIDATE set (bounded by
+    lexical recall), not the corpus — the same containment every
+    retrieval system relies on. Ranks round cosine to 6 dp first so
+    accumulation jitter cannot reorder the fusion."""
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    qtok = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(F.explode(F.array_distinct(tokens("text"))).alias("tok"))
+        .distinct()
+    )
+    dtok = docs.filter(F.col("doc_id") != 0).select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    lex = (
+        dtok.join(F.broadcast(qtok), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap"))
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qv")
+    )
+    cand = (
+        lex.join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "overlap",
+            F.round(cosine_similarity("embedding", "__qv"), 6).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wl = Window.orderBy(F.col("overlap").desc(), "doc_id")
+    wv = Window.orderBy(F.col("cosine").desc(), "doc_id")
+    ranked = cand.select(
+        "doc_id",
+        F.row_number().over(wl).cast("bigint").alias("lex_rank"),
+        F.row_number().over(wv).cast("bigint").alias("vec_rank"),
+    )
+    rrf = F.round(
+        1.0 / (F.lit(60) + F.col("lex_rank"))
+        + 1.0 / (F.lit(60) + F.col("vec_rank")),
+        6,
+    ).alias("rrf_score")
+    return ranked.select("doc_id", "lex_rank", "vec_rank", rrf).orderBy(
+        F.col("rrf_score").desc(), "doc_id"
+    ).limit(10)

@@ -356,6 +356,9 @@ NESTED_LOOP_ALLOWED = {
     "ivf_ann_topk": "broadcast fixed centroids + query",
     "ivf_recall_at_5": "broadcast centroids + query (recall eval)",
     "ivf_trained_topk": "broadcast trained centroids + query",
+    "filtered_ann_topk": "single broadcast query vector (metadata-"
+    "filtered candidates)",
+    "hybrid_rrf_retrieval": "broadcast query vector + query token set",
     # deliberate small cross products / non-equi baselines
     "region_status_matrix": "5 regions x 3 statuses scaffold cross join",
     "value_band_stats": "non-equi band join baseline; bucketized twin "
