@@ -676,3 +676,99 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("doc_id", "lex_rank", "vec_rank", rrf).orderBy(
         F.col("rrf_score").desc(), "doc_id"
     ).limit(10)
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+),
+lens AS (SELECT doc_id, len(toks) AS dl FROM base WHERE len(toks) > 0),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 avg(dl) AS avgdl FROM lens),
+tf AS (
+    SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+    GROUP BY doc_id, tok
+),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+qt AS (SELECT DISTINCT unnest(toks) AS tok FROM base WHERE doc_id = 0),
+scored AS (
+    SELECT tf.doc_id,
+           sum(
+             ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+             * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / stats.avgdl))
+           ) AS s
+    FROM tf
+    JOIN qt ON tf.tok = qt.tok
+    JOIN df ON tf.tok = df.tok
+    JOIN lens ON tf.doc_id = lens.doc_id, stats
+    WHERE tf.doc_id <> 0
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 6) AS bm25 FROM scored
+ORDER BY bm25 DESC, doc_id LIMIT 10
+""",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) top-10 for query doc 0's token set —
+    the production lexical scorer (saturating tf, length-normalized,
+    rare-term-weighted), completing the retrieval stack next to
+    tfidf_top_terms (per-doc salience) and hybrid_rrf_retrieval (rank
+    fusion).
+
+    Scale shape: tf is one explode + (doc, tok) aggregate; df is a
+    token-keyed reduce OVER tf (never a second corpus pass); n_docs and
+    avgdl ride ONE broadcast 1-row frame; the query's token set joins
+    broadcast so only query-term postings flow into scoring — the
+    inverted-index access pattern, expressed relationally. Final score
+    rounds to 6 dp before the deterministic (score, doc_id) top-k."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("toks"))
+    lens = base.filter(F.size("toks") > 0).select(
+        "doc_id", F.size("toks").cast("double").alias("dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    qt = (
+        base.filter(F.col("doc_id") == 0)
+        .select(F.explode(F.array_distinct("toks")).alias("tok"))
+        .distinct()
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + 1.2 * (
+        1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")
+    )
+    # df restricted to QUERY terms before broadcasting: the full-vocab
+    # df table is dictionary-sized (huge at corpus scale); the pruned
+    # one is query-sized. tf joins the same pruned set, so only
+    # query-term postings ever flow into scoring.
+    df_q = df_.join(F.broadcast(qt), "tok")
+    return (
+        tf.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(df_q), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (1.2 + 1) / denom), 6
+            ).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
