@@ -772,3 +772,64 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "diversified_ann_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (
+    SELECT e.vec_id, d.lang,
+           round({_SQL_COS.format('e.embedding', 'qv')}, 6) AS cosine
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id, q
+    WHERE e.vec_id <> 0
+),
+quota AS (
+    SELECT vec_id, lang, cosine,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY cosine DESC, vec_id) AS lang_rank
+    FROM sims
+)
+SELECT vec_id, lang, cosine, CAST(lang_rank AS BIGINT) AS lang_rank
+FROM quota WHERE lang_rank <= 2
+ORDER BY cosine DESC, vec_id LIMIT 6
+""",
+)
+def diversified_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-quota vector search: global top-6 by cosine subject to
+    AT MOST 2 results per language — the quota form of diversified
+    retrieval (the cheap, deterministic alternative to greedy MMR: one
+    per-group window instead of k sequential re-scoring passes, which
+    is also why it scales — the quota prune is a WindowGroupLimit
+    per lang partition, then a bounded global top-k).
+
+    Plan shape: metadata join to fetch the group key, one lang-keyed
+    window with map-side group-limit pruning, TakeOrderedAndProject for
+    the final 6. Deterministic: cosine rounded before both rankings,
+    ties break on id."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qv")
+    )
+    sims = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(docs, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "lang",
+            F.round(cosine_similarity("embedding", "__qv"), 6).alias("cosine"),
+        )
+    )
+    wq = Window.partitionBy("lang").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        sims.withColumn("lang_rank", F.row_number().over(wq).cast("bigint"))
+        .filter(F.col("lang_rank") <= 2)
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(6)
+    )

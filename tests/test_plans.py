@@ -360,6 +360,8 @@ NESTED_LOOP_ALLOWED = {
     "filtered candidates)",
     "hybrid_rrf_retrieval": "broadcast query vector + query token set",
     "bm25_topk": "1-row corpus stats (n_docs, avgdl) cross join",
+    "diversified_ann_topk": "single broadcast query vector (quota "
+    "diversity)",
     # deliberate small cross products / non-equi baselines
     "region_status_matrix": "5 regions x 3 statuses scaffold cross join",
     "value_band_stats": "non-equi band join baseline; bucketized twin "
