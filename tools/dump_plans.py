@@ -91,6 +91,25 @@ SHOWCASE: list[tuple[str, str]] = [
         "partials then a final (key) combine — two small exchanges instead "
         "of one skewed one.",
     ),
+    (
+        "bm25_topk",
+        "Inverted-index access relationally: df is computed over tf (no "
+        "second corpus pass) and pruned to the QUERY's terms before the "
+        "broadcast joins, so only query-term postings reach scoring; the "
+        "1-row (n_docs, avgdl) stats ride one broadcast cross join.",
+    ),
+    (
+        "filtered_ann_topk",
+        "Filtered vector search: the lang predicate pushes into the "
+        "documents scan and the id semi-join prunes the corpus BEFORE any "
+        "cosine runs; ranking stays TakeOrderedAndProject.",
+    ),
+    (
+        "diversified_ann_topk",
+        "Diversity quotas: per-lang WindowGroupLimit prunes to each "
+        "group's top-2 map-side, then a bounded global top-k — one window "
+        "instead of greedy MMR's k re-scoring passes.",
+    ),
 ]
 
 
