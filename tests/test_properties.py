@@ -350,3 +350,42 @@ def test_image_header_parse_never_raises(payload):
     for prefix in (b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"BM"):
         out = parse_image_header(prefix + payload)
         assert isinstance(out, tuple) and len(out) == 3
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**16 - 1),
+            st.integers(min_value=0, max_value=2**16 - 1),
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_zorder_key_matches_python_morton(spark, pairs):
+    """zorder_key_2d must equal the reference Morton interleave for any
+    16-bit inputs — bijective, so distinct (a, b) map to distinct keys
+    (file-skipping quality depends on the interleave being exact)."""
+    from parcel_analytics_etl_notebook_spark.functions.zorder import (
+        zorder_key_2d,
+    )
+
+    def morton(a: int, b: int) -> int:
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    df = spark.createDataFrame(pairs, "a bigint, b bigint")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", zorder_key_2d(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    for (a, b), z in got.items():
+        assert z == morton(a, b), (a, b)
+    assert len(set(got.values())) == len(pairs)  # bijective on the grid
