@@ -833,3 +833,94 @@ def diversified_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(6)
     )
+
+
+@register(
+    "retrieval_rank_agreement",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+lens AS (SELECT doc_id, len(toks) AS dl FROM base WHERE len(toks) > 0),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+          FROM lens),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+       GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+qt AS (SELECT DISTINCT unnest(toks) AS tok FROM base WHERE doc_id = 0),
+bscore AS (
+    SELECT tf.doc_id,
+           round(sum(
+             ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+             * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / stats.avgdl))
+           ), 6) AS s
+    FROM tf JOIN qt ON tf.tok = qt.tok JOIN df ON tf.tok = df.tok
+    JOIN lens ON tf.doc_id = lens.doc_id, stats
+    WHERE tf.doc_id <> 0 GROUP BY tf.doc_id
+),
+b AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM bscore ORDER BY s DESC, doc_id LIMIT 10),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vscore AS (
+    SELECT vec_id AS doc_id,
+           round({_SQL_COS.format('embedding', 'qv')}, 6) AS c
+    FROM embeddings, q WHERE vec_id <> 0
+),
+v AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r
+      FROM vscore ORDER BY c DESC, doc_id LIMIT 10),
+j AS (SELECT b.doc_id AS bd, v.doc_id AS vd, b.r AS br, v.r AS vr
+      FROM b FULL OUTER JOIN v ON b.doc_id = v.doc_id)
+SELECT CAST(sum(CASE WHEN bd IS NOT NULL AND vd IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_common_at10,
+       round(sum(CASE WHEN bd IS NOT NULL AND vd IS NOT NULL
+                      THEN 1 ELSE 0 END)
+             / (20.0 - sum(CASE WHEN bd IS NOT NULL AND vd IS NOT NULL
+                                THEN 1 ELSE 0 END)), 4) AS jaccard_at10,
+       round(avg(CASE WHEN bd IS NOT NULL AND vd IS NOT NULL
+                      THEN abs(br - vr) END), 4) AS footrule_avg
+FROM j
+""",
+)
+def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retriever-agreement evaluation: how much do the lexical (BM25)
+    and vector (cosine) top-10 lists agree for the same query doc?
+    Reports shared-document count, Jaccard@10, and the average Spearman
+    footrule distance |rank_lex − rank_vec| over the shared documents
+    (NULL when the lists are disjoint). Low agreement is precisely the
+    regime where RRF fusion (hybrid_rrf_retrieval) buys recall — this
+    query is the measurement that justifies running hybrid at all.
+
+    Scale shape: composes the two retrievals' plans unchanged (each a
+    bounded top-10), then a full-outer join of two 10-row frames and a
+    1-row aggregate — the evaluation overhead beyond the retrievals
+    themselves is constant."""
+    from parcel_analytics_etl_notebook_spark.plans.catalog import queries as _qs
+
+    b = (
+        _qs()["bm25_topk"](spark, sf_dir)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+            .alias("br"),
+        )
+    )
+    v = (
+        _qs()["ann_cosine_topk"](spark, sf_dir)
+        .select(
+            F.col("vec_id").alias("vdoc"),
+            F.row_number()
+            .over(Window.orderBy(F.col("cosine").desc(), "vec_id"))
+            .alias("vr"),
+        )
+    )
+    j = b.join(v, b.doc_id == v.vdoc, "full_outer")
+    common = F.col("doc_id").isNotNull() & F.col("vdoc").isNotNull()
+    n_common = F.sum(common.cast("int"))
+    return j.agg(
+        n_common.cast("bigint").alias("n_common_at10"),
+        F.round(n_common / (20.0 - n_common), 4).alias("jaccard_at10"),
+        F.round(
+            F.avg(F.when(common, F.abs(F.col("br") - F.col("vr")))), 4
+        ).alias("footrule_avg"),
+    )

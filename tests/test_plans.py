@@ -362,6 +362,8 @@ NESTED_LOOP_ALLOWED = {
     "bm25_topk": "1-row corpus stats (n_docs, avgdl) cross join",
     "diversified_ann_topk": "single broadcast query vector (quota "
     "diversity)",
+    "retrieval_rank_agreement": "composes bm25_topk + ann_cosine_topk "
+    "(their bounded broadcast shapes)",
     # deliberate small cross products / non-equi baselines
     "region_status_matrix": "5 regions x 3 statuses scaffold cross join",
     "value_band_stats": "non-equi band join baseline; bucketized twin "
