@@ -677,3 +677,97 @@ SELECT
          AS BIGINT) AS gained_pairs
 """
     )
+
+
+@register(
+    "winsorized_value_stats",
+    oracle="""
+WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+p AS (
+    SELECT event_type,
+           quantile_cont(value, 0.05) AS p05,
+           quantile_cont(value, 0.95) AS p95
+    FROM v GROUP BY event_type
+)
+SELECT v.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(v.value), 4) AS mean_raw,
+       round(avg(least(greatest(v.value, p.p05), p.p95)), 4)
+           AS mean_winsorized,
+       round(stddev_samp(v.value), 4) AS std_raw,
+       round(stddev_samp(least(greatest(v.value, p.p05), p.p95)), 4)
+           AS std_winsorized
+FROM v JOIN p ON v.event_type = p.event_type
+GROUP BY v.event_type ORDER BY v.event_type
+""",
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clipping at per-group p05/p95) with
+    before/after moments — the standard robust-preprocessing step for
+    heavy-tailed metrics, shown as evidence of HOW MUCH the tails move
+    the estimate. Exact interpolated percentiles (Spark percentile ≡
+    quantile_cont); at 100 TB swap for approx_percentile and the shape
+    is unchanged: one percentile aggregate per group, broadcast of the
+    |groups|-row bounds back onto the stream, one moments aggregate."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    p = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(p), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+            F.round(F.stddev_samp("value"), 4).alias("std_raw"),
+            F.round(F.stddev_samp(clipped), 4).alias("std_winsorized"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "orders_keyset_page",
+    oracle="""
+SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+           AS o_orderdate, o_orderstatus,
+       round(o_totalprice, 2) AS o_totalprice
+FROM orders
+WHERE CAST(o_orderdate AS DATE) > DATE '1995-06-15'
+   OR (CAST(o_orderdate AS DATE) = DATE '1995-06-15'
+       AND o_orderkey > 3200)
+ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+LIMIT 100
+""",
+)
+def orders_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination: the page AFTER cursor
+    (1995-06-15, order 3200) under the total order
+    (o_orderdate, o_orderkey). The export-at-scale pattern: the cursor
+    predicate pushes into the parquet scan so each page reads
+    O(page + boundary), where OFFSET pagination re-scans and re-sorts
+    everything before the page — O(skip) per page, quadratic over a
+    full export. The composite predicate's date leg is scan-prunable
+    (min/max stats skip whole files once the table is date-sorted);
+    TakeOrderedAndProject keeps the page sort per-partition."""
+    o = table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    cursor_d, cursor_k = F.lit("1995-06-15").cast("date"), F.lit(3200)
+    return (
+        o.filter((d > cursor_d) | ((d == cursor_d) & (F.col("o_orderkey") > cursor_k)))
+        .select(
+            "o_orderkey",
+            d.cast("string").alias("o_orderdate"),
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy(F.to_date("o_orderdate"), "o_orderkey")
+        .limit(100)
+    )
