@@ -771,3 +771,112 @@ def orders_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.to_date("o_orderdate"), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "linear_attribution",
+    oracle="""
+WITH p AS (
+    SELECT event_id AS purchase_id, user_id,
+           CAST(ts AS TIMESTAMP) AS pts, value
+    FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+t AS (
+    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tts
+    FROM events WHERE event_type IN ('click', 'view')
+),
+touched AS (
+    SELECT p.purchase_id, p.value, t.event_type
+    FROM p JOIN t ON p.user_id = t.user_id
+      AND t.tts < p.pts
+      AND t.tts >= p.pts - INTERVAL 7 DAY
+),
+counted AS (
+    SELECT purchase_id, value, event_type,
+           count(*) OVER (PARTITION BY purchase_id) AS n_touches
+    FROM touched
+),
+attributed AS (
+    SELECT event_type, sum(value / n_touches) AS credit,
+           count(*) AS touches
+    FROM counted GROUP BY event_type
+),
+unmatched AS (
+    SELECT 'unattributed' AS event_type,
+           sum(p.value) AS credit, 0 AS touches
+    FROM p LEFT JOIN (SELECT DISTINCT purchase_id FROM touched) x
+      ON p.purchase_id = x.purchase_id
+    WHERE x.purchase_id IS NULL
+)
+SELECT event_type, round(credit, 4) AS credit,
+       CAST(touches AS BIGINT) AS n_touches
+FROM (SELECT * FROM attributed UNION ALL
+      SELECT * FROM unmatched WHERE credit IS NOT NULL)
+ORDER BY event_type
+""",
+)
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: each purchase's value splits
+    equally across the user's click/view touches in the preceding 7
+    days; purchases with no in-window touch report as 'unattributed'
+    (their mass is conserved, not dropped — the books must balance).
+    Complements last-touch click_attribution: same touch data, the
+    other standard credit model.
+
+    Scale shape: the purchase↔touch join is EQUI on user_id with the
+    7-day window as a residual — per-user touch counts bound the
+    fan-out (the same containment every attribution system relies on);
+    the per-purchase touch count shares the join's output partitioning
+    via one purchase-keyed window; credit aggregation is
+    map-side-combinable over |event types| groups."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("tuser"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("tts"),
+    )
+    touched = p.join(
+        t,
+        (F.col("user_id") == F.col("tuser"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAY")),
+    )
+    counted = touched.withColumn(
+        "n_touches",
+        F.count(F.lit(1)).over(Window.partitionBy("purchase_id")),
+    )
+    attributed = counted.groupBy("touch_type").agg(
+        F.sum(F.col("value") / F.col("n_touches")).alias("credit"),
+        F.count(F.lit(1)).alias("touches"),
+    )
+    unmatched = (
+        p.join(
+            touched.select("purchase_id").distinct(),
+            "purchase_id",
+            "left_anti",
+        )
+        .agg(F.sum("value").alias("credit"))
+        .select(
+            F.lit("unattributed").alias("touch_type"),
+            "credit",
+            F.lit(0).alias("touches"),
+        )
+        .filter(F.col("credit").isNotNull())
+    )
+    return (
+        attributed.unionByName(unmatched)
+        .select(
+            F.col("touch_type").alias("event_type"),
+            F.round("credit", 4).alias("credit"),
+            F.col("touches").cast("bigint").alias("n_touches"),
+        )
+        .orderBy("event_type")
+    )
