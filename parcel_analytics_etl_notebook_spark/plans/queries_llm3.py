@@ -476,7 +476,17 @@ def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b", "jaccard")
-    sig = with_minhash(docs, num_hashes=16).select("doc_id", "minhash")
+    # persist: BOTH broadcast sides below re-evaluate this frame (the
+    # whole tokenize→shingle→explode→16-min pipeline) — cached, the
+    # pipeline runs once and each side reads (doc_id, 16 longs).
+    # Measured neutral at sf0.1 (the query is fixed-overhead-bound
+    # there) but load-bearing at corpus scale, where the signature
+    # pipeline is the dominant cost and would run twice.
+    # Deliberately not unpersisted (lazy result must outlive the call);
+    # long-lived sessions reclaim via clearCache, as in dedup_fuzzy.
+    sig = (
+        with_minhash(docs, num_hashes=16).select("doc_id", "minhash").persist()
+    )
     a = sig.select(
         F.col("doc_id").alias("id_a"), F.col("minhash").alias("__ma")
     )
