@@ -69,15 +69,28 @@ def resolve_fk(
     on: list[str],
     dim_key: str,
     fk_name: str | None = None,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Left-join a dim and attach only its surrogate key to the fact
     (reference DimShipping build, ``etl/main.py:214-245``). The fact
     side is preserved; unmatched rows carry a NULL FK — same semantics
     as the reference's left joins. The dim is projected to key columns
-    only and broadcast: the fact never shuffles for FK resolution."""
+    only and (by default) broadcast-hinted: the fact never shuffles for
+    FK resolution.
+
+    ``broadcast=True`` is a PROMISE that the dim fits executor memory —
+    true for enumeration dims (date, status, location) at any scale,
+    but an ENTITY-grain dim (customer, shipment) grows with the
+    business and a forced broadcast of it is a driver/executor OOM at
+    extreme SF. For those pass ``broadcast=False``: AQE broadcasts
+    anyway when the dim measures small at runtime and degrades to a
+    shuffle join when it doesn't (same reasoning as the dedup
+    component-map join, queries_llm.near_dup_dedup_summary)."""
     fk = fk_name or dim_key
     dim_proj = dim.select(*on, F.col(dim_key).alias(fk))
-    return fact.join(F.broadcast(dim_proj), on=on, how="left")
+    if broadcast:
+        dim_proj = F.broadcast(dim_proj)
+    return fact.join(dim_proj, on=on, how="left")
 
 
 def scd1_upsert(current: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
