@@ -465,8 +465,10 @@ def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     of equal signature slots, 16 hashes) against the EXACT 3-gram
     Jaccard, per near-dup candidate pair — the calibration view run
     before trusting LSH thresholds corpus-wide. Reuses the exact-pair
-    query and the signature operator; the pair set is tiny (output of
-    the capped inverted-index join), so the signature join broadcasts."""
+    query and the signature operator; the pair set is small (output of
+    the capped inverted-index join) and the signature table is
+    corpus-grain, so the join strategy is left to AQE's runtime size
+    measurement — see the note at the join below."""
     from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
         with_minhash,
     )
@@ -502,9 +504,15 @@ def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(16.0)
     )
+    # NO broadcast hint on the signature sides: sig is corpus-grain
+    # (one row per doc — the same scale as documents itself), so a
+    # forced broadcast OOMs at real SF. The SMALL side here is the
+    # capped pair set; AQE measures both at runtime and broadcasts
+    # whichever actually fits (at test SFs that happens to be sig —
+    # fine, because it was measured, not promised).
     return (
-        pairs.join(F.broadcast(a), on="id_a")
-        .join(F.broadcast(b), on="id_b")
+        pairs.join(a, on="id_a")
+        .join(b, on="id_b")
         .select(
             "id_a",
             "id_b",
