@@ -745,8 +745,11 @@ def lsh_cosine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label-blocked, cosine ≥ 0.4): what fraction of true near-dup pairs
     land in the same LSH bucket — the embedding analog of
     minhash_jaccard_error, run before trusting bucket-blocked dedup
-    corpus-wide. Composes the exact pair query with the bucket map
-    (broadcast — it's id→int); one small aggregate at the end."""
+    corpus-wide. Composes the exact pair query with the bucket map;
+    one small aggregate at the end. The bucket map is narrow (id→int)
+    but CORPUS-cardinality, so its join strategy is left to AQE rather
+    than hint-forced — at test SFs AQE broadcasts it because it
+    measures small; at billions of embeddings it correctly won't."""
     from parcel_analytics_etl_notebook_spark.operators.similarity import (
         cosine_pairs_blocked,
     )
@@ -763,8 +766,8 @@ def lsh_cosine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bk.select(F.col("vec_id").alias("id_b"), F.col("bucket").alias("__bb"))
     hit = F.when(F.col("__ba") == F.col("__bb"), 1).otherwise(0)
     return (
-        pairs.join(F.broadcast(a), on="id_a")
-        .join(F.broadcast(b), on="id_b")
+        pairs.join(a, on="id_a")
+        .join(b, on="id_b")
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
             F.sum(hit).cast("bigint").alias("n_captured"),
