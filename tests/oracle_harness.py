@@ -38,11 +38,17 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v):
-    """Canonicalize one cell to a hashable, engine-neutral value."""
+    """Canonicalize one cell to a hashable, engine-neutral value.
+
+    Floats are kept at FULL precision: the external harness hashes
+    ``repr`` of the raw values, so a sub-1e-9 divergence that a
+    pre-rounded comparison would absorb still flips its hash — the
+    near-miss branch in :func:`compare` reports exactly that case
+    instead of hiding it."""
     if v is None:
         return None
     if isinstance(v, float):
-        return None if math.isnan(v) else round(v, 9)
+        return None if math.isnan(v) else v
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_canon(x) for x in v)
     try:
