@@ -167,10 +167,17 @@ def run_curation(
         )
     funnel.append(dict(zip(("stage", "docs", "tokens"), ("budgeted", *_stage_counts(curated)))))
 
-    # 6. publish: curated corpus partitioned by lang + manifest + audit
+    # 6. publish: curated corpus partitioned by lang + manifest + audit.
+    # A partitionBy write of an EMPTY frame emits no data files at all
+    # — the directory then fails schema inference on read. The funnel
+    # already counted the stage, so an empty publish switches to a
+    # plain write, which materializes a zero-row file WITH the schema
+    # (readable, schema-stable downstream).
     write_parquet(
-        curated, os.path.join(out_dir, "curated"),
-        partition_by=["lang"], target_files=target_files,
+        curated,
+        os.path.join(out_dir, "curated"),
+        partition_by=["lang"] if funnel[-1]["docs"] > 0 else None,
+        target_files=target_files,
     )
     manifest = (
         curated.groupBy("lang", "source")

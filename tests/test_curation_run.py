@@ -126,3 +126,54 @@ def test_curation_quarantines_invalid_docs(spark, tmp_path):
     }
     # the funnel starts from the VALID rows only
     assert result["funnel"][0]["docs"] == 20
+
+
+def test_curation_degenerate_corpora(spark, tmp_path):
+    """Degenerate inputs must flow through the whole funnel without
+    crashing: an all-identical corpus collapses to ONE survivor, an
+    all-invalid corpus quarantines everything and publishes an empty
+    (but readable) corpus, and a singleton corpus passes through
+    unchanged — the empty-frame paths of LSH banding and the
+    connected-components fixpoint are what these exercise."""
+    import os
+
+    # ≥20 tokens, all distinct: passes the quality gate (a repeated
+    # pangram fails its 0.3 uniqueness heuristic — correctly)
+    text = " ".join(f"word{i}" for i in range(40))
+
+    # 1. all byte-identical → exact dedup keeps exactly one
+    same = spark.createDataFrame(
+        [(i, text, "en", "web") for i in range(8)],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    out1 = str(tmp_path / "same")
+    os.makedirs(out1)
+    r1 = run_curation(spark, same, out1)
+    f1 = {s["stage"]: s["docs"] for s in r1["funnel"]}
+    assert f1["exact_dedup"] == 1 and f1["budgeted"] == 1
+    assert spark.read.parquet(os.path.join(out1, "curated")).count() == 1
+
+    # 2. nothing valid → everything quarantined, empty publish survives
+    junk = spark.createDataFrame(
+        [(1, None, "en", "web"), (2, "", "fr", "web"), (3, "   ", "de", "wiki")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    out2 = str(tmp_path / "junk")
+    os.makedirs(out2)
+    r2 = run_curation(spark, junk, out2)
+    assert r2["quarantined"] == 3
+    assert all(s["docs"] == 0 for s in r2["funnel"])
+    assert spark.read.parquet(os.path.join(out2, "curated")).count() == 0
+
+    # 3. singleton corpus → passes every stage intact
+    one = spark.createDataFrame(
+        [(7, text, "en", "wiki")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    out3 = str(tmp_path / "one")
+    os.makedirs(out3)
+    r3 = run_curation(spark, one, out3)
+    f3 = {s["stage"]: s["docs"] for s in r3["funnel"]}
+    assert f3["budgeted"] in (0, 1)  # holdout hashing may claim it
+    pub = spark.read.parquet(os.path.join(out3, "curated"))
+    assert pub.count() == f3["budgeted"]
