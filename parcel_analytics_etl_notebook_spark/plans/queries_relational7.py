@@ -880,3 +880,99 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "u_shaped_attribution",
+    oracle="""
+WITH p AS (
+    SELECT event_id AS purchase_id, user_id,
+           CAST(ts AS TIMESTAMP) AS pts, value
+    FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+t AS (
+    SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS tts
+    FROM events WHERE event_type IN ('click', 'view')
+),
+touched AS (
+    SELECT p.purchase_id, p.value, t.event_type, t.tts, t.event_id
+    FROM p JOIN t ON p.user_id = t.user_id
+      AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY
+),
+ranked AS (
+    SELECT purchase_id, value, event_type,
+           row_number() OVER w AS pos,
+           count(*) OVER (PARTITION BY purchase_id) AS n
+    FROM touched
+    WINDOW w AS (PARTITION BY purchase_id ORDER BY tts, event_id)
+),
+weighted AS (
+    SELECT event_type, value,
+           CASE WHEN n = 1 THEN 1.0
+                WHEN n = 2 THEN 0.5
+                WHEN pos = 1 THEN 0.4
+                WHEN pos = n THEN 0.4
+                ELSE 0.2 / (n - 2) END AS w
+    FROM ranked
+)
+SELECT event_type, round(sum(value * w), 4) AS credit,
+       CAST(count(*) AS BIGINT) AS n_touches
+FROM weighted GROUP BY event_type ORDER BY event_type
+""",
+)
+def u_shaped_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) attribution: 40% of each purchase's
+    value to the FIRST in-window touch, 40% to the LAST, the remaining
+    20% split across the middle touches (single touch takes 100%, a
+    pair splits 50/50) — credit per purchase always sums to its value,
+    the same conservation the linear model keeps. Touch order is the
+    deterministic (ts, event_id) tiebreak.
+
+    Scale shape identical to linear_attribution: one user-key equi-join
+    with the window residual, then the position/count windows ride the
+    purchase_id partitioning the join produced — no second shuffle of
+    the touch stream."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("tuser"),
+        F.col("event_type").alias("touch_type"),
+        F.col("event_id").alias("tid"),
+        F.col("ts").alias("tts"),
+    )
+    touched = p.join(
+        t,
+        (F.col("user_id") == F.col("tuser"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAY")),
+    )
+    wp = Window.partitionBy("purchase_id").orderBy("tts", "tid")
+    wc = Window.partitionBy("purchase_id")
+    ranked = touched.select(
+        "touch_type",
+        "value",
+        F.row_number().over(wp).alias("pos"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    w = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when(F.col("pos") == 1, F.lit(0.4))
+        .when(F.col("pos") == F.col("n"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        ranked.groupBy(F.col("touch_type").alias("event_type"))
+        .agg(
+            F.round(F.sum(F.col("value") * w), 4).alias("credit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        )
+        .orderBy("event_type")
+    )

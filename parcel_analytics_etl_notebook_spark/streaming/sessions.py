@@ -130,6 +130,36 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def streaming_content_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming CONTENT dedup: exactly-one-per-normalized-text within
+    the watermark window — the streaming twin of the batch
+    operators.dedup.dedup_exact, keyed on the sha2 of normalized text
+    instead of the event id, so re-scraped/re-ingested copies of the
+    same document collapse even though every copy carries a fresh id.
+
+    State is one (hash, ts) entry per distinct document seen inside
+    the watermark horizon; older hashes are evicted, which is the
+    deliberate trade a streaming dedup makes — duplicates arriving
+    farther apart than the watermark pass through, and the BATCH
+    exact-dedup pass downstream is what catches those (the standard
+    lambda pairing: bounded-state stream filter + exact batch sweep)."""
+    from parcel_analytics_etl_notebook_spark.functions.textfns import (
+        normalize_text,
+    )
+
+    return (
+        docs.withColumn("__content_hash", F.sha2(normalize_text(text_col), 256))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__content_hash"])
+        .drop("__content_hash")
+    )
+
+
 def write_stream_foreach_batch(stream: DataFrame, path: str, checkpoint: str):
     """foreachBatch parquet sink: each micro-batch lands via the BATCH
     writer (idempotent by batch id on replay) — the standard bridge for

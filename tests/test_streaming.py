@@ -841,3 +841,65 @@ def test_streaming_sink_restart_recovery(spark, tmp_path):
     assert sorted(tuple(r) for r in got.select(*cols).collect()) == sorted(
         tuple(r) for r in batch.collect()
     )
+
+
+def test_streaming_content_dedup(spark, tmp_path):
+    """Streaming content-hash dedup: byte-copies of a document arriving
+    across micro-batches (fresh ids, later timestamps, within the
+    watermark) collapse to ONE emitted row per distinct text; distinct
+    texts all pass. File-source micro-batches make the cross-batch
+    arrival order deterministic."""
+    import json as _json
+    import os
+    import time
+
+    from parcel_analytics_etl_notebook_spark.streaming.sessions import (
+        streaming_content_dedup,
+    )
+
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src)
+
+    def land(batch_id, rows):
+        with open(os.path.join(src, f"b{batch_id}.jsonl"), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    # batch 0: two distinct docs; batch 1: a byte-copy of doc A (new
+    # id, later ts) plus one genuinely new doc
+    land(0, [
+        {"doc_id": 1, "text": "alpha beta gamma", "ts": "2024-01-01 10:00:00"},
+        {"doc_id": 2, "text": "delta epsilon zeta", "ts": "2024-01-01 10:00:05"},
+    ])
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        streaming_content_dedup(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("content_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cd_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table("content_dedup").count() < 2:
+            time.sleep(0.5)
+        land(1, [
+            {"doc_id": 9, "text": "alpha beta gamma", "ts": "2024-01-01 10:00:30"},
+            {"doc_id": 4, "text": "eta theta iota", "ts": "2024-01-01 10:00:35"},
+        ])
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table("content_dedup").count() < 3:
+            time.sleep(0.5)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("content_dedup").collect()
+    # the byte-copy (doc_id 9) was dropped; the three distinct texts
+    # survive exactly once, first-arrival wins
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 4]
+    assert len({r["text"] for r in rows}) == 3
