@@ -924,3 +924,77 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(common, F.abs(F.col("br") - F.col("vr")))), 4
         ).alias("footrule_avg"),
     )
+
+
+@register(
+    "embedding_drift_by_label",
+    oracle="""
+WITH halves AS (
+    SELECT vec_id, label,
+           ((vec_id * 2654435761) % 1000003) % 2 AS half, embedding
+    FROM embeddings
+),
+comp AS (
+    SELECT label, half,
+           struct_extract(u, 2) AS pos,
+           round(avg(CAST(struct_extract(u, 1) AS DOUBLE)), 6) AS m,
+           count(*) AS c
+    FROM (SELECT label, half,
+                 unnest(list_zip(embedding,
+                                 range(0, len(embedding)))) AS u
+          FROM halves)
+    GROUP BY label, half, struct_extract(u, 2)
+)
+SELECT a.label,
+       round(sqrt(sum((a.m - b.m) * (a.m - b.m))), 6) AS centroid_drift,
+       CAST(max(a.c) AS BIGINT) AS n_a,
+       CAST(max(b.c) AS BIGINT) AS n_b
+FROM comp a JOIN comp b ON a.label = b.label AND a.pos = b.pos
+WHERE a.half = 0 AND b.half = 1
+GROUP BY a.label ORDER BY a.label
+""",
+)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: split each label's vectors into two
+    deterministic halves (id-hash parity — in production the halves are
+    time windows) and report the L2 distance between the half-centroids
+    — the cheap continuous check that an embedding distribution hasn't
+    shifted under a retrain/re-ingest, per class.
+
+    Scale shape: posexplode to (label, half, component) rows — 64 rows
+    per vector, the same explode budget the component-mean trainer
+    uses — then ONE map-side-combinable aggregate and a |labels|·dim
+    self-join on the tiny component-mean table. Component means round
+    to 6 dp before differencing so the drift statistic is
+    engine-stable."""
+    emb = table(spark, sf_dir, "embeddings")
+    halves = emb.select(
+        "label",
+        (F.pmod(F.col("vec_id") * 2654435761, F.lit(1000003)) % 2).alias(
+            "half"
+        ),
+        F.posexplode("embedding").alias("pos", "val"),
+    )
+    comp = halves.groupBy("label", "half", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("m"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    a = comp.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("m").alias("ma"), F.col("c").alias("ca")
+    )
+    b = comp.filter(F.col("half") == 1).select(
+        F.col("label").alias("lb"), F.col("pos").alias("pb"),
+        F.col("m").alias("mb"), F.col("c").alias("cb"),
+    )
+    return (
+        a.join(b, (a.label == b.lb) & (a.pos == b.pb))
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("ma") - F.col("mb")) ** 2)), 6
+            ).alias("centroid_drift"),
+            F.max("ca").cast("bigint").alias("n_a"),
+            F.max("cb").cast("bigint").alias("n_b"),
+        )
+        .orderBy("label")
+    )
