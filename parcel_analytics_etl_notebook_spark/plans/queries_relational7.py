@@ -976,3 +976,66 @@ def u_shaped_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "join_fanout_audit",
+    oracle="""
+WITH c AS (
+    SELECT 'customer.c_custkey' AS edge, count(*) AS n
+    FROM customer GROUP BY c_custkey
+),
+o AS (
+    SELECT 'orders.o_orderkey' AS edge, count(*) AS n
+    FROM orders GROUP BY o_orderkey
+),
+l AS (
+    SELECT 'lineitem.l_orderkey' AS edge, count(*) AS n
+    FROM lineitem GROUP BY l_orderkey
+),
+u AS (SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l)
+SELECT edge,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(n) AS BIGINT) AS max_fanout,
+       round(avg(n), 4) AS avg_fanout,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_duplicated_keys
+FROM u GROUP BY edge ORDER BY edge
+""",
+)
+def join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality audit: per join-key column, the key count, max
+    and mean rows per key, and how many keys are duplicated — the check
+    that catches an accidental many-to-many BEFORE a fact join explodes
+    (a 'unique' key with max_fanout 2 silently doubles every joined
+    metric; at 100 TB that's discovered in the bill, not the review).
+    Dimension keys (customer, orders) must show max_fanout 1; the
+    lineitem→orders edge is legitimately 1-to-many and its fan-out
+    distribution is exactly what sizes that join's shuffle.
+
+    Shape: one count aggregate per audited column (map-side
+    combinable), unioned into a 3-row report — each table is scanned
+    once, key column only."""
+    def edge(df, col, name):
+        return (
+            df.groupBy(F.col(col)).agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(name).alias("edge"), "n")
+        )
+
+    u = (
+        edge(table(spark, sf_dir, "customer"), "c_custkey", "customer.c_custkey")
+        .unionByName(edge(table(spark, sf_dir, "orders"), "o_orderkey", "orders.o_orderkey"))
+        .unionByName(edge(table(spark, sf_dir, "lineitem"), "l_orderkey", "lineitem.l_orderkey"))
+    )
+    return (
+        u.groupBy("edge")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("n").cast("bigint").alias("max_fanout"),
+            F.round(F.avg("n"), 4).alias("avg_fanout"),
+            F.sum((F.col("n") > 1).cast("int")).cast("bigint").alias(
+                "n_duplicated_keys"
+            ),
+        )
+        .orderBy("edge")
+    )
