@@ -131,6 +131,7 @@ def _ensure_loaded() -> None:
         queries_relational5,
         queries_relational6,
         queries_relational7,
+        queries_relational8,
     )
 
     try:
