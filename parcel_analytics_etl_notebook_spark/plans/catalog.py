@@ -140,6 +140,7 @@ def _ensure_loaded() -> None:
             queries_llm2,
             queries_llm3,
             queries_llm4,
+            queries_llm5,
         )
     except ImportError:
         pass

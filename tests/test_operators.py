@@ -917,3 +917,70 @@ def test_apply_in_arrow_matches_pandas_twin(spark):
             assert zp is None or math.isnan(zp)
         else:
             assert abs(za - zp) < 1e-6
+
+
+def test_mg_absorb_bound_property():
+    """Misra-Gries merge invariant: after absorbing any stream in any
+    batch split, every key's true count is undercounted by at most
+    n/(k+1), so keys with true count > n/k always survive."""
+    import random
+
+    from parcel_analytics_etl_notebook_spark.operators.heavyhitters import (
+        _mg_absorb,
+    )
+
+    rng = random.Random(7)
+    # Zipf-ish stream: key i has weight ~ 1/(i+1)
+    stream = [i for i in range(80) for _ in range(200 // (i + 1))]
+    rng.shuffle(stream)
+    k = 10
+    n = len(stream)
+    true = {}
+    for v in stream:
+        true[v] = true.get(v, 0) + 1
+    for n_batches in (1, 3, 7):
+        sz = (n + n_batches - 1) // n_batches
+        counters = {}
+        for b in range(n_batches):
+            batch = stream[b * sz : (b + 1) * sz]
+            local = {}
+            for v in batch:
+                local[v] = local.get(v, 0) + 1
+            counters = _mg_absorb(counters, local, k)
+        assert len(counters) <= k
+        for key, c in true.items():
+            est = counters.get(key, 0)
+            assert est <= c
+            assert c - est <= n / (k + 1)
+        for key, c in true.items():
+            if c > n / k:
+                assert key in counters
+
+
+def test_exact_heavy_hitters_matches_full_groupby(spark):
+    """The two-pass sketch path must return the IDENTICAL rows the
+    naive full groupBy yields, on a skewed key column."""
+    from pyspark.sql import functions as F
+
+    from parcel_analytics_etl_notebook_spark.operators.heavyhitters import (
+        exact_heavy_hitters,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    k = 50
+    got = {
+        (r["word"], r["cnt"]) for r in exact_heavy_hitters(words, "word", k).collect()
+    }
+    n = words.count()
+    want = {
+        (r["word"], r["cnt"])
+        for r in words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") > F.lit(n) / k)
+        .collect()
+    }
+    assert want, "fixture produced no heavy hitters — threshold too high"
+    assert got == want

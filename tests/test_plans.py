@@ -433,3 +433,35 @@ def test_catalog_plan_fences(spark):
     assert not un_py, f"new Python-eval plans: {un_py}"
     stale_py = set(PYTHON_EVAL_ALLOWED) - set(py_flagged)
     assert not stale_py, f"python-eval allowlist entries no longer needed: {stale_py}"
+
+
+def test_catalog_shuffle_budget(spark):
+    """Committed shuffle ledger (tools/plan_budget.json): every catalog
+    query's physical plan must contain EXACTLY the recorded number of
+    shuffle Exchanges and BroadcastExchanges. A new shuffle on a hot
+    path fails loudly; so does a stale ledger after an improvement —
+    both directions demand a human look and `python tools/plan_budget.py`.
+    ReusedExchange is excluded (work sharing, not a new shuffle)."""
+    import json
+    import re
+
+    from tools.plan_budget import NODE
+
+    with open("tools/plan_budget.json") as f:
+        budget = json.load(f)
+    qs = queries()
+    assert set(budget) == set(qs), (
+        "plan budget out of sync with catalog: "
+        f"missing={sorted(set(qs) - set(budget))} "
+        f"stale={sorted(set(budget) - set(qs))}"
+    )
+    bad = []
+    for name in sorted(qs):
+        kinds = NODE.findall(plan_of(spark, name))
+        got = {
+            "shuffle": sum(1 for k in kinds if k == "Exchange"),
+            "broadcast": sum(1 for k in kinds if k == "BroadcastExchange"),
+        }
+        if got != budget[name]:
+            bad.append((name, got, budget[name]))
+    assert not bad, f"exchange-count drift: {bad}"
