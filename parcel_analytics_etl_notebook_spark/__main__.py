@@ -21,6 +21,13 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     runp.add_argument("-n", type=int, default=10, help="rows to show")
     runp.add_argument("--explain", action="store_true", help="print plan summary")
+    runp.add_argument("--out", help="write the full result here instead of showing rows")
+    runp.add_argument(
+        "--format",
+        choices=["parquet", "csv", "jsonl"],
+        default="parquet",
+        help="sink format for --out (default parquet)",
+    )
     args = parser.parse_args(argv)
 
     from parcel_analytics_etl_notebook_spark.plans.catalog import registry
@@ -46,7 +53,21 @@ def main(argv: list[str] | None = None) -> int:
 
         for k, v in plan_summary(df).items():
             print(f"  {k}: {v}")
-    df.show(args.n, truncate=False)
+    if args.out:
+        from parcel_analytics_etl_notebook_spark.sources.writers import (
+            write_jsonl,
+            write_parquet,
+        )
+
+        if args.format == "parquet":
+            write_parquet(df, args.out)
+        elif args.format == "jsonl":
+            write_jsonl(df, args.out)
+        else:
+            df.write.mode("overwrite").option("header", "true").csv(args.out)
+        print(f"wrote {args.out} ({args.format})")
+    else:
+        df.show(args.n, truncate=False)
     spark.stop()
     return 0
 

@@ -50,37 +50,50 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: part pairs co-occurring in the same
     order, with support count and lift = P(a,b) / (P(a)·P(b)).
 
-    Scale shape: the self-join is keyed on l_orderkey, so fan-out per
-    order is C(items, 2) — bounded by the max basket size (7 in
-    TPC-H-like data), never a cartesian across orders. The per-item
-    order counts join back by part key (AQE picks the strategy; part
-    cardinality is data-scale, so no broadcast hint), and the 1-row
-    total-orders aggregate rides in as an explicit broadcast. Top-100
-    with a unique (n_ab desc, part1, part2) tiebreak compiles to
-    TakeOrderedAndProject — no global sort materializes."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    Scale shape: ONE shuffle builds per-order part sets
+    (collect_set groups on l_orderkey, partial-aggregated map-side);
+    pair expansion then happens INSIDE the row via higher-order
+    functions — C(basket, 2) structs per order, bounded by the max
+    basket size (7 in TPC-H-like data), with no self-join and no
+    second scan of lineitem. Per-item order counts and the grand total
+    derive from the same sets frame, so lineitem is read once. The
+    1-row total broadcasts; the two item-count joins key on part
+    (AQE strategy — part cardinality is data-scale, so no broadcast
+    hint per the broadcast-side audit rule). Top-100 with a unique
+    (n_ab desc, part1, part2) tiebreak compiles to
+    TakeOrderedAndProject — no global sort materializes.
+    (v1 used distinct + orderkey self-join: same answer and a similar
+    exchange COUNT, but it scanned and shuffled full lineitem three
+    times — this shape shuffles it once; the remaining exchanges move
+    the post-filter pair/item frames, which are orders of magnitude
+    smaller.)"""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
-    a, b = li.alias("a"), li.alias("b")
+    arr = F.col("parts")
+    pair_structs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("part1"), y.alias("part2")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part1"),
-            F.col("b.l_partkey").alias("part2"),
-        )
+        sets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part1", "p.part2")
+        .groupBy("part1", "part2")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 2)
     )
-    item = li.groupBy("l_partkey").agg(
-        F.countDistinct("l_orderkey").alias("n")
+    item = (
+        sets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    tot = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    tot = sets.agg(F.count(F.lit(1)).alias("n_orders"))
     return (
         pairs.crossJoin(F.broadcast(tot))
         .join(
@@ -582,4 +595,156 @@ def aqp_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("r_name")
+    )
+
+
+@register(
+    "ks_drift_acctbal",
+    oracle="""
+WITH s AS (
+    SELECT c_acctbal AS v,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1,
+           CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS g2
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+tot AS (SELECT sum(g1) AS n1, sum(g2) AS n2 FROM s),
+grouped AS (
+    SELECT v, sum(g1) AS d1, sum(g2) AS d2 FROM s GROUP BY v
+),
+ecdf AS (
+    SELECT v,
+           sum(d1) OVER (ORDER BY v) AS c1,
+           sum(d2) OVER (ORDER BY v) AS c2
+    FROM grouped
+)
+SELECT CAST(tot.n1 AS BIGINT) AS n1, CAST(tot.n2 AS BIGINT) AS n2,
+       round(max(abs(CAST(c1 AS DOUBLE) / tot.n1
+                     - CAST(c2 AS DOUBLE) / tot.n2)), 4) AS ks_stat
+FROM ecdf CROSS JOIN tot
+GROUP BY tot.n1, tot.n2
+""",
+)
+def ks_drift_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the account-
+    balance distributions of two market segments — the standard
+    feature-drift detector (training-vs-serving, split-vs-split, or
+    month-over-month), computed exactly.
+
+    Exact-but-scalable shape: values first collapse to per-distinct-
+    value group counts (one shuffle, output is O(distinct values)),
+    THEN the two ECDFs come from running sums over that collapsed
+    frame — a single-partition window over distinct values, which is
+    the honest cost of an exact global ECDF; at 100 TB pre-bucket the
+    value axis (equi-width bins give a KS bound within bin-width) or
+    reuse operators/indexing.global_running_sum for the two-pass
+    distributed prefix sum. Grouping by value BEFORE the ECDF also
+    makes ties well-defined (both samples step at the same value
+    point), which is what makes the statistic deterministic."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    s = c.select(
+        F.col("c_acctbal").alias("v"),
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("g1"),
+        (F.col("c_mktsegment") == "MACHINERY").cast("long").alias("g2"),
+    )
+    tot = s.agg(
+        F.sum("g1").alias("n1"), F.sum("g2").alias("n2")
+    )
+    grouped = s.groupBy("v").agg(
+        F.sum("g1").alias("d1"), F.sum("g2").alias("d2")
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ecdf = grouped.select(
+        "v",
+        F.sum("d1").over(w).alias("c1"),
+        F.sum("d2").over(w).alias("c2"),
+    )
+    return (
+        ecdf.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("c1").cast("double") / F.col("n1")
+                        - F.col("c2").cast("double") / F.col("n2")
+                    )
+                ),
+                4,
+            ).alias("ks_stat")
+        )
+        .select(
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            "ks_stat",
+        )
+    )
+
+
+@register(
+    "chi2_priority_status",
+    oracle="""
+WITH obs AS (
+    SELECT o_orderpriority AS pri, o_orderstatus AS st,
+           CAST(count(*) AS DOUBLE) AS o
+    FROM orders GROUP BY 1, 2
+),
+margins AS (
+    SELECT pri, st, o,
+           sum(o) OVER (PARTITION BY pri) AS row_tot,
+           sum(o) OVER (PARTITION BY st) AS col_tot,
+           sum(o) OVER () AS n
+    FROM obs
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       round(sum(pow(o - row_tot * col_tot / n, 2)
+                 / (row_tot * col_tot / n)), 4) AS chi2,
+       CAST((count(DISTINCT pri) - 1) * (count(DISTINCT st) - 1)
+            AS BIGINT) AS dof
+FROM margins
+""",
+)
+def chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order priority and
+    order status — the categorical-drift / association detector
+    (label-vs-source dependence checks in dataset QA).
+
+    The contingency table is one grouped count (cells = priority ×
+    status, an enumeration-bounded frame), margins are windows OVER
+    THE CELLS (25 rows, not the fact table), so after the first
+    aggregate everything is model-sized; expected counts and the
+    statistic are pure arithmetic on that frame. At any corpus scale
+    the cost is exactly one shuffle of partial counts."""
+    o = table(spark, sf_dir, "orders")
+    obs = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    wr = Window.partitionBy("pri")
+    wc = Window.partitionBy("st")
+    wn = Window.partitionBy()
+    m = obs.select(
+        "pri",
+        "st",
+        "o",
+        F.sum("o").over(wr).alias("row_tot"),
+        F.sum("o").over(wc).alias("col_tot"),
+        F.sum("o").over(wn).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
+        (
+            (F.countDistinct("pri") - 1) * (F.countDistinct("st") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
     )

@@ -33,6 +33,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
     StatefulProcessorHandle,
@@ -41,6 +42,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -426,4 +428,109 @@ def cdc_latest_stream(events_stream: DataFrame) -> DataFrame:
             outputMode="append",
             timeMode="None",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming heavy hitters: sharded Misra-Gries over an unbounded stream
+# --------------------------------------------------------------------------
+
+HH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("key", StringType()),
+        StructField("cnt_lower", LongType()),
+        StructField("n_shard", LongType()),
+    ]
+)
+
+# MG summary serialized as JSON (key -> residual count): state schemas
+# carry scalars; the summary is bounded at k entries so the string is
+# model-sized by construction.
+_HH_STATE_SCHEMA = StructType(
+    [
+        StructField("summary_json", StringType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+class HeavyHittersProcessor(StatefulProcessor):
+    """Per-shard Misra-Gries summary, folded across micro-batches.
+
+    The streaming twin of ``operators/heavyhitters.py``: each shard
+    (hash bucket of the key space) keeps one k-counter MG summary in
+    state and, after absorbing a batch, emits its current summary as a
+    changelog (one row per surviving key; downstream keeps the rows of
+    the latest emission per shard, recognizable by the monotone
+    ``n_shard``). Because a key's occurrences all hash to ONE shard,
+    the batch-side guarantee carries over unchanged: a key with true
+    count > n_shard/(k+1) is always present in its shard's summary,
+    and ``cnt_lower`` undercounts by at most n_shard/(k+1).
+    """
+
+    def __init__(self, k: int = 50) -> None:
+        self._k = k
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._st = handle.getValueState("mg", _HH_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        import json
+
+        from parcel_analytics_etl_notebook_spark.operators.heavyhitters import (
+            _mg_absorb,
+        )
+
+        counters: dict = {}
+        n = 0
+        if self._st.exists():
+            summary_json, n = self._st.get()
+            counters = json.loads(summary_json)
+            n = int(n)
+        for pdf in rows:
+            vc = pdf["key"].dropna().value_counts()
+            n += int(vc.sum())
+            counters = _mg_absorb(counters, vc.to_dict(), self._k)
+        self._st.update((json.dumps(counters, sort_keys=True), n))
+        ks = sorted(counters)
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(ks),
+                "key": ks,
+                "cnt_lower": [int(counters[x]) for x in ks],
+                "n_shard": [n] * len(ks),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame, key_col: str, k: int = 50, shards: int = 8
+) -> DataFrame:
+    """Changelog stream of per-shard MG heavy-hitter summaries.
+
+    Sharding is ``pmod(xxhash64(key), shards)`` — the state for one
+    shard is a single k-entry summary, so total state is shards·k
+    entries regardless of stream length or key cardinality (contrast a
+    streaming groupBy-count, whose state grows with distinct keys).
+    Downstream, merge the latest per-shard summaries (same
+    ``_mg_absorb`` rule) for global candidates, then verify exactly
+    against any batch snapshot — the streaming half of the two-pass
+    exact heavy-hitter design."""
+    src = stream.select(
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(shards)).alias(
+            "shard"
+        ),
+        F.col(key_col).cast("string").alias("key"),
+    )
+    return src.groupBy("shard").transformWithStateInPandas(
+        statefulProcessor=HeavyHittersProcessor(k),
+        outputStructType=HH_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="None",
     )

@@ -349,6 +349,8 @@ NESTED_LOOP_ALLOWED = {
     "tfidf_top_terms": "1-row corpus doc-count for idf",
     "dormant_high_balance_customers": "1-row avg-balance threshold (Q22)",
     "important_part_value": "1-row global avg threshold (Q11/Q17 shape)",
+    "market_basket_lift": "1-row total-orders scalar for lift denominator",
+    "heavy_hitter_words": "1-row token total for the exact threshold",
     # broadcast query-vector / centroid-literal probes (model-sized)
     "ann_cosine_topk": "single broadcast query vector",
     "ann_multi_query_topk": "handful of broadcast query vectors",

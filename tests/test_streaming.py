@@ -903,3 +903,62 @@ def test_streaming_content_dedup(spark, tmp_path):
     # survive exactly once, first-arrival wins
     assert sorted(r["doc_id"] for r in rows) == [1, 2, 4]
     assert len({r["text"] for r in rows}) == 3
+
+
+def test_streaming_heavy_hitters_matches_batch(spark, tmp_path):
+    """Sharded streaming Misra-Gries: with k at least the per-shard
+    distinct-key count nothing is ever evicted, so the final per-shard
+    summary must equal the exact batch counts — and sharding must
+    route every occurrence of a key to exactly one shard. (Eviction
+    arithmetic is covered by test_mg_absorb_bound_property; this
+    checks the streaming state fold + changelog semantics.)"""
+    from tests.conftest import PROTOBUF_OK
+
+    if not PROTOBUF_OK:
+        pytest.skip("no protobuf runtime available")
+    from parcel_analytics_etl_notebook_spark.streaming.sessions import (
+        read_events_stream,
+    )
+    from parcel_analytics_etl_notebook_spark.streaming.stateful_tws import (
+        rocksdb_state_conf,
+        streaming_heavy_hitters,
+    )
+
+    rocksdb_state_conf(spark)
+    stream = read_events_stream(spark, SF)
+    q = (
+        streaming_heavy_hitters(stream, "event_type", k=64, shards=4)
+        .writeStream.format("memory")
+        .queryName("tws_hh")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # changelog: latest emission per shard = rows carrying that shard's
+    # max n_shard (summary rows are shards·k — driver-sized)
+    rows = spark.table("tws_hh").collect()
+    latest = {}
+    for r in rows:
+        latest[r["shard"]] = max(latest.get(r["shard"], 0), r["n_shard"])
+    got = {
+        (r["shard"], r["key"]): r["cnt_lower"]
+        for r in rows
+        if r["n_shard"] == latest[r["shard"]]
+    }
+    batch = (
+        table(spark, SF, "events")
+        .select(
+            F.pmod(
+                F.xxhash64(F.col("event_type").cast("string")), F.lit(4)
+            ).alias("shard"),
+            F.col("event_type").cast("string").alias("key"),
+        )
+        .groupBy("shard", "key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    want = {(r["shard"], r["key"]): r["cnt"] for r in batch}
+    assert len(want) > 1 and got == want
