@@ -649,23 +649,28 @@ def ks_drift_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_mktsegment") == "BUILDING").cast("long").alias("g1"),
         (F.col("c_mktsegment") == "MACHINERY").cast("long").alias("g2"),
     )
-    tot = s.agg(
-        F.sum("g1").alias("n1"), F.sum("g2").alias("n2")
-    )
     grouped = s.groupBy("v").agg(
         F.sum("g1").alias("d1"), F.sum("g2").alias("d2")
     )
+    # Sample totals n1/n2 are just the FINAL cumulative counts, so an
+    # unbounded frame over the same sorted collapsed frame yields them
+    # without any join (the broadcast-cross-join alternative plans as a
+    # BroadcastNestedLoopJoin, which the catalog plan fence forbids).
     w = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     ecdf = grouped.select(
         "v",
         F.sum("d1").over(w).alias("c1"),
         F.sum("d2").over(w).alias("c2"),
+        F.sum("d1").over(wall).alias("n1"),
+        F.sum("d2").over(wall).alias("n2"),
     )
     return (
-        ecdf.crossJoin(F.broadcast(tot))
-        .groupBy("n1", "n2")
+        ecdf.groupBy("n1", "n2")
         .agg(
             F.round(
                 F.max(

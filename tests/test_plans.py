@@ -15,6 +15,10 @@ SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
+    # Standalone plan: drop cache entries registered by earlier queries
+    # so InMemoryRelation substitution can't make the captured plan (and
+    # its exchange counts) depend on which tests ran before this one.
+    spark.catalog.clearCache()
     df = queries()[name](spark, SF)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):

@@ -51,6 +51,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out = {}
     for name, fn in sorted(queries().items()):
+        # Standalone plan per query: persisted frames registered by an
+        # earlier query otherwise substitute InMemoryRelation into this
+        # one's plan, making exchange counts depend on run ORDER.
+        spark.catalog.clearCache()
         out[name] = exchange_counts(fn(spark, SF))
         print(name, out[name], flush=True)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plan_budget.json")
