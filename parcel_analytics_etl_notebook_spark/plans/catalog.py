@@ -132,6 +132,7 @@ def _ensure_loaded() -> None:
         queries_relational6,
         queries_relational7,
         queries_relational8,
+        queries_relational9,
     )
 
     try:
@@ -141,6 +142,7 @@ def _ensure_loaded() -> None:
             queries_llm3,
             queries_llm4,
             queries_llm5,
+            queries_llm6,
         )
     except ImportError:
         pass

@@ -1,0 +1,263 @@
+"""Batch: incremental-ingest dedup, SemDeDup-style cluster-scoped
+semantic dedup, and sessionized event-path mining.
+
+Three shapes a production training-data pipeline runs that the catalog
+lacked: (1) dedup of an INCOMING batch against an existing corpus —
+the steady-state form of exact dedup once a corpus is live (the
+within-corpus form is queries_llm.exact_dedup_documents); (2) the
+SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster
+embeddings coarsely, then look for near-identical pairs only WITHIN a
+cluster, sorted-neighborhood style; (3) frequent 3-step event paths
+within 30-minute sessions — the n-gram mining that powers funnel
+discovery (and, on token streams, template detection).
+
+Oracle-parity conventions as in plans/catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parcel_analytics_etl_notebook_spark.functions.vectors import (
+    cosine_similarity,
+)
+from parcel_analytics_etl_notebook_spark.plans.catalog import register, table
+from parcel_analytics_etl_notebook_spark.plans.queries_llm import _SQL_COS
+
+
+@register(
+    "incremental_corpus_dedup",
+    oracle=r"""
+WITH h AS (
+    SELECT doc_id, source, n_chars,
+           sha256(substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 40)) AS ch
+    FROM documents
+),
+corpus AS (SELECT DISTINCT ch FROM h WHERE doc_id % 3 = 0),
+incoming AS (SELECT * FROM h WHERE doc_id % 10 = 0),
+tagged AS (
+    SELECT i.source,
+           CASE
+             WHEN EXISTS (SELECT 1 FROM corpus c WHERE c.ch = i.ch)
+                 THEN 'dup_of_corpus'
+             WHEN row_number() OVER (PARTITION BY i.ch ORDER BY i.doc_id) > 1
+                 THEN 'dup_in_batch'
+             ELSE 'kept'
+           END AS status,
+           i.n_chars
+    FROM incoming i
+)
+SELECT source, status,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM tagged GROUP BY source, status ORDER BY source, status
+""",
+)
+def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: classify each document of an incoming
+    batch (doc_id % 10 = 0 stands in for "today's crawl", overlapping
+    the live corpus doc_id % 3 = 0 as re-crawls do) by canonical
+    fingerprint — `dup_of_corpus` (seen before), `dup_in_batch` (first
+    occurrence wins within the batch), or `kept`. The steady-state
+    dedup shape: after the first backfill, every real pipeline runs
+    THIS, not the full-corpus self-dedup. The canonicalizer here is
+    the normalized 40-char PREFIX hash (the boilerplate/mirror-crawl
+    fingerprint — full-text sha is the same plan with a different
+    canonicalizer; this corpus has no full-text dups to classify).
+
+    Scale: both sides collapse to hash-grain first, so the membership
+    probe is an equi-join on uniformly distributed sha256 — one
+    shuffle each side, no skew by construction. At 100 TB the corpus
+    side is a Bloom filter or a bucketed hash index instead of a full
+    join (the join IS the exactness oracle for those); the within-batch
+    rank windows on the same hash key, reusing the partitioning."""
+    norm_hash = F.sha2(
+        F.substring(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 1, 40
+        ),
+        256,
+    )
+    h = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", norm_hash.alias("ch")
+    )
+    corpus = h.filter(F.col("doc_id") % 3 == 0).select("ch").distinct()
+    incoming = h.filter(F.col("doc_id") % 10 == 0)
+    seen = corpus.withColumn("__in_corpus", F.lit(1))
+    rn = F.row_number().over(Window.partitionBy("ch").orderBy("doc_id"))
+    tagged = (
+        incoming.join(seen, "ch", "left")
+        .withColumn("__rn", rn)
+        .select(
+            "source",
+            F.when(F.col("__in_corpus").isNotNull(), "dup_of_corpus")
+            .when(F.col("__rn") > 1, "dup_in_batch")
+            .otherwise("kept")
+            .alias("status"),
+            "n_chars",
+        )
+    )
+    return (
+        tagged.groupBy("source", "status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source", "status")
+    )
+
+
+@register(
+    "semdedup_cluster_pairs",
+    oracle=f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+corpus AS (SELECT vec_id, embedding FROM embeddings),
+assigned AS (
+    SELECT corpus.vec_id, corpus.embedding, c.cid,
+           round({_SQL_COS.format('corpus.embedding', 'c.cvec')}, 9) AS ccos,
+           row_number() OVER (PARTITION BY corpus.vec_id
+               ORDER BY round({_SQL_COS.format('corpus.embedding', 'c.cvec')}, 9) DESC, c.cid) AS rn
+    FROM corpus CROSS JOIN c
+),
+mem AS (SELECT vec_id, embedding, cid, ccos FROM assigned WHERE rn = 1),
+nbr AS (
+    SELECT cid, vec_id, embedding, ccos,
+           lead(vec_id)    OVER w AS nxt_id,
+           lead(embedding) OVER w AS nxt_emb,
+           lead(ccos)      OVER w AS nxt_ccos
+    FROM mem WINDOW w AS (PARTITION BY cid ORDER BY ccos DESC, vec_id)
+)
+SELECT cid, vec_id AS drop_id, nxt_id AS keep_id,
+       round({_SQL_COS.format('embedding', 'nxt_emb')}, 6) AS pair_cosine
+FROM nbr
+WHERE nxt_id IS NOT NULL
+  AND round({_SQL_COS.format('embedding', 'nxt_emb')}, 6) >= 0.4
+ORDER BY cid, drop_id
+""",
+)
+def semdedup_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse k-means-style clustering
+    (fixed centroids = vectors 1..8, argmax cosine, ties to lowest id),
+    then semantic near-dup pairs detected only WITHIN each cluster by
+    comparing neighbors in the cluster's centroid-similarity ordering.
+    Of a duplicate pair the member CLOSER to the centroid is dropped
+    (the paper keeps the outlier — it carries more information).
+
+    Scale: this is the paper's own trick for avoiding the all-pairs
+    blowup — candidate pairs are (cluster, adjacent-in-ordering) only,
+    so the cost after assignment is one window sort per cluster,
+    O(N log N) total, zero cross-cluster pairs. Assignment broadcasts
+    the MODEL-sized centroid set; per-pair cosine is a codegen'd HOF
+    over the two adjacent rows. Ordering ties broken by vec_id; both
+    cosines rounded (9dp for ordering, 6dp for the emitted score) so
+    the pairing is engine-stable."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 8)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    scored = emb.join(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(cosine_similarity("embedding", "cvec"), 9).alias("ccos"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cid")
+    )
+    mem = scored.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    w = Window.partitionBy("cid").orderBy(F.col("ccos").desc(), "vec_id")
+    nbr = mem.select(
+        "cid",
+        "vec_id",
+        "embedding",
+        F.lead("vec_id").over(w).alias("nxt_id"),
+        F.lead("embedding").over(w).alias("nxt_emb"),
+    )
+    pair_cos = F.round(cosine_similarity("embedding", "nxt_emb"), 6)
+    return (
+        nbr.filter(F.col("nxt_id").isNotNull())
+        .select(
+            "cid",
+            F.col("vec_id").alias("drop_id"),
+            F.col("nxt_id").alias("keep_id"),
+            pair_cos.alias("pair_cosine"),
+        )
+        .filter(F.col("pair_cosine") >= 0.4)
+        .orderBy("cid", "drop_id")
+    )
+
+
+@register(
+    "session_event_trigrams",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+m AS (
+    SELECT user_id, event_id, event_type, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, event_id, event_type, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+    FROM m
+),
+tri AS (
+    SELECT event_type
+           || '>' || lead(event_type, 1) OVER w2
+           || '>' || lead(event_type, 2) OVER w2 AS trigram
+    FROM s WINDOW w2 AS (PARTITION BY user_id, sess ORDER BY ts, event_id)
+)
+SELECT trigram, CAST(count(*) AS BIGINT) AS n
+FROM tri WHERE trigram IS NOT NULL
+GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20
+""",
+)
+def session_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 three-step event paths within 30-minute sessions — the
+    path-mining query behind funnel discovery ("what do users actually
+    do in order"), and on token streams the same shape is template
+    mining. Sessions via the gap sessionizer (lag → marker → running
+    sum); trigrams via two leads INSIDE the (user, session) partition,
+    so paths never span a session boundary; NULL-propagating concat
+    drops the <3-step tails.
+
+    Scale: both window passes partition on user (one shuffle, reused);
+    the trigram rollup shuffles on the trigram string — vocabulary-
+    bounded; top-20 via TakeOrderedAndProject with a deterministic
+    (count desc, trigram) tiebreak. ts ties within a user are ordered
+    by event_id on BOTH sides, so the paths are engine-stable."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = (
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > 1800)
+    ).cast("bigint")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum(is_new).over(wcum).alias("sess"),
+    )
+    w2 = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    tri = s.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(">"),
+            F.lead("event_type", 1).over(w2),
+            F.lit(">"),
+            F.lead("event_type", 2).over(w2),
+        ).alias("trigram")
+    )
+    return (
+        tri.filter(F.col("trigram").isNotNull())
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "trigram")
+        .limit(20)
+    )

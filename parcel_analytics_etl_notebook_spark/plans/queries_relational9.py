@@ -1,0 +1,445 @@
+"""Batch 9: statistical data-quality and analytic shapes — PSI
+distribution drift, Benford first-digit conformance, cross-field
+amount reconciliation, 2-D Pareto skyline, rolling 7-day distinct
+actives, and Spearman rank correlation.
+
+These round out the monitoring family started by ks_drift_acctbal /
+chi2_priority_status (queries_relational8): PSI is the binned drift
+score model-ops teams actually page on, Benford and amount
+reconciliation are the classic financial DQ checks a parcel-revenue
+warehouse (reference: /root/reference/etl/main.py KPI chain) runs
+before trusting its totals, and the skyline/rolling-distinct/Spearman
+trio are textbook analytic patterns with non-obvious scale-safe
+rewrites worth encoding once.
+
+Oracle-parity conventions as in plans/catalog.py: identical aliases,
+BIGINT casts, rounded floats, deterministic tiebreaks. Where the naive
+semantic definition is quadratic (skyline NOT EXISTS) the ORACLE keeps
+the quadratic definition and the Spark side carries the O(N log N)
+rewrite — the point is proving the rewrite equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parcel_analytics_etl_notebook_spark.plans.catalog import register, table
+
+
+@register(
+    "psi_acctbal_drift",
+    oracle="""
+WITH ref AS (SELECT c_acctbal AS v FROM customer WHERE c_mktsegment = 'BUILDING'),
+tgt AS (SELECT c_acctbal AS v FROM customer WHERE c_mktsegment = 'MACHINERY'),
+edges AS (
+    SELECT round(quantile_cont(v, 0.1), 4) AS e1, round(quantile_cont(v, 0.2), 4) AS e2,
+           round(quantile_cont(v, 0.3), 4) AS e3, round(quantile_cont(v, 0.4), 4) AS e4,
+           round(quantile_cont(v, 0.5), 4) AS e5, round(quantile_cont(v, 0.6), 4) AS e6,
+           round(quantile_cont(v, 0.7), 4) AS e7, round(quantile_cont(v, 0.8), 4) AS e8,
+           round(quantile_cont(v, 0.9), 4) AS e9
+    FROM ref
+),
+binned AS (
+    SELECT 'ref' AS side,
+           1 + (v > e1)::INT + (v > e2)::INT + (v > e3)::INT + (v > e4)::INT
+             + (v > e5)::INT + (v > e6)::INT + (v > e7)::INT + (v > e8)::INT
+             + (v > e9)::INT AS bin
+    FROM ref CROSS JOIN edges
+    UNION ALL
+    SELECT 'tgt' AS side,
+           1 + (v > e1)::INT + (v > e2)::INT + (v > e3)::INT + (v > e4)::INT
+             + (v > e5)::INT + (v > e6)::INT + (v > e7)::INT + (v > e8)::INT
+             + (v > e9)::INT AS bin
+    FROM tgt CROSS JOIN edges
+),
+counts AS (
+    SELECT b.bin,
+           count(*) FILTER (side = 'ref') AS n_ref,
+           count(*) FILTER (side = 'tgt') AS n_tgt
+    FROM binned b GROUP BY 1
+),
+tot AS (SELECT sum(n_ref) AS nr, sum(n_tgt) AS nt FROM counts),
+terms AS (
+    SELECT bin, n_ref, n_tgt,
+           (CAST(n_tgt AS DOUBLE) + 0.5) / (nt + 5.0) AS pt,
+           (CAST(n_ref AS DOUBLE) + 0.5) / (nr + 5.0) AS pr
+    FROM counts CROSS JOIN tot
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_tgt AS BIGINT) AS n_tgt,
+       round((pt - pr) * ln(pt / pr), 6) AS psi_term,
+       round(sum((pt - pr) * ln(pt / pr)) OVER (), 6) AS psi_total
+FROM terms
+ORDER BY bin
+""",
+)
+def psi_acctbal_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two segments' account-balance
+    distributions, binned by the REFERENCE side's exact deciles — the
+    standard "is serving drifting from training" score (PSI > 0.2 =
+    page). Laplace-smoothed (+0.5 per bin) so an empty target bin
+    contributes a finite term instead of ±inf.
+
+    Scale shape: the 9 decile edges are MODEL-sized — computed with one
+    exact-percentile aggregation over the reference slice and collected
+    to the driver (the same model-sized-collect rule as k-means
+    centroids, operators/clustering.py), then folded into a literal
+    comparison chain so bin assignment is a codegen'd projection with
+    no join at all. At 100 TB swap the exact percentile for
+    approx_percentile(1e-4) — bin EDGES only need to be stable, not
+    exact — and the rest of the plan is unchanged: one groupBy(bin)
+    over each slice, 10-row result. Edges are rounded to 4dp BEFORE
+    binning on both sides so the bin boundaries are engine-stable."""
+    cust = table(spark, sf_dir, "customer")
+    ref = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_acctbal").alias("v")
+    )
+    tgt = cust.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_acctbal").alias("v")
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    edges = [
+        round(e, 4)
+        for e in ref.agg(
+            F.expr(f"percentile(v, array({','.join(map(str, qs))}))")
+        ).head()[0]
+    ]
+
+    def bin_of(col):
+        b = F.lit(1)
+        for e in edges:
+            b = b + (F.col(col) > F.lit(e)).cast("int")
+        return b
+
+    counts = (
+        ref.select(bin_of("v").alias("bin"), F.lit(1).alias("r"), F.lit(0).alias("t"))
+        .unionAll(
+            tgt.select(
+                bin_of("v").alias("bin"), F.lit(0).alias("r"), F.lit(1).alias("t")
+            )
+        )
+        .groupBy("bin")
+        .agg(F.sum("r").alias("n_ref"), F.sum("t").alias("n_tgt"))
+    )
+    # grand totals via an unbounded window over the 10-row counts frame
+    # (no 1-row crossJoin: that plans as BroadcastNestedLoopJoin, which
+    # the catalog plan fence forbids)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pt = (F.col("n_tgt").cast("double") + 0.5) / (
+        F.sum("n_tgt").over(wall).cast("double") + 5.0
+    )
+    pr = (F.col("n_ref").cast("double") + 0.5) / (
+        F.sum("n_ref").over(wall).cast("double") + 5.0
+    )
+    term = (pt - pr) * F.log(pt / pr)
+    return (
+        counts.select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_tgt").cast("bigint").alias("n_tgt"),
+            F.round(term, 6).alias("psi_term"),
+            F.round(F.sum(term).over(wall), 6).alias("psi_total"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+WITH d AS (
+    SELECT CAST(substring(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM orders WHERE o_totalprice >= 1
+),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+tot AS (SELECT sum(n) AS total FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / total, 4) AS observed_p,
+       round(log10(1.0 + 1.0 / digit), 4) AS benford_p,
+       round(abs(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit)), 4)
+           AS abs_dev
+FROM c CROSS JOIN tot
+ORDER BY digit
+""",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: observed first-digit
+    frequency vs log10(1 + 1/d) — the standard forensic-accounting
+    anomaly screen (fabricated or capped amounts flatten the curve).
+
+    First digit is taken from the DECIMAL(18,2) string rendering, not
+    floor(v/10^floor(log10 v)): decimal formatting is exactly specified
+    in both engines while float log10 at power-of-ten boundaries is
+    not. Scale: one projection + one 9-row groupBy; total-normalization
+    via an unbounded window over the 9-row frame (no 1-row crossJoin —
+    plan-fence rule), so cost is a single scan of orders."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)").cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    obs = F.col("n").cast("double") / F.sum("n").over(wall)
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        c.select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(obs, 4).alias("observed_p"),
+            F.round(benford, 4).alias("benford_p"),
+            F.round(F.abs(obs - benford), 4).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "order_amount_reconciliation",
+    oracle="""
+WITH li AS (
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS recomputed
+    FROM lineitem GROUP BY 1
+),
+j AS (
+    SELECT o.o_orderkey, o.o_totalprice, li.recomputed,
+           CASE
+             WHEN li.recomputed IS NULL THEN 'missing_lineitems'
+             WHEN abs(o.o_totalprice - li.recomputed) / o.o_totalprice < 0.001
+                 THEN 'ok'
+             WHEN abs(o.o_totalprice - li.recomputed) / o.o_totalprice < 0.05
+                 THEN 'minor_gap'
+             ELSE 'major_gap'
+           END AS status
+    FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(CASE WHEN recomputed IS NOT NULL
+                 THEN abs(o_totalprice - recomputed) / o_totalprice END), 4)
+           AS avg_rel_gap
+FROM j GROUP BY status ORDER BY status
+""",
+)
+def order_amount_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field consistency audit: recompute each order's total from
+    its line items (extendedprice·(1-discount)·(1+tax)) and bucket the
+    relative gap against the stored o_totalprice — the reconciliation
+    every finance pipeline runs before publishing revenue, and the
+    amount-level complement to referential_integrity_audit's key-level
+    checks.
+
+    Scale: one groupBy(l_orderkey) partial-aggregates map-side, one
+    equi-join on the order key (both sides shuffle-partitioned on it),
+    then a 4-row status rollup. Per-order sums are rounded to 2dp
+    before the ratio so float accumulation order can't flip a bucket
+    boundary between engines."""
+    o = table(spark, sf_dir, "orders")
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("recomputed")
+        )
+    )
+    rel = F.abs(F.col("o_totalprice") - F.col("recomputed")) / F.col("o_totalprice")
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        "o_totalprice",
+        "recomputed",
+        F.when(F.col("recomputed").isNull(), "missing_lineitems")
+        .when(rel < 0.001, "ok")
+        .when(rel < 0.05, "minor_gap")
+        .otherwise("major_gap")
+        .alias("status"),
+    )
+    return (
+        j.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                F.avg(F.when(F.col("recomputed").isNotNull(), rel)), 4
+            ).alias("avg_rel_gap"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "pareto_customers",
+    oracle="""
+WITH pts AS (
+    SELECT c.c_custkey, round(sum(o.o_totalprice), 2) AS spend, c.c_acctbal
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_acctbal
+)
+SELECT p.c_custkey, p.spend, p.c_acctbal
+FROM pts p
+WHERE NOT EXISTS (
+    SELECT 1 FROM pts q
+    WHERE q.spend >= p.spend AND q.c_acctbal >= p.c_acctbal
+      AND (q.spend > p.spend OR q.c_acctbal > p.c_acctbal)
+)
+ORDER BY p.spend DESC, p.c_acctbal DESC, p.c_custkey
+""",
+)
+def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline: customers not dominated on (total spend,
+    account balance) — the "best tradeoff frontier" query (supplier
+    shortlists, price-vs-latency routing tables) whose semantic
+    definition is a quadratic NOT EXISTS self-join.
+
+    The oracle keeps that quadratic definition; this side carries the
+    O(N log N) rewrite that survives 100 TB: collapse to one row per
+    distinct spend value (max balance per group, one shuffle), take the
+    running strictly-preceding max balance along descending spend (one
+    single-partition window over the COLLAPSED frame — O(distinct
+    spends), and at extreme cardinality the frontier is monotone so the
+    frame can be pre-thinned per partition with mapInPandas before the
+    global pass), then keep points whose balance (a) equals their spend
+    group's max and (b) strictly exceeds every higher-spend group's
+    max. Equal (spend, balance) duplicates all survive — neither
+    dominates the other."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    pts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .persist()  # reused by the frontier pass AND the final match —
+        # without it the orders⨝customer aggregation runs twice
+    )
+    grp = pts.groupBy("spend").agg(F.max("c_acctbal").alias("gmax"))
+    w = (
+        Window.orderBy(F.col("spend").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        grp.withColumn("prevmax", F.max("gmax").over(w))
+        .filter(F.col("prevmax").isNull() | (F.col("gmax") > F.col("prevmax")))
+        .select(F.col("spend").alias("f_spend"), F.col("gmax").alias("f_bal"))
+    )
+    return (
+        pts.join(
+            frontier,
+            (pts.spend == F.col("f_spend")) & (pts.c_acctbal == F.col("f_bal")),
+        )
+        .select("c_custkey", "spend", "c_acctbal")
+        .orderBy(F.col("spend").desc(), F.col("c_acctbal").desc(), "c_custkey")
+    )
+
+
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d FROM du)
+SELECT CAST(days.d AS VARCHAR) AS day,
+       CAST(count(DISTINCT du.user_id) AS BIGINT) AS active_7d
+FROM days JOIN du
+  ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY days.d ORDER BY days.d
+""",
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per observed day — the WAU
+    curve. Sliding DISTINCT cannot use a plain window frame (distinct
+    isn't decomposable over frames), so the classic rewrite: collapse
+    events to distinct (day, user) once, then let each pair VOTE for
+    the ≤7 observed days it keeps the user active in, and count
+    distinct per day.
+
+    Scale: the collapse is one shuffle of day-grain pairs (O(users ×
+    active-days), vastly smaller than events); the vote explode is a
+    bounded ×7; the day-filter join keys on the day grid, which is
+    CALENDAR-bounded (grows with time horizon, not data volume) — a
+    legitimate broadcast under the model-bounded-side rule
+    (SCALING.md). The final distinct-count reshuffles on day."""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    votes = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "d", "user_id"
+    ).select(F.date_add(F.col("d"), F.col("i")).alias("day_out"), "user_id")
+    return (
+        votes.join(F.broadcast(days), votes.day_out == days.d)
+        .groupBy("day_out")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_7d"))
+        .select(F.col("day_out").cast("string").alias("day"), "active_7d")
+        .orderBy("day")
+    )
+
+
+@register(
+    "spearman_spend_balance",
+    oracle="""
+WITH pts AS (
+    SELECT c.c_custkey, round(sum(o.o_totalprice), 2) AS spend, c.c_acctbal
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_acctbal
+),
+ranked AS (
+    SELECT (2.0 * rank() OVER (ORDER BY spend)
+            + count(*) OVER (PARTITION BY spend) - 1) / 2.0 AS r_spend,
+           (2.0 * rank() OVER (ORDER BY c_acctbal)
+            + count(*) OVER (PARTITION BY c_acctbal) - 1) / 2.0 AS r_bal
+    FROM pts
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(corr(r_spend, r_bal), 4) AS spearman_rho
+FROM ranked
+""",
+)
+def spearman_spend_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between customer spend and account
+    balance: Pearson correlation over AVERAGE ranks (the tie-correct
+    fractional-rank form, (2·rank + ties − 1)/2), answering "is balance
+    monotonically informative about spend" without assuming linearity —
+    the feature-screening statistic for skewed monetary columns where
+    Pearson is outlier-dominated.
+
+    Scale: ranking is a global sort per dimension — here one
+    single-partition window each (the honest cost of exact global
+    ranks); at 100 TB replace with the two-pass distributed rank in
+    operators/indexing.global_running_sum (per-partition offsets, no
+    single task sees all rows) and corr() remains a one-pass
+    mergeable aggregate. Ranks are exact rationals (.0/.5) so the only
+    float rounding is in corr itself, rounded to 4dp both sides."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    pts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    r_spend = (
+        2.0 * F.rank().over(Window.orderBy("spend"))
+        + F.count(F.lit(1)).over(Window.partitionBy("spend"))
+        - 1
+    ) / 2.0
+    r_bal = (
+        2.0 * F.rank().over(Window.orderBy("c_acctbal"))
+        + F.count(F.lit(1)).over(Window.partitionBy("c_acctbal"))
+        - 1
+    ) / 2.0
+    ranked = pts.select(r_spend.alias("r_spend"), r_bal.alias("r_bal"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.corr("r_spend", "r_bal"), 4).alias("spearman_rho"),
+    )

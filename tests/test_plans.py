@@ -362,6 +362,8 @@ NESTED_LOOP_ALLOWED = {
     "ivf_ann_topk": "broadcast fixed centroids + query",
     "ivf_recall_at_5": "broadcast centroids + query (recall eval)",
     "ivf_trained_topk": "broadcast trained centroids + query",
+    "semdedup_cluster_pairs": "broadcast fixed centroids (model-sized) "
+    "for cluster assignment",
     "filtered_ann_topk": "single broadcast query vector (metadata-"
     "filtered candidates)",
     "hybrid_rrf_retrieval": "broadcast query vector + query token set",
