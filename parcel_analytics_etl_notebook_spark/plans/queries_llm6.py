@@ -261,3 +261,78 @@ def session_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "trigram")
         .limit(20)
     )
+
+
+@register(
+    "mixture_temperature_rebalance",
+    oracle=r"""
+WITH t AS (
+    SELECT source,
+           sum(len(CASE WHEN text IS NULL OR trim(text) = ''
+                   THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(trim(text), '\s+') END)) AS n_tokens
+    FROM documents GROUP BY source
+),
+s0 AS (
+    SELECT source, n_tokens,
+           CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS nat_share,
+           0.5 * sum(n_tokens) OVER () AS budget
+    FROM t
+),
+s AS (
+    SELECT source, n_tokens, nat_share, budget,
+           sqrt(nat_share) / sum(sqrt(nat_share)) OVER () AS temp_share
+    FROM s0
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(nat_share, 6) AS nat_share,
+       round(temp_share, 6) AS temp_share,
+       round(least(1.0, temp_share * budget / n_tokens), 6) AS sampling_rate,
+       round(temp_share * budget / n_tokens, 6) AS epochs_if_uncapped
+FROM s ORDER BY source
+""",
+)
+def mixture_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source-mixture rebalancing (the multilingual
+    sampling rule of mBERT/XLM-R, τ = 0.5): each source's target share
+    is its natural token share raised to α = 0.5 and renormalized —
+    common sources are downsampled, rare ones upsampled — then turned
+    into a concrete per-source sampling RATE against a token budget of
+    half the corpus (rate > 1 ⇒ the source must repeat epochs; emitted
+    uncapped so the data-mixing planner can see how much).
+
+    Scale: one groupBy(source) token count (source cardinality is
+    mixture-config-sized), then all shares/normalizers are unbounded
+    windows over that tiny frame — zero extra passes over documents.
+    This composes with per_lang_sample_k / token_weighted_sample for
+    the actual draw; THIS query is the planner that decides rates."""
+    from parcel_analytics_etl_notebook_spark.functions.textfns import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).alias("n_tokens")
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    s0 = t.select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.sum("n_tokens").over(wall)).alias(
+            "nat_share"
+        ),
+        (0.5 * F.sum("n_tokens").over(wall)).alias("budget"),
+    )
+    temp = F.sqrt("nat_share") / F.sum(F.sqrt("nat_share")).over(wall)
+    s = s0.withColumn("temp_share", temp)
+    rate = F.col("temp_share") * F.col("budget") / F.col("n_tokens")
+    return (
+        s.select(
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round("nat_share", 6).alias("nat_share"),
+            F.round("temp_share", 6).alias("temp_share"),
+            F.round(F.least(F.lit(1.0), rate), 6).alias("sampling_rate"),
+            F.round(rate, 6).alias("epochs_if_uncapped"),
+        )
+        .orderBy("source")
+    )

@@ -443,3 +443,91 @@ def spearman_spend_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(F.corr("r_spend", "r_bal"), 4).alias("spearman_rho"),
     )
+
+
+@register(
+    "mom_revenue_growth",
+    oracle="""
+WITH m AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT CAST(month AS VARCHAR) AS month, revenue,
+       round((revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month), 4) AS mom_growth
+FROM m ORDER BY month
+""",
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly rollup, then pct change
+    vs the previous month via lag — the first derivative every revenue
+    dashboard shows. First month's growth is NULL (no prior), not 0.
+
+    Scale: the rollup is one shuffle with map-side partials; the lag
+    window runs over the COLLAPSED month frame (calendar-bounded, not
+    data-bounded), so the single-partition sort is O(months). Revenue
+    rounded to 2dp before the ratio, ratio to 4dp, both sides."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return (
+        m.select(
+            F.col("month").cast("string").alias("month"),
+            "revenue",
+            F.round((F.col("revenue") - prev) / prev, 4).alias("mom_growth"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "daily_value_anomalies",
+    oracle="""
+WITH d AS (
+    SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+),
+s AS (
+    SELECT day, total_value,
+           avg(total_value) OVER ()         AS mu,
+           stddev_samp(total_value) OVER () AS sigma
+    FROM d
+)
+SELECT CAST(day AS VARCHAR) AS day, total_value,
+       round((total_value - mu) / sigma, 4) AS zscore
+FROM s
+WHERE abs((total_value - mu) / sigma) > 1.5
+ORDER BY day
+""",
+)
+def daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-total anomaly flags: days whose event-value sum deviates
+    more than 1.5 sample standard deviations from the all-days mean —
+    the simplest useful pipeline-health monitor (traffic cliffs,
+    double-ingest spikes) and the batch twin of a streaming alert.
+
+    Scale: one shuffle collapses events to day grain; mean/stddev are
+    unbounded windows over the O(days) calendar-bounded frame. Daily
+    totals rounded to 2dp BEFORE the z-score so float accumulation
+    order can't move a day across the threshold between engines."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("total_value")
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    z = (F.col("total_value") - F.avg("total_value").over(wall)) / F.stddev_samp(
+        "total_value"
+    ).over(wall)
+    return (
+        d.select(
+            F.col("day").cast("string").alias("day"),
+            "total_value",
+            F.round(z, 4).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > 1.5)
+        .orderBy("day")
+    )
