@@ -110,3 +110,35 @@ def read_rollup(spark: SparkSession, sink_path: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.round(F.col("sum_value"), 2).alias("total_value"),
     )
+
+
+def streaming_incremental_rollup(
+    stream: DataFrame, sink_path: str, checkpoint: str
+):
+    """Streaming twin of :func:`run_incremental_rollup`: every
+    micro-batch lands through the SAME partition-pruned merge, so the
+    continuously-maintained sink equals the batch recompute after any
+    prefix of the stream (test_rollup_run proves it for a 2-batch
+    split).
+
+    foreachBatch is the right sink here — the merge needs a read of the
+    sink's touched partitions, which a built-in streaming sink can't
+    express. Exactly-once caveat (same as every foreachBatch merge that
+    is not idempotent): a batch replayed after a crash between the
+    write and the checkpoint commit would double-count; production
+    hardens this by recording the landed batch_id IN the sink (skip if
+    seen) — the pattern sources/pydatasink.JsonlStreamWriter implements
+    for its epoch manifests.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        run_incremental_rollup(batch_df.sparkSession, batch_df, sink_path)
+
+    return (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

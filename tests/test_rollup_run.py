@@ -124,3 +124,53 @@ def test_incremental_rollup_empty_batch_is_noop(spark, tmp_path):
     r = run_incremental_rollup(spark, events.limit(0), sink)
     assert r == {"touched_days": [], "rows_written": 0}
     assert _file_state(sink) == before
+
+
+def test_streaming_rollup_matches_batch_recompute(spark, tmp_path):
+    """Two-file staged stream, maxFilesPerTrigger=1 → two foreachBatch
+    merges; the continuously-maintained sink must equal the one-shot
+    batch recompute over all events."""
+    from parcel_analytics_etl_notebook_spark.plans.rollup_run import (
+        streaming_incremental_rollup,
+    )
+
+    events = table(spark, SF, "events")
+    days = sorted(
+        r[0] for r in events.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    mid = days[len(days) // 2]
+    src = str(tmp_path / "stream_src")
+    events.filter(F.to_date("ts") < F.lit(mid)).coalesce(1).write.parquet(
+        src + "/f1"
+    )
+    events.filter(F.to_date("ts") >= F.lit(mid)).coalesce(1).write.parquet(
+        src + "/f2"
+    )
+    # flatten the two part files into one source dir
+    import glob
+    import shutil
+
+    os.makedirs(src + "/all")
+    for i, f in enumerate(sorted(glob.glob(src + "/f*/part-*.parquet"))):
+        shutil.copy(f, f"{src}/all/{i}.parquet")
+
+    schema = spark.read.parquet(src + "/all").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/all")
+    )
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    sink = str(tmp_path / "stream_sink")
+    q = streaming_incremental_rollup(
+        stream, sink, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in read_rollup(spark, sink).collect())
+    base = events
+    if dict(base.dtypes).get("ts") == "timestamp_ntz":
+        base = base.withColumn("ts", F.col("ts").cast("timestamp"))
+    want = sorted(tuple(r) for r in _full_recompute(base).collect())
+    assert got == want
