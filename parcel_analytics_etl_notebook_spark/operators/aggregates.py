@@ -76,3 +76,41 @@ def dq_observation(df: DataFrame, null_check_cols: list[str] | None = None):
 
     obs = Observation()
     return df.observe(obs, *_dq_metrics(df, null_check_cols)), obs
+
+
+def rolling_distinct_actives(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    window_days: int = 7,
+    out_day: str = "day",
+    out_count: str = "active",
+) -> DataFrame:
+    """Trailing-``window_days`` distinct-``id_col`` count per observed
+    day (the WAU/MAU curve family).
+
+    Sliding DISTINCT is not frame-decomposable, so no window frame can
+    compute it; the scale-safe rewrite: collapse to distinct (day, id)
+    pairs once (day-grain, vastly smaller than the event log), let each
+    pair vote for the ≤``window_days`` OBSERVED days it keeps the id
+    active in (bounded explode), and distinct-count per day. Only days
+    that actually appear in the data are emitted — the day grid is
+    calendar-bounded, hence broadcast. Property-tested against a
+    brute-force per-day Python model (tests/test_properties.py); the
+    oracled catalog twin is plans/queries_relational9.
+    rolling_7d_active_users."""
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    du = df.select(F.to_date(ts_col).alias("__d"), id_col).distinct()
+    days = du.select("__d").distinct()
+    votes = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("__i"),
+        "__d",
+        id_col,
+    ).select(F.date_add(F.col("__d"), F.col("__i")).alias("__day_out"), id_col)
+    return (
+        votes.join(F.broadcast(days), votes.__day_out == days.__d)
+        .groupBy("__day_out")
+        .agg(F.countDistinct(id_col).cast("bigint").alias(out_count))
+        .select(F.col("__day_out").alias(out_day), out_count)
+    )

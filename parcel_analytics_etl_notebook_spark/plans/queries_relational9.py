@@ -314,6 +314,10 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     group's max and (b) strictly exceeds every higher-spend group's
     max. Equal (spend, balance) duplicates all survive — neither
     dominates the other."""
+    from parcel_analytics_etl_notebook_spark.operators.skyline import (
+        pareto_frontier_2d,
+    )
+
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     pts = (
@@ -323,21 +327,8 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # reused by the frontier pass AND the final match —
         # without it the orders⨝customer aggregation runs twice
     )
-    grp = pts.groupBy("spend").agg(F.max("c_acctbal").alias("gmax"))
-    w = (
-        Window.orderBy(F.col("spend").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    frontier = (
-        grp.withColumn("prevmax", F.max("gmax").over(w))
-        .filter(F.col("prevmax").isNull() | (F.col("gmax") > F.col("prevmax")))
-        .select(F.col("spend").alias("f_spend"), F.col("gmax").alias("f_bal"))
-    )
     return (
-        pts.join(
-            frontier,
-            (pts.spend == F.col("f_spend")) & (pts.c_acctbal == F.col("f_bal")),
-        )
+        pareto_frontier_2d(pts, x="spend", y="c_acctbal")
         .select("c_custkey", "spend", "c_acctbal")
         .orderBy(F.col("spend").desc(), F.col("c_acctbal").desc(), "c_custkey")
     )
@@ -369,19 +360,17 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     CALENDAR-bounded (grows with time horizon, not data volume) — a
     legitimate broadcast under the model-bounded-side rule
     (SCALING.md). The final distinct-count reshuffles on day."""
+    from parcel_analytics_etl_notebook_spark.operators.aggregates import (
+        rolling_distinct_actives,
+    )
+
     ev = table(spark, sf_dir, "events")
-    du = ev.select(
-        F.to_date("ts").alias("d"), "user_id"
-    ).distinct()
-    days = du.select("d").distinct()
-    votes = du.select(
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "d", "user_id"
-    ).select(F.date_add(F.col("d"), F.col("i")).alias("day_out"), "user_id")
     return (
-        votes.join(F.broadcast(days), votes.day_out == days.d)
-        .groupBy("day_out")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("active_7d"))
-        .select(F.col("day_out").cast("string").alias("day"), "active_7d")
+        rolling_distinct_actives(
+            ev, ts_col="ts", id_col="user_id", window_days=7,
+            out_day="day", out_count="active_7d",
+        )
+        .select(F.col("day").cast("string").alias("day"), "active_7d")
         .orderBy("day")
     )
 

@@ -389,3 +389,76 @@ def test_zorder_key_matches_python_morton(spark, pairs):
     for (a, b), z in got.items():
         assert z == morton(a, b), (a, b)
     assert len(set(got.values())) == len(pairs)  # bijective on the grid
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8), st.integers(0, 99)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pareto_frontier_matches_quadratic_model(spark, rows):
+    """O(N log N) skyline rewrite == the quadratic dominance definition,
+    for arbitrary tie/duplicate structures (small domain forces them)."""
+    from parcel_analytics_etl_notebook_spark.operators.skyline import (
+        pareto_frontier_2d,
+    )
+
+    df = spark.createDataFrame(rows, "x int, y int, tag int")
+    got = sorted(
+        (r.x, r.y, r.tag)
+        for r in pareto_frontier_2d(df, "x", "y").collect()
+    )
+    want = sorted(
+        (x, y, t)
+        for (x, y, t) in rows
+        if not any(
+            qx >= x and qy >= y and (qx > x or qy > y) for (qx, qy, _) in rows
+        )
+    )
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 5)),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(1, 7),
+)
+def test_rolling_distinct_actives_matches_bruteforce(spark, pairs, window):
+    """Vote-explode rolling distinct == per-day brute-force recount,
+    for any (day-offset, user) multiset and window length."""
+    import datetime
+
+    from parcel_analytics_etl_notebook_spark.operators.aggregates import (
+        rolling_distinct_actives,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (datetime.datetime.combine(base + datetime.timedelta(days=d),
+                                   datetime.time(12)), u)
+        for d, u in pairs
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id int")
+    got = {
+        (r[0], r[1])
+        for r in rolling_distinct_actives(
+            df, "ts", "user_id", window_days=window
+        ).collect()
+    }
+    observed_days = sorted({base + datetime.timedelta(days=d) for d, _ in pairs})
+    want = set()
+    for day in observed_days:
+        ids = {
+            u
+            for d, u in pairs
+            if 0 <= (day - (base + datetime.timedelta(days=d))).days < window
+        }
+        want.add((day, len(ids)))
+    assert got == want
