@@ -520,3 +520,116 @@ def daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zscore")) > 1.5)
         .orderBy("day")
     )
+
+
+_RTEST_POLY = (
+    "CAST(list_reduce(list_prepend('0', string_split("
+    "CAST(id AS VARCHAR) || ':' || CAST(k AS VARCHAR), '')), "
+    "(acc, ch) -> CAST((CAST(acc AS BIGINT)*31 + unicode(ch)) % 1000000007 "
+    "AS VARCHAR)) AS BIGINT)"
+)
+
+
+@register(
+    "randomization_test_acctbal",
+    oracle=f"""
+WITH base AS (
+    SELECT c_custkey AS id, c_acctbal AS v,
+           (c_mktsegment = 'BUILDING') AS is_real
+    FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+ks AS (SELECT unnest(range(0, 201)) AS k),
+ex AS (
+    SELECT v, k,
+           CASE WHEN k = 0 THEN is_real
+                ELSE ({_RTEST_POLY} % 2 = 0) END AS lab
+    FROM base CROSS JOIN ks
+),
+g AS (
+    SELECT k,
+           round(avg(v) FILTER (lab) - avg(v) FILTER (NOT lab), 6) AS diff
+    FROM ex GROUP BY k
+),
+d0 AS (SELECT diff AS obs FROM g WHERE k = 0)
+SELECT round(obs, 6) AS observed_diff,
+       CAST(200 AS BIGINT) AS n_perms,
+       round((1.0 + count(*) FILTER (k > 0 AND abs(diff) >= abs(obs)))
+             / 201.0, 4) AS p_value
+FROM g CROSS JOIN d0
+GROUP BY obs
+""",
+)
+def randomization_test_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (approximate permutation) test for the mean
+    account-balance difference between two market segments: 200
+    deterministic label reassignments (Bernoulli-½ via the cross-engine
+    polynomial hash of id:k — xxhash64/murmur differ between engines)
+    build the null distribution of the mean difference; the p-value is
+    the add-one-smoothed fraction of reassignments at least as extreme
+    as the observed difference (k = 0 carries the REAL labels through
+    the identical code path, so "observed" and "null" are computed by
+    the same expressions).
+
+    The inferential complement to ks_drift/chi2/psi: those ask "how
+    different are the distributions", this asks "could the mean gap be
+    chance". Scale: the explode factor is the permutation count K —
+    bounded by the test design, not the data; one groupBy(k) with
+    map-side partials does all K aggregations in a single shuffle of
+    K·2 partials per task; the p-value is arithmetic over the
+    O(K)-row frame. Per-k means are rounded to 6dp BEFORE the
+    extremity comparison so float accumulation order can't flip a
+    permutation across the |diff| >= |obs| boundary between engines."""
+    from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
+        poly_hash,
+    )
+
+    K = 200
+    base = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_acctbal").alias("v"),
+            (F.col("c_mktsegment") == "BUILDING").alias("is_real"),
+        )
+    )
+    ex = base.select(
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(K))).alias("k"),
+        "id",
+        "is_real",
+    ).select(
+        "v",
+        "k",
+        F.when(F.col("k") == 0, F.col("is_real")).otherwise(
+            poly_hash(
+                F.concat_ws(":", F.col("id").cast("string"), F.col("k").cast("string"))
+            )
+            % 2
+            == 0
+        ).alias("lab"),
+    )
+    g = ex.groupBy("k").agg(
+        F.round(
+            F.avg(F.when(F.col("lab"), F.col("v")))
+            - F.avg(F.when(~F.col("lab"), F.col("v"))),
+            6,
+        ).alias("diff")
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    obs = F.max(F.when(F.col("k") == 0, F.col("diff"))).over(wall)
+    extreme = (
+        (F.col("k") > 0) & (F.abs(F.col("diff")) >= F.abs(F.col("obs")))
+    ).cast("long")
+    return (
+        g.withColumn("obs", obs)
+        .groupBy("obs")
+        .agg(
+            F.round((1.0 + F.sum(extreme)) / (K + 1.0), 4).alias("p_value")
+        )
+        .select(
+            F.round(F.col("obs"), 6).alias("observed_diff"),
+            F.lit(K).cast("bigint").alias("n_perms"),
+            "p_value",
+        )
+    )

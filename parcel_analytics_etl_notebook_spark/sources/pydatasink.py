@@ -115,7 +115,15 @@ class JsonlSinkWriter(DataSourceWriter):
         self._drop_staged()
 
     def _drop_staged(self) -> None:
-        for f in os.listdir(self.path):
+        # A straggler task can still be flushing its staged file when the
+        # driver aborts (Spark interrupts tasks, Python workers may flush
+        # late), so one sweep can miss it — benign: readers only see
+        # part-*, and the NEXT write's commit sweeps leftovers again.
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return  # aborted before any task created the directory
+        for f in names:
             if f.startswith(".staged-"):
                 try:
                     os.remove(os.path.join(self.path, f))

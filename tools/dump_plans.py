@@ -110,6 +110,34 @@ SHOWCASE: list[tuple[str, str]] = [
         "group's top-2 map-side, then a bounded global top-k — one window "
         "instead of greedy MMR's k re-scoring passes.",
     ),
+    (
+        "pareto_customers",
+        "2-D skyline without the quadratic self-join: collapse to per-x "
+        "max (one hash exchange), running strictly-preceding max over the "
+        "COLLAPSED frame, equi-join back — the NOT EXISTS dominance "
+        "definition is the DuckDB oracle only.",
+    ),
+    (
+        "psi_acctbal_drift",
+        "PSI drift: decile edges are model-sized driver literals, so bin "
+        "assignment is a pure codegen projection — two scans collapse to "
+        "a 10-row frame and every normalizer is a window over it (no "
+        "1-row cross joins anywhere).",
+    ),
+    (
+        "rolling_7d_active_users",
+        "Sliding DISTINCT: not frame-decomposable, so the plan is "
+        "collapse-to-day-grain + bounded x7 explode + calendar-bounded "
+        "broadcast day grid + one distinct-count exchange — no per-day "
+        "re-scan of events.",
+    ),
+    (
+        "semdedup_cluster_pairs",
+        "SemDeDup: model-sized centroid broadcast (allowlisted BNLJ), "
+        "argmax assignment, then candidate pairs exist only between "
+        "ADJACENT rows of each cluster's centroid-similarity sort — one "
+        "window, zero pairwise joins.",
+    ),
 ]
 
 
