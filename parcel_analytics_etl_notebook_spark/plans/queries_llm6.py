@@ -336,3 +336,82 @@ def mixture_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+def _cms_oracle() -> str:
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm import (
+        _SQL_POLY,
+        _SQL_TOKS,
+    )
+
+    bucket = (
+        _SQL_POLY.format("CAST({0} AS VARCHAR) || ':' || {1}") + " % 256"
+    )
+    return f"""
+WITH toks AS (SELECT unnest({_SQL_TOKS}) AS w FROM documents),
+ex AS (SELECT w, unnest(range(0, 4)) AS row FROM toks),
+grid AS (
+    SELECT row, {bucket.format('row', 'w')} AS bucket, count(*) AS cnt
+    FROM ex GROUP BY 1, 2
+),
+exact AS (SELECT w, count(*) AS n FROM toks GROUP BY 1 ORDER BY n DESC, w LIMIT 20),
+probes AS (
+    SELECT e.w, e.n, r.row, {bucket.format('r.row', 'e.w')} AS bucket
+    FROM exact e CROSS JOIN (SELECT unnest(range(0, 4)) AS row) r
+),
+est AS (
+    SELECT p.w, p.n, min(coalesce(g.cnt, 0)) AS est
+    FROM probes p LEFT JOIN grid g USING (row, bucket)
+    GROUP BY p.w, p.n
+)
+SELECT w AS word, CAST(n AS BIGINT) AS exact_n,
+       CAST(est AS BIGINT) AS cms_estimate,
+       CAST(est - n AS BIGINT) AS overestimate
+FROM est ORDER BY exact_n DESC, word
+"""
+
+
+@register("countmin_word_frequencies", oracle=_cms_oracle())
+def countmin_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries vs exact truth: a 4×256 CMS grid
+    over the corpus token stream, probed for the exact top-20 words —
+    emitting estimate, truth, and the (provably ≥ 0) overestimate. The
+    mergeable-sketch complement to Misra-Gries heavy hitters
+    (operators/heavyhitters): MG answers "which items are frequent",
+    CMS answers "how frequent is THIS item" for any item, in d·W
+    integers that sum-merge across partitions, days, or streams.
+
+    Relational CMS (operators/sketches): build is explode(×depth) +
+    one groupBy — the explode factor is the sketch depth constant;
+    estimation broadcasts the model-sized grid. Hash rows use the
+    cross-engine poly hash with seed prefixes, so the ORACLE restates
+    the whole sketch bucket-for-bucket and the estimate column is
+    hash-checked, not just bound-checked. The CMS guarantee
+    (estimate ≥ truth) is visible as overestimate ≥ 0 in every row."""
+    from parcel_analytics_etl_notebook_spark.functions.textfns import tokens
+    from parcel_analytics_etl_notebook_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("w"))
+    grid = cms_build(toks, "w", depth=4, width=256)
+    exact = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(20)
+    )
+    est = cms_estimate(exact, grid, "w", depth=4, width=256)
+    return (
+        est.select(
+            F.col("w").alias("word"),
+            F.col("n").cast("bigint").alias("exact_n"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("n")).cast("bigint").alias(
+                "overestimate"
+            ),
+        )
+        .orderBy(F.col("exact_n").desc(), "word")
+    )

@@ -984,3 +984,39 @@ def test_exact_heavy_hitters_matches_full_groupby(spark):
     }
     assert want, "fixture produced no heavy hitters — threshold too high"
     assert got == want
+
+
+def test_cms_grid_merges_and_dominates_truth(spark):
+    """CMS invariants: (a) the grid built on the full stream equals the
+    bucket-wise SUM of grids built on disjoint halves (sum-monoid
+    mergeability — the property that makes it a sketch); (b) every
+    point estimate >= the true count."""
+    from parcel_analytics_etl_notebook_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [(f"w{i % 7}",) for i in range(200)] + [("rare",)] * 3
+    df = spark.createDataFrame(rows, "w string").withColumn(
+        "idx", F.monotonically_increasing_id()
+    )
+    full = cms_build(df, "w", depth=3, width=16)
+    h1 = cms_build(df.filter(F.col("idx") % 2 == 0), "w", depth=3, width=16)
+    h2 = cms_build(df.filter(F.col("idx") % 2 == 1), "w", depth=3, width=16)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+    truth = {r[0]: r[1] for r in df.groupBy("w").count().collect()}
+    qs = spark.createDataFrame([(w,) for w in truth], "w string")
+    est = {
+        r["w"]: r["cms_estimate"]
+        for r in cms_estimate(qs, full, "w", depth=3, width=16).collect()
+    }
+    for w, n in truth.items():
+        assert est[w] >= n
