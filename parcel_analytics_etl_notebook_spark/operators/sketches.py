@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import poly_hash
+from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
+    FP_MOD,
+    poly_hash,
+)
 
 
 def cms_bucket(item, seed: int, width: int):
@@ -94,3 +97,132 @@ def cms_estimate(
             .alias(out_col)
         )
     )
+
+
+def bloom_build(
+    items: DataFrame, item_col: str, k: int = 3, m: int = 4096
+) -> DataFrame:
+    """Relational Bloom filter: the SET-BIT list as a 1-column frame of
+    distinct bit indices (≤ m rows; the dense bitmap is its trivial
+    encoding). k poly-hash rows per item via one explode(×k) +
+    distinct. Merging filters = union+distinct; bits never unset —
+    deletions need a counting filter (this build trades them away for
+    the classic space bound m ≈ -n·ln(fpp)/ln²2)."""
+    ex = items.select(
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("row"),
+        F.col(item_col).alias("__item"),
+    )
+    return (
+        ex.select(
+            (
+                poly_hash(F.concat(F.col("row").cast("string"),
+                                   F.lit(":"), F.col("__item")))
+                % F.lit(m)
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    queries: DataFrame,
+    bits: DataFrame,
+    item_col: str,
+    k: int = 3,
+    m: int = 4096,
+    out_col: str = "bloom_positive",
+) -> DataFrame:
+    """Probe: an item is bloom-positive iff ALL k of its bits are set.
+    No false negatives by construction; false-positive rate ≈
+    (1 - e^{-kn/m})^k. The bit list is model-sized — broadcast; the
+    all-bits-set test is count(matched) == k after a left join."""
+    probes = queries.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("row"),
+    ).withColumn(
+        "bit",
+        poly_hash(
+            F.concat(F.col("row").cast("string"), F.lit(":"), F.col(item_col))
+        )
+        % F.lit(m),
+    )
+    marked = bits.withColumn("__set", F.lit(1))
+    others = list(queries.columns)
+    return (
+        probes.join(F.broadcast(marked), "bit", "left")
+        .groupBy(*others)
+        .agg((F.count(F.col("__set")) == k).alias(out_col))
+    )
+
+
+#: HLL geometry: m = 64 registers; the poly hash yields < 2^30, so the
+#: sub-register word has WBITS = 24 usable bits (FP_MOD // 64 < 2^24)
+HLL_M = 64
+HLL_WBITS = 24
+#: alpha_64 from Flajolet et al. 2007 (m >= 64 branch: 0.7213/(1+1.079/m))
+HLL_ALPHA = 0.7213 / (1 + 1.079 / 64)
+
+
+def hll_rho(w):
+    """Position of the leftmost 1-bit of ``w`` within WBITS (1-based),
+    WBITS+1 if w = 0 — built as an integer-threshold CASE chain, never
+    float log2 (exact at power-of-two boundaries in every engine)."""
+    expr = F.when(w == 0, F.lit(HLL_WBITS + 1))
+    for b in range(HLL_WBITS - 1, -1, -1):
+        expr = expr.when(w >= 2**b, F.lit(HLL_WBITS - b))
+    return expr
+
+
+#: salt prefix for the HLL hash: the rolling poly hash of a SHORT
+#: string never wraps the modulus, leaving the high bits (which rho
+#: reads) near-empty — a 1500-key test stream estimated 4.1M distinct.
+#: 10 salt chars force ≥3 modular wraparounds for any input, which is
+#: what stands in for avalanche in this engine-portable hash.
+HLL_SALT = "hllsketch#"
+
+
+def hll_registers(items: DataFrame, item_col: str) -> DataFrame:
+    """Register state (register, max_rho) — ≤ m rows, the whole sketch.
+    Merging sketches = unionByName + max per register. One hash agg
+    over the raw stream; NO pre-distinct needed (max absorbs
+    duplicates — the property that makes HLL stream-able).
+
+    The poly hash is LINEAR in its last characters (consecutive ids →
+    consecutive hashes, so 64-id blocks shared one register word and
+    collapsed the statistics: 1500 keys estimated as ~219); squaring
+    mod p decorrelates register index from register word — the cheap
+    engine-portable stand-in for an avalanche finalizer. Squaring
+    halves the effective hash space (x and p−x collide): birthday
+    collisions stay negligible below ~√(p/2) ≈ 2·10⁴ distinct —
+    beyond that, raise p or add a second mixing round."""
+    h = poly_hash(F.concat(F.lit(HLL_SALT), F.col(item_col).cast("string")))
+    g = (h * h + F.lit(12345)) % F.lit(FP_MOD)
+    reg = (g % HLL_M).alias("register")
+    w = F.floor(g / HLL_M).cast("long")
+    return (
+        items.select(reg, hll_rho(w).alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_expr(registers: DataFrame) -> DataFrame:
+    """1-row estimate from the register frame: the raw HLL harmonic
+    mean with the small-range linear-counting correction (E ≤ 2.5m and
+    empty registers present → m·ln(m/V)); all arithmetic over the
+    ≤ m-row frame. Absent registers contribute 2^0 = 1 to the harmonic
+    sum (rho 0), exactly as the dense form would."""
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("__sum_present"),
+        F.count(F.lit(1)).alias("__n_present"),
+    )
+    total = (
+        F.col("__sum_present") + (F.lit(HLL_M) - F.col("__n_present"))
+    )
+    raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M / total
+    empty = F.lit(HLL_M) - F.col("__n_present")
+    corrected = F.when(
+        (raw <= 2.5 * HLL_M) & (empty > 0),
+        HLL_M * F.log(F.lit(float(HLL_M)) / empty),
+    ).otherwise(raw)
+    return agg.select(corrected.alias("hll_estimate"))

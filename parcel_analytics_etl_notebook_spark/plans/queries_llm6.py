@@ -415,3 +415,196 @@ def countmin_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_n").desc(), "word")
     )
+
+
+def _bloom_oracle() -> str:
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm import _SQL_POLY
+
+    bit = _SQL_POLY.format("CAST({0} AS VARCHAR) || ':' || {1}") + " % 4096"
+    return rf"""
+WITH h AS (
+    SELECT doc_id, source,
+           sha256(substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 40)) AS ch
+    FROM documents
+),
+corpus AS (SELECT DISTINCT ch FROM h WHERE doc_id % 3 = 0),
+incoming AS (SELECT doc_id, source, ch FROM h WHERE doc_id % 10 = 0),
+rs AS (SELECT unnest(range(0, 3)) AS r),
+bits AS (SELECT DISTINCT {bit.format('r', 'ch')} AS bit FROM corpus CROSS JOIN rs),
+probes AS (
+    SELECT i.doc_id, i.source, i.ch, {bit.format('r', 'i.ch')} AS bit
+    FROM incoming i CROSS JOIN rs
+),
+flag AS (
+    SELECT p.doc_id, p.source, p.ch, (count(b.bit) = 3) AS pos
+    FROM probes p LEFT JOIN bits b USING (bit)
+    GROUP BY 1, 2, 3
+),
+lab AS (
+    SELECT f.source, f.pos,
+           EXISTS (SELECT 1 FROM corpus c WHERE c.ch = f.ch) AS inc
+    FROM flag f
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(pos::INT) AS BIGINT) AS bloom_positives,
+       CAST(sum((pos AND inc)::INT) AS BIGINT) AS true_positives,
+       CAST(sum((pos AND NOT inc)::INT) AS BIGINT) AS false_positives,
+       CAST(sum((NOT pos AND inc)::INT) AS BIGINT) AS false_negatives
+FROM lab GROUP BY source ORDER BY source
+"""
+
+
+@register("bloom_corpus_membership", oracle=_bloom_oracle())
+def bloom_corpus_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-filter membership pre-screen that
+    incremental_corpus_dedup's docstring promises for 100 TB,
+    demonstrated and verified: corpus fingerprints → a k=3, m=4096
+    relational Bloom filter (operators/sketches.bloom_build), incoming
+    batch probed against it, confusion counts per source vs EXACT
+    membership. false_negatives is 0 in every row — the structural
+    no-FN guarantee that makes Bloom safe as a dedup pre-filter (a
+    positive still needs the exact check; a negative safely skips it,
+    which at scale is the point: the exact join runs only on the
+    bloom-positive sliver).
+
+    The bit list is model-sized (≤ m rows) and broadcast; build and
+    probe are each one explode(×k constant) + hash agg. Poly-hash bit
+    rows let the oracle restate the filter bit-for-bit, so the
+    confusion counts are hash-checked, not just bounded. At sf0.1 the
+    corpus (~1.5k keys) overloads m=4096 on purpose — false_positives
+    goes visibly nonzero while false_negatives stays 0."""
+    from parcel_analytics_etl_notebook_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    norm_hash = F.sha2(
+        F.substring(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 1, 40
+        ),
+        256,
+    )
+    h = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", norm_hash.alias("ch")
+    )
+    corpus = h.filter(F.col("doc_id") % 3 == 0).select("ch").distinct()
+    incoming = h.filter(F.col("doc_id") % 10 == 0)
+    bits = bloom_build(corpus, "ch", k=3, m=4096)
+    flagged = bloom_probe(incoming, bits, "ch", k=3, m=4096, out_col="pos")
+    exact = corpus.withColumn("__inc", F.lit(1))
+    lab = flagged.join(exact, "ch", "left").select(
+        "source",
+        "pos",
+        F.col("__inc").isNotNull().alias("inc"),
+    )
+    b = lambda c: c.cast("int")  # noqa: E731
+    return (
+        lab.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum(b(F.col("pos"))).cast("bigint").alias("bloom_positives"),
+            F.sum(b(F.col("pos") & F.col("inc"))).cast("bigint").alias(
+                "true_positives"
+            ),
+            F.sum(b(F.col("pos") & ~F.col("inc"))).cast("bigint").alias(
+                "false_positives"
+            ),
+            F.sum(b(~F.col("pos") & F.col("inc"))).cast("bigint").alias(
+                "false_negatives"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _hll_oracle() -> str:
+    from parcel_analytics_etl_notebook_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_SALT,
+        HLL_WBITS,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm import _SQL_POLY
+
+    poly = _SQL_POLY.format(f"'{HLL_SALT}' || CAST(user_id AS VARCHAR)")
+    rho_cases = " ".join(
+        f"WHEN w >= {2**b} THEN {HLL_WBITS - b}"
+        for b in range(HLL_WBITS - 1, -1, -1)
+    )
+    alpha = f"CAST('{HLL_ALPHA!r}' AS DOUBLE)"
+    return f"""
+WITH h0 AS (SELECT {poly} AS hv FROM events),
+h AS (SELECT (hv * hv + 12345) % 1000000007 AS gv FROM h0),
+rw AS (SELECT gv % {HLL_M} AS register, gv // {HLL_M} AS w FROM h),
+rho AS (
+    SELECT register,
+           CASE WHEN w = 0 THEN {HLL_WBITS + 1} {rho_cases} END AS rho
+    FROM rw
+),
+regs AS (SELECT register, max(rho) AS max_rho FROM rho GROUP BY register),
+est0 AS (
+    SELECT sum(power(2.0, -max_rho)) AS sum_present,
+           count(*) AS n_present
+    FROM regs
+),
+est AS (
+    SELECT CASE
+             WHEN ({alpha} * {HLL_M} * {HLL_M}
+                   / (sum_present + ({HLL_M} - n_present))) <= 2.5 * {HLL_M}
+                  AND ({HLL_M} - n_present) > 0
+             THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - n_present))
+             ELSE {alpha} * {HLL_M} * {HLL_M}
+                  / (sum_present + ({HLL_M} - n_present))
+           END AS e
+    FROM est0
+),
+exact AS (SELECT count(DISTINCT user_id) AS n FROM events)
+SELECT round(est.e, 4) AS hll_estimate,
+       CAST(exact.n AS BIGINT) AS exact_distinct,
+       round(abs(est.e - exact.n) / exact.n, 4) AS rel_err
+FROM est CROSS JOIN exact
+"""
+
+
+@register("hll_relational_distinct_users", oracle=_hll_oracle())
+def hll_relational_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate computed RELATIONALLY
+    (operators/sketches.hll_registers: 64 registers, threshold-chain
+    rho, harmonic mean + linear-counting small-range correction), next
+    to the exact count and the realized relative error — the
+    fully-verified complement to approx_distinct_users, whose built-in
+    HLL++ sketch bytes can't be restated in SQL (that one is rows-only
+    checked; THIS one's estimate is hash-checked to 4dp against DuckDB
+    computing the same sketch).
+
+    Why it scales: the register frame IS the sketch — ≤ m rows from one
+    hash agg over the raw stream, no pre-distinct (max absorbs
+    duplicates), mergeable across days/streams by max-per-register.
+    rho uses integer threshold comparisons, never float log2, so both
+    engines agree bit-for-bit at power-of-two boundaries; the harmonic
+    sum is binary fractions (exact in doubles, order-independent).
+    The weak-but-portable poly hash costs accuracy vs a 64-bit
+    avalanche hash — the realized rel_err column shows exactly how
+    much, which is the honest way to ship a portable sketch."""
+    from parcel_analytics_etl_notebook_spark.operators.sketches import (
+        hll_estimate_expr,
+        hll_registers,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    est = hll_estimate_expr(hll_registers(ev, "user_id")).withColumn(
+        "__k", F.lit(1)
+    )
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    ).withColumn("__k", F.lit(1))
+    return est.join(exact, "__k").select(
+        F.round("hll_estimate", 4).alias("hll_estimate"),
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )

@@ -1020,3 +1020,53 @@ def test_cms_grid_merges_and_dominates_truth(spark):
     }
     for w, n in truth.items():
         assert est[w] >= n
+
+
+def test_bloom_no_false_negatives_and_merges(spark):
+    """Bloom invariants: every inserted item probes positive (no false
+    negatives), and the filter of the full set equals the union of the
+    halves' filters (bit-set union mergeability)."""
+    from parcel_analytics_etl_notebook_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    rows = [(f"item{i}",) for i in range(80)]
+    df = spark.createDataFrame(rows, "w string")
+    bits = bloom_build(df, "w", k=3, m=512)
+    probed = bloom_probe(df, bits, "w", k=3, m=512)
+    assert all(r["bloom_positive"] for r in probed.collect())
+
+    h1 = bloom_build(df.limit(40), "w", k=3, m=512)
+    h2 = bloom_build(df.subtract(df.limit(40)), "w", k=3, m=512)
+    merged = h1.unionByName(h2).distinct()
+    assert sorted(r[0] for r in bits.collect()) == sorted(
+        r[0] for r in merged.collect()
+    )
+
+
+def test_hll_registers_merge_and_estimate_bounds(spark):
+    """HLL invariants: register frames merge by max-per-register
+    (full == merge of halves), and the estimate lands within 3σ of the
+    truth for a synthetic high-cardinality stream (σ ≈ 1.04/√m)."""
+    from parcel_analytics_etl_notebook_spark.operators.sketches import (
+        HLL_M,
+        hll_estimate_expr,
+        hll_registers,
+    )
+
+    n = 5000
+    df = spark.range(n).select(F.concat(F.lit("user-"), F.col("id")).alias("u"))
+    full = hll_registers(df, "u")
+    h1 = hll_registers(df.filter(F.col("u").substr(-1, 1).isin("0", "1", "2", "3", "4")), "u")
+    h2 = hll_registers(df.filter(~F.col("u").substr(-1, 1).isin("0", "1", "2", "3", "4")), "u")
+    merged = (
+        h1.unionByName(h2).groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+    est = hll_estimate_expr(full).head()[0]
+    sigma = 1.04 / (HLL_M ** 0.5)
+    assert abs(est - n) / n < 3 * sigma, f"estimate {est} vs {n}"
