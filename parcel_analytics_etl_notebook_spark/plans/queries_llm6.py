@@ -608,3 +608,134 @@ def hll_relational_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
             4,
         ).alias("rel_err"),
     )
+
+
+def _hll_weekly_oracle() -> str:
+    from parcel_analytics_etl_notebook_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_SALT,
+        HLL_WBITS,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm import _SQL_POLY
+
+    poly = _SQL_POLY.format(f"'{HLL_SALT}' || CAST(user_id AS VARCHAR)")
+    alpha = f"CAST('{HLL_ALPHA!r}' AS DOUBLE)"
+    rho_cases = " ".join(
+        f"WHEN w >= {2**b} THEN {HLL_WBITS - b}"
+        for b in range(HLL_WBITS - 1, -1, -1)
+    )
+    return f"""
+WITH h0 AS (
+    SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+           user_id, {poly} AS hv
+    FROM events
+),
+h AS (SELECT week, user_id, (hv * hv + 12345) % 1000000007 AS gv FROM h0),
+rw AS (SELECT week, gv % {HLL_M} AS register, gv // {HLL_M} AS w FROM h),
+rho AS (
+    SELECT week, register,
+           CASE WHEN w = 0 THEN {HLL_WBITS + 1} {rho_cases} END AS rho
+    FROM rw
+),
+-- daily... here weekly registers stand for the merged daily frames:
+-- max() is associative, so max over the week == max over per-day maxes
+regs AS (SELECT week, register, max(rho) AS max_rho FROM rho GROUP BY 1, 2),
+est0 AS (
+    SELECT week,
+           sum(power(2.0, -max_rho)) AS sum_present,
+           count(*) AS n_present
+    FROM regs GROUP BY week
+),
+est AS (
+    SELECT week,
+           CASE
+             WHEN ({alpha} * {HLL_M} * {HLL_M}
+                   / (sum_present + ({HLL_M} - n_present))) <= 2.5 * {HLL_M}
+                  AND ({HLL_M} - n_present) > 0
+             THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - n_present))
+             ELSE {alpha} * {HLL_M} * {HLL_M}
+                  / (sum_present + ({HLL_M} - n_present))
+           END AS e
+    FROM est0
+),
+exact AS (
+    SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+           count(DISTINCT user_id) AS n
+    FROM events GROUP BY 1
+)
+SELECT CAST(CAST(est.week AS DATE) AS VARCHAR) AS week,
+       round(est.e, 4) AS hll_estimate,
+       CAST(exact.n AS BIGINT) AS exact_distinct,
+       round(abs(est.e - exact.n) / exact.n, 4) AS rel_err
+FROM est JOIN exact ON est.week = exact.week
+ORDER BY week
+"""
+
+
+@register("hll_weekly_unique_users", oracle=_hll_weekly_oracle())
+def hll_weekly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly unique users from MERGED HLL register frames — the
+    operational reason sketches exist: the weekly number never re-reads
+    raw events, it max-merges the per-grain register frames (max is
+    associative, so per-week == merge of per-day — the same property
+    the incremental rollup runner uses for count/sum, extended to
+    COUNT DISTINCT, which no partial count can give you). Each weekly
+    sketch is ≤ m rows; a year of dailies is 365·m integers regardless
+    of user cardinality.
+
+    Exact weekly distinct + realized rel_err emitted per week and
+    hash-checked: the whole sketch pipeline is restated relationally
+    in the DuckDB oracle, so this is verified sketch MATH, not a
+    rows-only smoke."""
+    from parcel_analytics_etl_notebook_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_SALT,
+        HLL_WBITS,
+    )
+    from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
+        FP_MOD,
+        poly_hash,
+    )
+    from parcel_analytics_etl_notebook_spark.operators.sketches import hll_rho
+
+    ev = table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).alias("week")
+    h = poly_hash(F.concat(F.lit(HLL_SALT), F.col("user_id").cast("string")))
+    g = (h * h + F.lit(12345)) % F.lit(FP_MOD)
+    rw = ev.select(
+        week,
+        (g % HLL_M).alias("register"),
+        hll_rho(F.floor(g / HLL_M).cast("long")).alias("rho"),
+    )
+    regs = rw.groupBy("week", "register").agg(F.max("rho").alias("max_rho"))
+    est0 = regs.groupBy("week").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("sum_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    total = F.col("sum_present") + (F.lit(HLL_M) - F.col("n_present"))
+    raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M / total
+    empty = F.lit(HLL_M) - F.col("n_present")
+    e = F.when(
+        (raw <= 2.5 * HLL_M) & (empty > 0),
+        HLL_M * F.log(F.lit(float(HLL_M)) / empty),
+    ).otherwise(raw)
+    est = est0.select("week", e.alias("e"))
+    exact = ev.groupBy(F.date_trunc("week", F.col("ts")).alias("week")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "week")
+        .select(
+            F.to_date("week").cast("string").alias("week"),
+            F.round("e", 4).alias("hll_estimate"),
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("e") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("week")
+    )
