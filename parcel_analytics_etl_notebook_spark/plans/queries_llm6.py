@@ -339,24 +339,30 @@ def mixture_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _cms_oracle() -> str:
+    from parcel_analytics_etl_notebook_spark.operators.sketches import CMS_ROWS
     from parcel_analytics_etl_notebook_spark.plans.queries_llm import (
         _SQL_POLY,
         _SQL_TOKS,
     )
 
-    bucket = (
-        _SQL_POLY.format("CAST({0} AS VARCHAR) || ':' || {1}") + " % 256"
-    )
+    def bucket(row_expr: str, item: str) -> str:
+        h = _SQL_POLY.format(item)
+        cases = " ".join(
+            f"WHEN {row_expr} = {s} THEN (({h} * {a} + {b}) % 1000000007) % 256"
+            for s, (a, b) in enumerate(CMS_ROWS)
+        )
+        return f"(CASE {cases} END)"
+
     return f"""
 WITH toks AS (SELECT unnest({_SQL_TOKS}) AS w FROM documents),
 ex AS (SELECT w, unnest(range(0, 4)) AS row FROM toks),
 grid AS (
-    SELECT row, {bucket.format('row', 'w')} AS bucket, count(*) AS cnt
+    SELECT row, {bucket('row', 'w')} AS bucket, count(*) AS cnt
     FROM ex GROUP BY 1, 2
 ),
 exact AS (SELECT w, count(*) AS n FROM toks GROUP BY 1 ORDER BY n DESC, w LIMIT 20),
 probes AS (
-    SELECT e.w, e.n, r.row, {bucket.format('r.row', 'e.w')} AS bucket
+    SELECT e.w, e.n, r.row, {bucket('r.row', 'e.w')} AS bucket
     FROM exact e CROSS JOIN (SELECT unnest(range(0, 4)) AS row) r
 ),
 est AS (
