@@ -745,3 +745,159 @@ def hll_weekly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+def _hll_intersect_oracle() -> str:
+    from parcel_analytics_etl_notebook_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_SALT,
+        HLL_WBITS,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm import _SQL_POLY
+
+    poly = _SQL_POLY.format(f"'{HLL_SALT}' || CAST(user_id AS VARCHAR)")
+    alpha = f"CAST('{HLL_ALPHA!r}' AS DOUBLE)"
+    rho_cases = " ".join(
+        f"WHEN w >= {2**b} THEN {HLL_WBITS - b}"
+        for b in range(HLL_WBITS - 1, -1, -1)
+    )
+    est = f"""
+    SELECT side,
+           CASE
+             WHEN ({alpha} * {HLL_M} * {HLL_M}
+                   / (sum_present + ({HLL_M} - n_present))) <= 2.5 * {HLL_M}
+                  AND ({HLL_M} - n_present) > 0
+             THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - n_present))
+             ELSE {alpha} * {HLL_M} * {HLL_M}
+                  / (sum_present + ({HLL_M} - n_present))
+           END AS e
+    FROM est0
+    """
+    return f"""
+WITH h0 AS (
+    SELECT user_id, (({poly}) * ({poly}) + 12345) %% 1000000007 AS gv
+    FROM events
+),
+sides AS (
+    SELECT 'a' AS side, gv FROM h0 WHERE user_id %% 2 = 0
+    UNION ALL SELECT 'b' AS side, gv FROM h0 WHERE user_id %% 3 = 0
+    UNION ALL SELECT 'u' AS side, gv FROM h0
+              WHERE user_id %% 2 = 0 OR user_id %% 3 = 0
+),
+rho AS (
+    SELECT side, gv %% {HLL_M} AS register,
+           CASE WHEN gv // {HLL_M} = 0 THEN {HLL_WBITS + 1}
+                {rho_cases.replace('w >=', 'gv // ' + str(HLL_M) + ' >=')} END AS rho
+    FROM sides
+),
+regs AS (SELECT side, register, max(rho) AS max_rho FROM rho GROUP BY 1, 2),
+est0 AS (
+    SELECT side, sum(power(2.0, -max_rho)) AS sum_present,
+           count(*) AS n_present
+    FROM regs GROUP BY side
+),
+est AS ({est}),
+wide AS (
+    SELECT max(CASE WHEN side = 'a' THEN e END) AS ea,
+           max(CASE WHEN side = 'b' THEN e END) AS eb,
+           max(CASE WHEN side = 'u' THEN e END) AS eu
+    FROM est
+),
+exact AS (
+    SELECT count(DISTINCT CASE WHEN user_id %% 2 = 0 AND user_id %% 3 = 0
+                          THEN user_id END) AS n_inter
+    FROM events
+)
+SELECT round(wide.ea, 4) AS est_a, round(wide.eb, 4) AS est_b,
+       round(wide.eu, 4) AS est_union,
+       round(wide.ea + wide.eb - wide.eu, 4) AS est_intersection,
+       CAST(exact.n_inter AS BIGINT) AS exact_intersection,
+       round(abs(wide.ea + wide.eb - wide.eu - exact.n_inter)
+             / exact.n_inter, 4) AS rel_err
+FROM wide CROSS JOIN exact
+""".replace("%%", "%")
+
+
+@register("hll_user_segment_overlap", oracle=_hll_intersect_oracle())
+def hll_user_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: the overlap of two user segments estimated by
+    inclusion-exclusion over three register frames (A, B, and their
+    union — union sketches are exact merges, intersections are NOT
+    closed under HLL, so |A∩B| ≈ E(A)+E(B)−E(A∪B)). Segments are
+    deterministic id-slices (even ids vs ids divisible by 3, true
+    overlap = 1/6 of users) so the estimate has a real gap to close.
+    Exact intersection and realized error emitted alongside — the
+    known caveat on display: the error is relative to the UNION's
+    scale, so small true overlaps inflate rel_err (production HLLs
+    use theta/KMV sketches when intersections matter).
+
+    All three register frames come from one scan (the union side
+    reuses the same hashed stream); estimates are arithmetic over
+    ≤ 3·m rows."""
+    from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
+        FP_MOD,
+        poly_hash,
+    )
+    from parcel_analytics_etl_notebook_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_SALT,
+        hll_rho,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    h = poly_hash(F.concat(F.lit(HLL_SALT), F.col("user_id").cast("string")))
+    g = ((h * h + F.lit(12345)) % F.lit(FP_MOD)).alias("gv")
+    hashed = ev.select("user_id", g)
+    a = hashed.filter(F.col("user_id") % 2 == 0).select(F.lit("a").alias("side"), "gv")
+    b = hashed.filter(F.col("user_id") % 3 == 0).select(F.lit("b").alias("side"), "gv")
+    u = hashed.filter(
+        (F.col("user_id") % 2 == 0) | (F.col("user_id") % 3 == 0)
+    ).select(F.lit("u").alias("side"), "gv")
+    sides = a.unionByName(b).unionByName(u)
+    rho = sides.select(
+        "side",
+        (F.col("gv") % HLL_M).alias("register"),
+        hll_rho(F.floor(F.col("gv") / HLL_M).cast("long")).alias("rho"),
+    )
+    regs = rho.groupBy("side", "register").agg(F.max("rho").alias("max_rho"))
+    est0 = regs.groupBy("side").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("sum_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    total = F.col("sum_present") + (F.lit(HLL_M) - F.col("n_present"))
+    raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M / total
+    empty = F.lit(HLL_M) - F.col("n_present")
+    e = F.when(
+        (raw <= 2.5 * HLL_M) & (empty > 0),
+        HLL_M * F.log(F.lit(float(HLL_M)) / empty),
+    ).otherwise(raw)
+    wide = est0.select("side", e.alias("e")).agg(
+        F.max(F.when(F.col("side") == "a", F.col("e"))).alias("ea"),
+        F.max(F.when(F.col("side") == "b", F.col("e"))).alias("eb"),
+        F.max(F.when(F.col("side") == "u", F.col("e"))).alias("eu"),
+    ).withColumn("__k", F.lit(1))
+    exact = ev.agg(
+        F.countDistinct(
+            F.when(
+                (F.col("user_id") % 2 == 0) & (F.col("user_id") % 3 == 0),
+                F.col("user_id"),
+            )
+        )
+        .cast("bigint")
+        .alias("exact_intersection")
+    ).withColumn("__k", F.lit(1))
+    inter = F.col("ea") + F.col("eb") - F.col("eu")
+    return wide.join(exact, "__k").select(
+        F.round("ea", 4).alias("est_a"),
+        F.round("eb", 4).alias("est_b"),
+        F.round("eu", 4).alias("est_union"),
+        F.round(inter, 4).alias("est_intersection"),
+        "exact_intersection",
+        F.round(
+            F.abs(inter - F.col("exact_intersection"))
+            / F.col("exact_intersection"),
+            4,
+        ).alias("rel_err"),
+    )
