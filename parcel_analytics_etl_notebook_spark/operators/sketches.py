@@ -240,3 +240,25 @@ def hll_estimate_expr(registers: DataFrame) -> DataFrame:
         HLL_M * F.log(F.lit(float(HLL_M)) / empty),
     ).otherwise(raw)
     return agg.select(corrected.alias("hll_estimate"))
+
+
+#: KMV sketch size: k smallest distinct hash values per set. 256 gives
+#: ~1/sqrt(254) ≈ 6% distinct-count error and usable intersections.
+KMV_K = 256
+
+
+def kmv_sketch(items: DataFrame, hash_col: str, side_col: str) -> DataFrame:
+    """K-minimum-values sketch per side: the k smallest DISTINCT hash
+    values (rows (side, gv), ≤ k per side) — the theta-sketch family's
+    base form. Unlike HLL registers, the sketch IS a uniform sample of
+    the hashed universe below a per-side threshold, which is what makes
+    set INTERSECTION estimable: survivors below the common theta are a
+    uniform sample of the intersection. Merge = union + re-take k
+    smallest. One distinct + one per-side window rank."""
+    from pyspark.sql import Window
+
+    dv = items.select(side_col, hash_col).distinct()
+    rn = F.row_number().over(
+        Window.partitionBy(side_col).orderBy(hash_col)
+    )
+    return dv.withColumn("__rn", rn).filter(F.col("__rn") <= KMV_K).drop("__rn")

@@ -901,3 +901,145 @@ def hll_user_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+def _kmv_oracle() -> str:
+    from parcel_analytics_etl_notebook_spark.operators.sketches import (
+        HLL_SALT,
+        KMV_K,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm import _SQL_POLY
+
+    poly = _SQL_POLY.format(f"'{HLL_SALT}' || CAST(user_id AS VARCHAR)")
+    return f"""
+WITH h0 AS (
+    SELECT user_id, (({poly}) * ({poly}) + 12345) % 1000000007 AS gv
+    FROM events
+),
+sides AS (
+    SELECT 'a' AS side, gv FROM h0 WHERE user_id % 2 = 0
+    UNION ALL SELECT 'b' AS side, gv FROM h0 WHERE user_id % 3 = 0
+),
+dv AS (SELECT DISTINCT side, gv FROM sides),
+ranked AS (
+    SELECT side, gv,
+           row_number() OVER (PARTITION BY side ORDER BY gv) AS rn,
+           count(*) OVER (PARTITION BY side) AS nd
+    FROM dv
+),
+kmv AS (SELECT side, gv, nd FROM ranked WHERE rn <= {KMV_K}),
+theta AS (
+    SELECT side,
+           CASE WHEN max(nd) < {KMV_K} THEN 1000000007
+                ELSE max(gv) END AS th
+    FROM kmv GROUP BY side
+),
+tmin AS (SELECT min(th) AS th FROM theta),
+survivors AS (
+    SELECT count(*) AS s
+    FROM (SELECT gv FROM kmv WHERE side = 'a') a
+    JOIN (SELECT gv FROM kmv WHERE side = 'b') b USING (gv)
+    CROSS JOIN tmin
+    WHERE a.gv < tmin.th
+),
+exact AS (
+    SELECT count(DISTINCT CASE WHEN user_id % 2 = 0 AND user_id % 3 = 0
+                          THEN user_id END) AS n_inter
+    FROM events
+)
+SELECT CAST(survivors.s AS BIGINT) AS n_survivors,
+       round(survivors.s / (CAST(tmin.th AS DOUBLE) / 1000000007), 4)
+           AS est_intersection,
+       CAST(exact.n_inter AS BIGINT) AS exact_intersection,
+       round(abs(survivors.s / (CAST(tmin.th AS DOUBLE) / 1000000007)
+                 - exact.n_inter) / exact.n_inter, 4) AS rel_err
+FROM survivors CROSS JOIN tmin CROSS JOIN exact
+"""
+
+
+@register("kmv_segment_overlap", oracle=_kmv_oracle())
+def kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fix for hll_user_segment_overlap's caveat: the same two user
+    segments, intersected with a KMV/theta sketch instead of HLL
+    inclusion-exclusion. Survivors of the kmv_a ⋈ kmv_b hash join below
+    the common theta are a UNIFORM sample of the intersection, so the
+    estimate |S|/θ degrades with √|S| — not with the union's scale.
+    (Side with < k distinct values ⇒ its sketch is the full set and
+    θ = 1: the estimate goes exact, which is why sf0.01 shows
+    rel_err 0 and sf0.1 shows the genuine sketch path.)
+
+    Scale: one distinct + per-side top-k rank (WindowGroupLimit prunes
+    map-side), sketches are ≤ k rows each — the join is model-sized.
+    Same deterministic hashed stream as the HLL twin, so the two
+    queries are directly comparable in BENCH_DETAIL."""
+    from pyspark.sql import Window
+
+    from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
+        FP_MOD,
+        poly_hash,
+    )
+    from parcel_analytics_etl_notebook_spark.operators.sketches import (
+        HLL_SALT,
+        KMV_K,
+        kmv_sketch,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    h = poly_hash(F.concat(F.lit(HLL_SALT), F.col("user_id").cast("string")))
+    g = ((h * h + F.lit(12345)) % F.lit(FP_MOD)).alias("gv")
+    hashed = ev.select("user_id", g)
+    a = hashed.filter(F.col("user_id") % 2 == 0).select(
+        F.lit("a").alias("side"), "gv"
+    )
+    b = hashed.filter(F.col("user_id") % 3 == 0).select(
+        F.lit("b").alias("side"), "gv"
+    )
+    dv = a.unionByName(b).distinct()
+    nd = F.count(F.lit(1)).over(Window.partitionBy("side"))
+    rn = F.row_number().over(Window.partitionBy("side").orderBy("gv"))
+    kmv = (
+        dv.withColumn("nd", nd)
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= KMV_K)
+    )
+    theta = kmv.groupBy("side").agg(
+        F.when(F.max("nd") < KMV_K, F.lit(FP_MOD))
+        .otherwise(F.max("gv"))
+        .alias("th")
+    )
+    tmin = theta.agg(F.min("th").alias("th")).withColumn("__k", F.lit(1))
+    ka = kmv.filter(F.col("side") == "a").select("gv")
+    kb = kmv.filter(F.col("side") == "b").select("gv")
+    survivors = (
+        ka.join(kb, "gv")
+        .withColumn("__k", F.lit(1))
+        .join(tmin, "__k")
+        .filter(F.col("gv") < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("s"))
+        .withColumn("__k", F.lit(1))
+    )
+    exact = ev.agg(
+        F.countDistinct(
+            F.when(
+                (F.col("user_id") % 2 == 0) & (F.col("user_id") % 3 == 0),
+                F.col("user_id"),
+            )
+        )
+        .cast("bigint")
+        .alias("exact_intersection")
+    ).withColumn("__k", F.lit(1))
+    est = F.col("s") / (F.col("th").cast("double") / F.lit(FP_MOD))
+    return (
+        survivors.join(tmin, "__k")
+        .join(exact, "__k")
+        .select(
+            F.col("s").cast("bigint").alias("n_survivors"),
+            F.round(est, 4).alias("est_intersection"),
+            "exact_intersection",
+            F.round(
+                F.abs(est - F.col("exact_intersection"))
+                / F.col("exact_intersection"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
