@@ -1001,6 +1001,8 @@ def kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         dv.withColumn("nd", nd)
         .withColumn("rn", rn)
         .filter(F.col("rn") <= KMV_K)
+        .persist()  # <= 2k rows; referenced by theta AND both join
+        # sides — without it the distinct+rank pipeline runs 4 times
     )
     theta = kmv.groupBy("side").agg(
         F.when(F.max("nd") < KMV_K, F.lit(FP_MOD))
