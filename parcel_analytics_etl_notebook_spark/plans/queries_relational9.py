@@ -522,12 +522,19 @@ def daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: base poly hash of the id alone — computed once per row; the per-k
+#: label derives from a cheap quadratic mix of (base + k·C), NOT a
+#: per-(row,k) re-hash of the concatenated string (that ran the
+#: char-level rolling hash N·K times — the mix is N hashes + N·K
+#: integer ops). Quadratic, not affine: (a·h+b) mod p keeps too much
+#: of h's parity structure for a parity-based label.
 _RTEST_POLY = (
     "CAST(list_reduce(list_prepend('0', string_split("
-    "CAST(id AS VARCHAR) || ':' || CAST(k AS VARCHAR), '')), "
+    "CAST(id AS VARCHAR), '')), "
     "(acc, ch) -> CAST((CAST(acc AS BIGINT)*31 + unicode(ch)) % 1000000007 "
     "AS VARCHAR)) AS BIGINT)"
 )
+_RTEST_MIX = "((({h} + k * 12345) * (({h} + k * 12345) % 1000003)) % 1000000007)"
 
 
 @register(
@@ -539,11 +546,12 @@ WITH base AS (
     FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
 ),
 ks AS (SELECT unnest(range(0, 201)) AS k),
+h AS (SELECT v, is_real, {_RTEST_POLY} AS hv FROM base),
 ex AS (
     SELECT v, k,
            CASE WHEN k = 0 THEN is_real
-                ELSE ({_RTEST_POLY} % 2 = 0) END AS lab
-    FROM base CROSS JOIN ks
+                ELSE ({_RTEST_MIX.format(h='hv')} % 2 = 0) END AS lab
+    FROM h CROSS JOIN ks
 ),
 g AS (
     SELECT k,
@@ -562,9 +570,10 @@ GROUP BY obs
 def randomization_test_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Randomization (approximate permutation) test for the mean
     account-balance difference between two market segments: 200
-    deterministic label reassignments (Bernoulli-½ via the cross-engine
-    polynomial hash of id:k — xxhash64/murmur differ between engines)
-    build the null distribution of the mean difference; the p-value is
+    deterministic label reassignments (Bernoulli-½ via a quadratic mix
+    of the cross-engine poly base hash with k — one char-level hash per
+    ROW, K cheap integer mixes, instead of N·K re-hashes) build the
+    null distribution of the mean difference; the p-value is
     the add-one-smoothed fraction of reassignments at least as extreme
     as the observed difference (k = 0 carries the REAL labels through
     the identical code path, so "observed" and "null" are computed by
@@ -593,21 +602,23 @@ def randomization_test_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_mktsegment") == "BUILDING").alias("is_real"),
         )
     )
-    ex = base.select(
+    h = base.select(
+        "v", "is_real", poly_hash(F.col("id").cast("string")).alias("hv")
+    )
+    mixed = (F.col("hv") + F.col("k") * 12345) * (
+        (F.col("hv") + F.col("k") * 12345) % 1000003
+    ) % F.lit(1000000007)
+    ex = h.select(
         "v",
         F.explode(F.sequence(F.lit(0), F.lit(K))).alias("k"),
-        "id",
         "is_real",
+        "hv",
     ).select(
         "v",
         "k",
-        F.when(F.col("k") == 0, F.col("is_real")).otherwise(
-            poly_hash(
-                F.concat_ws(":", F.col("id").cast("string"), F.col("k").cast("string"))
-            )
-            % 2
-            == 0
-        ).alias("lab"),
+        F.when(F.col("k") == 0, F.col("is_real"))
+        .otherwise(mixed % 2 == 0)
+        .alias("lab"),
     )
     g = ex.groupBy("k").agg(
         F.round(

@@ -355,6 +355,12 @@ NESTED_LOOP_ALLOWED = {
     "important_part_value": "1-row global avg threshold (Q11/Q17 shape)",
     "market_basket_lift": "1-row total-orders scalar for lift denominator",
     "heavy_hitter_words": "1-row token total for the exact threshold",
+    "hll_relational_distinct_users": "1-row sketch estimate x 1-row "
+    "exact count combine",
+    "hll_user_segment_overlap": "1-row estimate triple x 1-row exact "
+    "overlap combine",
+    "kmv_segment_overlap": "1-row survivor count x 1-row theta x 1-row "
+    "exact combine",
     # broadcast query-vector / centroid-literal probes (model-sized)
     "ann_cosine_topk": "single broadcast query vector",
     "ann_multi_query_topk": "handful of broadcast query vectors",
