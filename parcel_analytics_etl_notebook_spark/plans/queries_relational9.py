@@ -644,3 +644,190 @@ def randomization_test_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_value",
         )
     )
+
+
+def _pagerank_oracle() -> str:
+    d = 0.85
+    iters = 10
+    ctes = []
+    for i in range(1, iters + 1):
+        prev = f"it{i - 1}"
+        ctes.append(f"""
+it{i} AS (
+    SELECT e.dst AS node,
+           (1 - {d}) / nn.n + {d} * sum({prev}.rank * e.p) AS rank
+    FROM {prev} JOIN edges e ON {prev}.node = e.src
+    CROSS JOIN nn
+    GROUP BY e.dst, nn.n
+)""")
+    return f"""
+WITH seq AS (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+    FROM events
+),
+cnt AS (
+    SELECT src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL
+    GROUP BY src, dst
+),
+edges AS (
+    SELECT src, dst,
+           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src) AS p
+    FROM cnt
+),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+nn AS (SELECT count(*) AS n FROM nodes),
+it0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+{",".join(ctes)}
+SELECT node AS event_type, round(rank, 6) AS pagerank
+FROM it{iters} ORDER BY pagerank DESC, event_type
+"""
+
+
+@register("event_type_pagerank", oracle=_pagerank_oracle())
+def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (damping 0.85, 10
+    fixed power iterations): which states of the behavioral Markov
+    chain accumulate long-run importance — the graph-centrality member
+    of the analytics family, next to the one-step
+    event_transition_matrix view. The oracle unrolls all ten
+    iterations as chained CTEs (the same hash-verified-iterative
+    discipline as kmeans_centroids), so the fixpoint arithmetic is
+    checked end-to-end, not just the final ordering.
+
+    Scale shape: the EDGE build is the only data-scale work (one
+    user_id window + one |types|²-row aggregate); the iteration runs
+    entirely on model-sized frames (|nodes| rows), each step one
+    hash-join + re-agg — on a billion-edge graph the same loop
+    shuffles on dst per iteration, which is exactly distributed
+    PageRank (Pregel's shape) expressed relationally. Node count
+    enters as a driver scalar (model-sized collect rule)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cnt = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    share = Window.partitionBy("src")
+    edges = cnt.select(
+        "src",
+        "dst",
+        (F.col("n").cast("double") / F.sum("n").over(share)).alias("p"),
+    ).persist()
+    nodes = ev.select(F.col("event_type").alias("node")).distinct().persist()
+    n_nodes = nodes.count()
+    d = 0.85
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(10):
+        ranks = (
+            ranks.join(edges, ranks.node == edges.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit((1 - d) / n_nodes)
+                    + F.lit(d) * F.sum(F.col("rank") * F.col("p"))
+                ).alias("rank")
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("event_type"),
+        F.round("rank", 6).alias("pagerank"),
+    ).orderBy(F.col("pagerank").desc(), "event_type")
+
+
+@register(
+    "nearby_customer_pairs",
+    oracle="""
+WITH pts AS (
+    SELECT c_custkey AS id,
+           ((c_custkey * 9973) % 18000) / 100.0 - 90.0 AS lat,
+           (((c_custkey * c_custkey) % 1000003) % 36000) / 100.0 - 180.0 AS lon
+    FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(sqrt((a.lat - b.lat) * (a.lat - b.lat)
+                  + (a.lon - b.lon) * (a.lon - b.lon)), 4) AS dist
+FROM pts a JOIN pts b
+  ON a.id < b.id
+WHERE (a.lat - b.lat) * (a.lat - b.lat)
+      + (a.lon - b.lon) * (a.lon - b.lon) <= 1.0
+ORDER BY id_a, id_b
+""",
+)
+def nearby_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial self-join: all point pairs within distance 1.0 — the
+    grid-bucketing rewrite of a quadratic distance join. Coordinates
+    are synthetic (derived deterministically from the key, with the
+    longitude squared-mixed so the two axes decorrelate — two LINEAR
+    congruential coordinates put every point on a sparse lattice line
+    and the join matched nothing; the driver tables carry no geo
+    columns, the JOIN PATTERN is what this query encodes), planar
+    Euclidean; the haversine swap changes only the
+    residual predicate.
+
+    The oracle keeps the quadratic definition; this side buckets the
+    plane into r-sized grid cells, explodes ONE side to its 3×3 cell
+    neighborhood (bounded ×9), equi-joins on the cell id against the
+    other side's home cell, and re-applies the exact distance as a
+    residual filter — each qualifying pair meets exactly once because
+    the home cell is unique, so no post-dedup. Cost: 9·N join rows on
+    a uniform integer key vs N²/2 comparisons; the same rewrite as
+    operators/rangejoin (1-D) lifted to 2-D, and the standard shape
+    for geo joins at 100 TB (geohash/S2/H3 cells are this with a
+    sphere-aware cell function)."""
+    r = 1.0
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (((F.col("c_custkey") * 9973) % 18000) / 100.0 - 90.0).alias("lat"),
+        ((((F.col("c_custkey") * F.col("c_custkey")) % 1000003) % 36000)
+         / 100.0 - 180.0).alias("lon"),
+    )
+    cx = F.floor(F.col("lon") / r)
+    cy = F.floor(F.col("lat") / r)
+    home = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.concat_ws(":", cx, cy).alias("cell"),
+    )
+    neigh = (
+        pts.select(
+            F.col("id").alias("id_a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+            cx.alias("cx"),
+            cy.alias("cy"),
+        )
+        .select(
+            "id_a",
+            "lat_a",
+            "lon_a",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ":", F.col("cx") + dx, F.col("cy") + dy
+                        )
+                        for dx in (-1, 0, 1)
+                        for dy in (-1, 0, 1)
+                    ]
+                )
+            ).alias("cell"),
+        )
+    )
+    d2 = (F.col("lat_a") - F.col("lat_b")) * (
+        F.col("lat_a") - F.col("lat_b")
+    ) + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+    return (
+        neigh.join(home, "cell")
+        .filter((F.col("id_a") < F.col("id_b")) & (d2 <= F.lit(r * r)))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.sqrt(d2), 4).alias("dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )
