@@ -293,3 +293,44 @@ def test_curation_funnel_150k_docs(spark, tmp_path):
     published = spark.read.parquet(os.path.join(out, "curated")).count()
     assert published == funnel["budgeted"]
     assert time.perf_counter() - t0 < 300
+
+
+def test_sketches_10m(spark, big_events):
+    """All four relational sketches over the 10M-row stream: each
+    collapses to a model-sized frame (d·W grid / ≤m bits / ≤m registers
+    / ≤k values) with estimates in the right neighborhood — the shapes
+    hold past the 60k-row fixtures."""
+    from parcel_analytics_etl_notebook_spark.operators.sketches import (
+        HLL_M,
+        KMV_K,
+        bloom_build,
+        cms_build,
+        hll_estimate_expr,
+        hll_registers,
+        kmv_sketch,
+    )
+
+    items = big_events.select(F.col("event_type").alias("w"))
+    t0 = time.perf_counter()
+    grid = cms_build(items, "w", depth=4, width=256).collect()
+    assert len(grid) <= 4 * 256
+    assert sum(r["cnt"] for r in grid) == 4 * N
+
+    users = big_events.select(F.col("user_id").cast("string").alias("u"))
+    regs = hll_registers(users, "u")
+    assert regs.count() <= HLL_M
+    est = hll_estimate_expr(regs).head()[0]
+    assert abs(est - 100_000) / 100_000 < 0.5, est  # 64 registers ≈ 13% σ
+
+    sample_users = users.distinct().limit(1000)
+    bits = bloom_build(sample_users, "u", k=3, m=65536)
+    assert bits.count() <= 65536
+
+    kmv = kmv_sketch(
+        users.select(F.lit("a").alias("side"), F.col("u").alias("gv")),
+        "gv",
+        "side",
+    )
+    assert kmv.count() <= KMV_K
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 240, f"sketch smoke too slow: {elapsed:.0f}s"
