@@ -133,6 +133,7 @@ def _ensure_loaded() -> None:
         queries_relational7,
         queries_relational8,
         queries_relational9,
+        queries_relational10,
     )
 
     try:
@@ -143,6 +144,7 @@ def _ensure_loaded() -> None:
             queries_llm4,
             queries_llm5,
             queries_llm6,
+            queries_llm7,
         )
     except ImportError:
         pass

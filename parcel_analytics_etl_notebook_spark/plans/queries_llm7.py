@@ -1,0 +1,415 @@
+"""LLM-pipeline batch 7: AllPairs/PPJoin-style prefix-filtered EXACT
+set-similarity join, item-item collaborative filtering, and triangle
+census of the co-purchase graph.
+
+The prefix-filter join completes the dedup family's algorithm
+spectrum: LSH (approximate, probabilistic recall), capped inverted
+index (exact over the capped sets), and now the classic AllPairs
+prefix filter (Chaudhuri/Ganti/Kaushik 2006, Bayardo 2007) — EXACT
+Jaccard pairs with a candidate set that is provably sufficient yet
+touches only each document's rarest shingles. The oracle states the
+naive inverted-index definition; the Spark side carries the pruned
+rewrite — the point, as with the skyline, is proving the scalable
+rewrite equivalent.
+
+Oracle-parity conventions as in plans/catalog.py. All rank/top-k
+cutoffs are computed on ROUNDED scores with id tiebreaks; all size
+ratios use exact integer arithmetic (5·n_small ≥ 3·n_large, never
+0.6·n in floating point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
+    poly_hash,
+    shingle_hashes_from_tokens,
+)
+from parcel_analytics_etl_notebook_spark.functions.textfns import tokens
+from parcel_analytics_etl_notebook_spark.plans.catalog import register, table
+from parcel_analytics_etl_notebook_spark.plans.queries_llm import (
+    _SQL_POLY,
+    _SQL_TOKS,
+)
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard set-similarity join (AllPairs/PPJoin)
+# --------------------------------------------------------------------------
+@register(
+    "prefix_filter_jaccard_pairs",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+hh AS (SELECT doc_id, list_transform(l, tok -> {_SQL_POLY.format('tok')}) AS th FROM t),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(th)-1),
+               i -> ((th[i]*1000003 + th[i+1]) % 1000000007 * 1000003 + th[i+2]) % 1000000007))) AS shingle
+    FROM hh
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+       round(shared / (sa.n + sb.n - shared), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE shared / (sa.n + sb.n - shared) >= 0.6
+ORDER BY id_a, id_b
+""",
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram-shingle Jaccard ≥ 0.6 pairs via the AllPairs prefix
+    filter. The oracle is the naive inverted-index join (every shared
+    shingle generates a candidate); the Spark plan only joins each
+    document's PREFIX — its p = n − ⌈0.6·n⌉ + 1 globally-rarest
+    shingles under the corpus-wide (df, shingle) total order. Theorem
+    (Chaudhuri et al. 2006): J(A,B) ≥ t ⇒ the t-prefixes of A and B
+    under any common total order intersect, so no qualifying pair is
+    missed; every surviving candidate is then verified with its exact
+    intersection count. A 5·n_small ≥ 3·n_large integer size filter
+    (t = 3/5, no float t·n anywhere) prunes impossible pairs early.
+
+    Scale shape (the reason this operator exists): the naive join's
+    candidate volume is Σ_s df(s)² over ALL shingles — boilerplate
+    shingles make it quadratic (the df-cap of ngram_jaccard_pairs
+    truncates semantics to control this). The prefix join's volume is
+    Σ_s df_prefix(s)² where hot shingles (high df) sort LAST and so
+    almost never enter a prefix: exactness without the cap, candidate
+    count ∝ near-dup density, not corpus size. Per-doc ranking is a
+    partitionBy(doc_id) window (no global sort); the df frame joins on
+    the uniformly-hashed shingle key; the verify join fans candidates
+    by one doc-set size (model-bounded per pair). All joins are on
+    shingle hashes or doc ids — uniform int64 keys, no skew."""
+    docs = table(spark, sf_dir, "documents")
+    tok_hashes = F.transform(tokens("text"), lambda t: poly_hash(t))
+    th = docs.select("doc_id", tok_hashes.alias("__th")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = th.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingle_hashes_from_tokens(F.col("__th"), 3))
+        ).alias("shingle"),
+    ).persist()  # inverted index: referenced by df, prefix, and verify
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number()
+            .over(wdoc.orderBy("df", "shingle"))
+            .alias("r"),
+            F.count(F.lit(1)).over(wdoc).alias("n"),
+        )
+    )
+    # prefix length p = n - ceil(3n/5) + 1, all-integer
+    prefix = ranked.filter(
+        F.col("r")
+        <= F.col("n") - F.floor((3 * F.col("n") + 4) / 5) + 1
+    ).select("doc_id", "shingle", "n")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size-compat: J>=3/5 forces 5*min(n) >= 3*max(n), exactly
+            & (5 * F.least("a.n", "b.n") >= 3 * F.greatest("a.n", "b.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .distinct()
+    )
+    shared = (
+        cands.join(sh.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("id_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.filter(jac >= 0.6)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative filtering (co-occurrence cosine, seed top-k)
+# --------------------------------------------------------------------------
+@register(
+    "item_item_cf_topk",
+    oracle="""
+WITH basket AS (
+    SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+freq AS (SELECT part, count(*) AS n FROM basket GROUP BY 1),
+seeds AS (
+    SELECT part, n,
+           row_number() OVER (ORDER BY n DESC, part) AS sr
+    FROM freq QUALIFY sr <= 10
+),
+cooc AS (
+    SELECT s.part AS seed_part, s.n AS n_seed, b2.part AS neighbor_part,
+           count(*) AS cooc
+    FROM seeds s
+    JOIN basket b1 ON b1.part = s.part
+    JOIN basket b2 ON b2.cust = b1.cust AND b2.part <> s.part
+    GROUP BY 1, 2, 3
+),
+scored AS (
+    SELECT seed_part, n_seed, neighbor_part, cooc,
+           round(cooc / sqrt(CAST(n_seed AS DOUBLE) * f.n), 6) AS sim
+    FROM cooc JOIN freq f ON f.part = neighbor_part
+)
+SELECT seed_part, CAST(n_seed AS BIGINT) AS n_seed, neighbor_part,
+       CAST(cooc AS BIGINT) AS cooc, sim,
+       CAST(row_number() OVER (PARTITION BY seed_part
+                               ORDER BY sim DESC, neighbor_part) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 3
+ORDER BY seed_part, rank
+""",
+)
+def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for the 10 most-bought parts,
+    the 3 most similar parts by co-occurrence cosine over customer
+    baskets — sim(p,q) = |cust(p) ∩ cust(q)| / √(n_p·n_q), the
+    classic Amazon-style "customers who bought this also bought"
+    scorer. Rank on the ROUNDED similarity with partkey tiebreak.
+
+    Scale shape: the quadratic danger in item-item CF is the per-
+    customer basket self-join (Σ basket², unbounded for hot
+    customers). Restricting one side to the 10 SEED parts bounds the
+    join fan-out at 10 rows per customer before it happens — seeds are
+    a broadcast-sized frame, so the plan is basket ⋈ broadcast(seeds)
+    then one shuffle on cust, one groupBy((seed, neighbor)). The
+    full-matrix variant at 100 TB adds the standard hot-customer cap
+    (drop customers with > C items — they carry no signal) exactly as
+    drop_hot_shingles does for shingles."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    basket = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+        .persist()  # referenced by freq and both join sides
+    )
+    freq = basket.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
+    seeds = (
+        freq.select(
+            "part",
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "part"))
+            .alias("sr"),
+        )
+        .filter(F.col("sr") <= 10)
+        .select(F.col("part").alias("seed_part"), F.col("n").alias("n_seed"))
+    )
+    cooc = (
+        basket.alias("b1")
+        .join(
+            F.broadcast(seeds), F.col("b1.part") == F.col("seed_part")
+        )
+        .join(
+            basket.alias("b2"),
+            (F.col("b2.cust") == F.col("b1.cust"))
+            & (F.col("b2.part") != F.col("seed_part")),
+        )
+        .groupBy("seed_part", "n_seed", F.col("b2.part").alias("neighbor_part"))
+        .agg(F.count(F.lit(1)).alias("cooc"))
+    )
+    scored = cooc.join(
+        freq.withColumnRenamed("part", "neighbor_part").withColumnRenamed(
+            "n", "n_nb"
+        ),
+        "neighbor_part",
+    ).select(
+        "seed_part",
+        "n_seed",
+        "neighbor_part",
+        "cooc",
+        F.round(
+            F.col("cooc")
+            / F.sqrt(F.col("n_seed").cast("double") * F.col("n_nb")),
+            6,
+        ).alias("sim"),
+    )
+    ranked = scored.select(
+        "seed_part",
+        F.col("n_seed").cast("bigint").alias("n_seed"),
+        "neighbor_part",
+        F.col("cooc").cast("bigint").alias("cooc"),
+        "sim",
+        F.row_number()
+        .over(
+            Window.partitionBy("seed_part").orderBy(
+                F.col("sim").desc(), "neighbor_part"
+            )
+        )
+        .cast("bigint")
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= 3).orderBy("seed_part", "rank")
+
+
+# --------------------------------------------------------------------------
+# Triangle census of the co-purchase graph (dense-core subgraph)
+# --------------------------------------------------------------------------
+@register(
+    "copurchase_triangle_census",
+    oracle="""
+WITH bo AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+freq AS (SELECT pk, count(*) AS n FROM bo GROUP BY 1),
+core AS (
+    SELECT pk FROM freq
+    QUALIFY row_number() OVER (ORDER BY n DESC, pk) <= 200
+),
+edges AS (
+    SELECT DISTINCT a.pk AS pa, b.pk AS pb
+    FROM bo a JOIN bo b ON a.ok = b.ok AND a.pk < b.pk
+    WHERE a.pk IN (SELECT pk FROM core) AND b.pk IN (SELECT pk FROM core)
+),
+tri AS (
+    SELECT count(*) AS n_tri
+    FROM edges e1
+    JOIN edges e2 ON e2.pa = e1.pb
+    JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+deg AS (
+    SELECT node, count(*) AS d FROM (
+        SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges
+    ) GROUP BY 1
+),
+w AS (SELECT sum(d * (d - 1) / 2) AS wedges, count(*) AS n_nodes,
+             sum(d) / 2 AS n_edges FROM deg)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_tri AS BIGINT) AS n_triangles,
+       CAST(wedges AS BIGINT) AS n_wedges,
+       round(3.0 * n_tri / wedges, 6) AS global_clustering
+FROM w CROSS JOIN tri
+""",
+)
+def copurchase_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph restricted to its
+    dense core (the 200 most-ordered parts; deterministic (count,
+    partkey) cutoff): triangle count via the ordered three-way edge
+    join (a<b<c — each triangle counted exactly once), wedge count
+    Σ d(d−1)/2 from degrees, and the global clustering coefficient
+    3·triangles/wedges — the standard graph-health number for
+    co-occurrence graphs (recommender folks watch it to detect
+    degenerate "everything co-occurs" cores).
+
+    Scale shape: full-graph triangle joins blow up on hub nodes
+    (wedges grow as Σ d²), so production triangle counts are always
+    run on a degree-capped or sampled subgraph; the top-k core makes
+    that cap explicit and deterministic. Within the core the edge
+    list is broadcast-sized BY CONSTRUCTION (≤ k²/2 rows), so both
+    triangle joins broadcast — no shuffle at any size; the only big-
+    data stages are the distinct (orderkey, partkey) projection and
+    one groupBy(partkey). The 1-row wedge and triangle frames join
+    with an unbounded-window fold rather than a row-level crossJoin
+    (the catalog plan fence forbids BroadcastNestedLoopJoin)."""
+    li = table(spark, sf_dir, "lineitem")
+    bo = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+        .persist()  # pair join both sides + frequency scan
+    )
+    freq = bo.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    core = (
+        freq.select(
+            "pk",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "pk"))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= 200)
+        .select("pk")
+    )
+    bo_core = bo.join(F.broadcast(core), "pk").select("ok", "pk")
+    edges = (
+        bo_core.alias("a")
+        .join(
+            bo_core.alias("b"),
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .distinct()
+        .persist()  # three triangle-join references + degree scan
+    )
+    tri = (
+        edges.alias("e1")
+        .join(
+            F.broadcast(edges.alias("e2")),
+            F.col("e2.pa") == F.col("e1.pb"),
+        )
+        .join(
+            F.broadcast(edges.alias("e3")),
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    w = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("wedges"),
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("d") / 2).alias("n_edges"),
+    )
+    # combine two 1-row frames without a BNLJ: union into one frame and
+    # fold with max (each column is present in exactly one branch)
+    combined = w.select(
+        "n_nodes", "n_edges", "wedges", F.lit(None).cast("bigint").alias("n_tri")
+    ).unionByName(
+        tri.select(
+            F.lit(None).cast("bigint").alias("n_nodes"),
+            F.lit(None).cast("double").alias("n_edges"),
+            F.lit(None).cast("double").alias("wedges"),
+            "n_tri",
+        )
+    )
+    return combined.agg(
+        F.max("n_nodes").cast("bigint").alias("n_nodes"),
+        F.max("n_edges").cast("bigint").alias("n_edges"),
+        F.max("n_tri").cast("bigint").alias("n_triangles"),
+        F.max("wedges").cast("bigint").alias("n_wedges"),
+        F.round(3.0 * F.max("n_tri") / F.max("wedges"), 6).alias(
+            "global_clustering"
+        ),
+    )
