@@ -134,6 +134,7 @@ def _ensure_loaded() -> None:
         queries_relational8,
         queries_relational9,
         queries_relational10,
+        queries_relational11,
     )
 
     try:
