@@ -135,6 +135,8 @@ def _ensure_loaded() -> None:
         queries_relational9,
         queries_relational10,
         queries_relational11,
+        queries_relational12,
+        queries_relational13,
     )
 
     try:

@@ -30,6 +30,7 @@ from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
 from parcel_analytics_etl_notebook_spark.functions.textfns import tokens
 from parcel_analytics_etl_notebook_spark.plans.catalog import register, table
 from parcel_analytics_etl_notebook_spark.plans.queries_llm import (
+    _SQL_COS,
     _SQL_POLY,
     _SQL_TOKS,
 )
@@ -412,4 +413,121 @@ def copurchase_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(3.0 * F.max("n_tri") / F.max("wedges"), 6).alias(
             "global_clustering"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# kNN label consistency (embedding-space health via leave-one-out kNN)
+# --------------------------------------------------------------------------
+@register(
+    "knn_label_consistency",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qvec
+           FROM embeddings WHERE vec_id % 10 = 0),
+sims AS (
+    SELECT q.qid, q.qlabel, e.vec_id, e.label,
+           round({_SQL_COS.format('e.embedding', 'q.qvec')}, 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.qid
+),
+top3 AS (
+    SELECT qid, qlabel, label
+    FROM (SELECT qid, qlabel, label,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM sims)
+    WHERE rank <= 3
+),
+votes AS (
+    SELECT qid, qlabel, label, count(*) AS c
+    FROM top3 GROUP BY 1, 2, 3
+),
+pred AS (
+    SELECT qid, qlabel, label AS pred_label
+    FROM (SELECT qid, qlabel, label,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY c DESC, label) AS vr
+          FROM votes)
+    WHERE vr = 1
+)
+SELECT CAST(qlabel AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN pred_label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+       round(avg(CASE WHEN pred_label = qlabel THEN 1.0 ELSE 0.0 END), 6)
+           AS accuracy
+FROM pred
+GROUP BY qlabel
+ORDER BY label
+""",
+)
+def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 3-NN label consistency per class: for every 10th
+    vector, predict its label by majority vote of its 3 nearest
+    neighbors (cosine; vote ties break to the smallest label) and
+    report per-class accuracy — the standard embedding-space health
+    check (low consistency for a class = its cluster is smeared into
+    others; complements ivf_recall_at_5, which evaluates the INDEX,
+    not the space).
+
+    Scale shape: the query sample broadcasts against one corpus scan
+    (the ann_multi_query_topk shape); the per-query top-3 prunes
+    map-side via WindowGroupLimit so the rank shuffle carries
+    O(queries·k). Voting and scoring run on the (queries×3)-row frame.
+    At full-corpus evaluation scale, swap the brute-force scorer for
+    the IVF/LSH-blocked candidate generators already in
+    operators/similarity.py — the vote/score stages are unchanged."""
+    from parcel_analytics_etl_notebook_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("__qvec"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("__qvec")), 6
+            ).alias("cosine"),
+        )
+    )
+    wtop = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    top3 = (
+        scored.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "qlabel", "label")
+    )
+    votes = top3.groupBy("qid", "qlabel", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wvote = Window.partitionBy("qid").orderBy(F.col("c").desc(), "label")
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wvote))
+        .filter(F.col("vr") == 1)
+        .select("qid", "qlabel", F.col("label").alias("pred_label"))
+    )
+    hit = F.when(F.col("pred_label") == F.col("qlabel"), 1).otherwise(0)
+    return (
+        pred.groupBy("qlabel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            F.round(F.avg(hit.cast("double")), 6).alias("accuracy"),
+        )
+        .select(
+            F.col("qlabel").cast("bigint").alias("label"),
+            "n_queries",
+            "n_correct",
+            "accuracy",
+        )
+        .orderBy("label")
     )

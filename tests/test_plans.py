@@ -378,6 +378,9 @@ NESTED_LOOP_ALLOWED = {
     "diversity)",
     "retrieval_rank_agreement": "composes bm25_topk + ann_cosine_topk "
     "(their bounded broadcast shapes)",
+    "knn_label_consistency": "broadcast leave-one-out query sample "
+    "(eval-sized; docstring names the IVF/LSH candidate-generator "
+    "swap at corpus scale)",
     # deliberate small cross products / non-equi baselines
     "region_status_matrix": "5 regions x 3 statuses scaffold cross join",
     "value_band_stats": "non-equi band join baseline; bucketized twin "
