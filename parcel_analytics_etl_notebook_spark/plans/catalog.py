@@ -137,6 +137,7 @@ def _ensure_loaded() -> None:
         queries_relational11,
         queries_relational12,
         queries_relational13,
+        queries_relational14,
     )
 
     try:

@@ -531,3 +531,122 @@ def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Centroid silhouette: cluster-quality score for the embedding space
+# --------------------------------------------------------------------------
+@register(
+    "centroid_silhouette",
+    oracle=f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+scored AS (
+    SELECT e.vec_id, c.cid,
+           round({_SQL_COS.format('e.embedding', 'c.cvec')}, 9) AS cos
+    FROM embeddings e CROSS JOIN c
+),
+ranked AS (
+    SELECT vec_id, cid, cos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cid) AS rn
+    FROM scored
+),
+piv AS (
+    SELECT vec_id,
+           max(CASE WHEN rn = 1 THEN cid END) AS own,
+           max(CASE WHEN rn = 1 THEN 1.0 - cos END) AS a,
+           max(CASE WHEN rn = 2 THEN 1.0 - cos END) AS b
+    FROM ranked WHERE rn <= 2 GROUP BY vec_id
+),
+sil AS (
+    SELECT own,
+           CAST(round(CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+                           ELSE (b - a) / greatest(a, b) END * 1000000.0,
+                      0) AS BIGINT) AS s_micro
+    FROM piv
+)
+SELECT CAST(own AS BIGINT) AS centroid_id,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(sum(s_micro) AS DOUBLE) / (1000000.0 * count(*)), 6)
+           AS mean_silhouette,
+       round(min(s_micro) / 1000000.0, 6) AS min_silhouette,
+       round(max(s_micro) / 1000000.0, 6) AS max_silhouette
+FROM sil
+GROUP BY own
+ORDER BY centroid_id
+""",
+)
+def centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster silhouette score against the 8 fixed coarse
+    centroids (the ivf_ann_topk quantizer): for each vector, a =
+    cosine distance to its own (nearest) centroid, b = distance to the
+    nearest OTHER centroid, s = (b−a)/max(a,b) — the standard cluster-
+    quality diagnostic (s→1: tight, well-separated cluster; s→0: the
+    vector sits on a boundary and the quantizer's partition pruning
+    loses recall there). Complements ivf_recall_at_5 (index quality)
+    and knn_label_consistency (label quality) with PARTITION quality.
+
+    Float parity: per-vector silhouettes collapse to integer
+    MICRO-units before the per-cluster mean, so the only float
+    aggregation is an exact integer sum; min/max are order-free.
+
+    Scale shape: one broadcast of the 8-centroid frame against a
+    single corpus scan (the assign_centroids shape — codegen'd dot
+    products, no shuffle), a per-vector top-2 that prunes map-side via
+    WindowGroupLimit, then one groupBy over the 8-cluster frame. Cost
+    is |corpus|·k dot products — the same as assignment itself."""
+    from parcel_analytics_etl_notebook_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    c = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 8)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "cid",
+        F.round(
+            cosine_similarity(F.col("embedding"), F.col("cvec")), 9
+        ).alias("cos"),
+    )
+    wr = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cid")
+    piv = (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("cid"))).alias("own"),
+            F.max(F.when(F.col("rn") == 1, 1.0 - F.col("cos"))).alias("a"),
+            F.max(F.when(F.col("rn") == 2, 1.0 - F.col("cos"))).alias("b"),
+        )
+    )
+    s = F.when(F.greatest("a", "b") == 0.0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    )
+    sil = piv.select(
+        "own",
+        F.round(s * 1000000.0, 0).cast("bigint").alias("s_micro"),
+    )
+    return (
+        sil.groupBy("own")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(
+                F.sum("s_micro").cast("double")
+                / (1000000.0 * F.count(F.lit(1))),
+                6,
+            ).alias("mean_silhouette"),
+            F.round(F.min("s_micro") / 1000000.0, 6).alias("min_silhouette"),
+            F.round(F.max("s_micro") / 1000000.0, 6).alias("max_silhouette"),
+        )
+        .select(
+            F.col("own").cast("bigint").alias("centroid_id"),
+            "n_vectors",
+            "mean_silhouette",
+            "min_silhouette",
+            "max_silhouette",
+        )
+        .orderBy("centroid_id")
+    )

@@ -381,6 +381,8 @@ NESTED_LOOP_ALLOWED = {
     "knn_label_consistency": "broadcast leave-one-out query sample "
     "(eval-sized; docstring names the IVF/LSH candidate-generator "
     "swap at corpus scale)",
+    "centroid_silhouette": "broadcast fixed centroids (model-sized) "
+    "for partition-quality scoring",
     # deliberate small cross products / non-equi baselines
     "region_status_matrix": "5 regions x 3 statuses scaffold cross join",
     "value_band_stats": "non-equi band join baseline; bucketized twin "
