@@ -149,6 +149,7 @@ def _ensure_loaded() -> None:
             queries_llm5,
             queries_llm6,
             queries_llm7,
+            queries_llm8,
         )
     except ImportError:
         pass

@@ -517,3 +517,127 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("var_ratio"),
     ).orderBy("arm")
+
+
+# --------------------------------------------------------------------------
+# Session entry/exit census per event type
+# --------------------------------------------------------------------------
+@register(
+    "session_entry_exit_stats",
+    oracle="""
+WITH e AS (
+    SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+),
+m AS (
+    SELECT event_id, user_id, event_type, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT event_id, user_id, event_type, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid
+    FROM m
+),
+r AS (
+    SELECT event_type,
+           row_number() OVER (PARTITION BY user_id, sid
+                              ORDER BY ts, event_id) AS rf,
+           row_number() OVER (PARTITION BY user_id, sid
+                              ORDER BY ts DESC, event_id DESC) AS rl
+    FROM s
+),
+tot AS (SELECT count(DISTINCT (user_id, sid)) AS n_sessions FROM s)
+SELECT event_type,
+       CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_entries,
+       CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exits,
+       round(CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / (SELECT n_sessions FROM tot), 6) AS entry_share,
+       round(CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / (SELECT n_sessions FROM tot), 6) AS exit_share
+FROM r
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def session_entry_exit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which event types OPEN sessions and which CLOSE them: per type,
+    how often it is the first / last event of a 30-minute-gap session
+    (the user_sessions_30min definition, with an event_id tiebreak so
+    first/last are well-defined under timestamp ties) and its share of
+    all sessions — the entry/exit-page analysis of web analytics,
+    generalized to event types. entry_share ≈ acquisition surface,
+    exit_share ≈ where journeys die.
+
+    Scale shape: one shuffle on user_id covers the sessionizing lag,
+    the running session index, and both first/last row_numbers (all
+    four windows share the partition key); the rollup then
+    partial-combines to the |event_types| frame. The session total
+    folds in via a window over that tiny frame, not a driver
+    collect."""
+    ev = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (
+                F.unix_timestamp(F.col("ts"))
+                - F.unix_timestamp(F.lag("ts").over(wu))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    s = m.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        "ts",
+        F.sum("is_new")
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    ws = Window.partitionBy("user_id", "sid")
+    r = s.select(
+        "event_type",
+        F.row_number().over(ws.orderBy("ts", "event_id")).alias("rf"),
+        F.row_number()
+        .over(ws.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rl"),
+    )
+    per_type = r.groupBy("event_type").agg(
+        F.sum(F.when(F.col("rf") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_entries"),
+        F.sum(F.when(F.col("rl") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exits"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # entries across types partition the sessions exactly once, so the
+    # session total is the entry-count sum over this |types|-row frame
+    return per_type.select(
+        "event_type",
+        "n_entries",
+        "n_exits",
+        F.round(
+            F.col("n_entries").cast("double") / F.sum("n_entries").over(wall),
+            6,
+        ).alias("entry_share"),
+        F.round(
+            F.col("n_exits").cast("double") / F.sum("n_entries").over(wall),
+            6,
+        ).alias("exit_share"),
+    ).orderBy("event_type")
