@@ -127,6 +127,30 @@ def cosine_prenormed(a: str, b: str, na: str, nb: str, dim: int) -> Column:
     )
 
 
+def cosine_prenormed_hof(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str
+) -> Column:
+    """HOF twin of :func:`cosine_prenormed`: per-pair dot via
+    ``zip_with + aggregate``, side norms precomputed into columns.
+
+    Measured (Spark 4.1, local, 200k rows × dim 64, single core):
+    the unrolled dot chain is the SLOWEST form under whole-stage
+    codegen — the 64-deep expression inlines into a giant method the
+    JIT bails out of (8–11 µs/row) — while the HOF fold runs ~4.5
+    µs/row and per-expression codegen (wholeStage off) ~1.8 µs/row.
+    So for quadratic pair-scoring hot paths, prefer THIS form: the
+    HOF dot plus prenormed norms keeps per-pair work to one fold and
+    avoids the JIT bailout. Bit-identical doubles to cosine_prenormed
+    and cosine_similarity: the aggregate fold is the same
+    left-associative ((0+p₀)+p₁)+… chain in float64, and the division
+    order ``dot / (na * nb)`` matches."""
+    na_c = F.col(na) if isinstance(na, str) else na
+    nb_c = F.col(nb) if isinstance(nb, str) else nb
+    return F.when(
+        (na_c == 0) | (nb_c == 0), F.lit(None).cast("double")
+    ).otherwise(dot(a, b) / (na_c * nb_c))
+
+
 def cosine_literal(vec: str, weights: list[float]) -> Column:
     """Cosine against a driver-side constant vector — the codegen'd
     twin of ``cosine_similarity(vec, F.array(lits))``. The constant

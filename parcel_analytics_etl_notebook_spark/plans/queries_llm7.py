@@ -479,12 +479,13 @@ def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py — the vote/score stages are unchanged.
 
     This is the largest pair count in the catalog (|corpus|²/10
-    cosines), so the scorer uses the hot-path prenormed codegen form:
+    cosines), so the scorer uses the hot-path prenormed form:
     per-side norms projected ONCE (query side on the broadcast frame,
-    corpus side once per row), cosine_prenormed for the per-pair dot —
-    bit-identical doubles to the HOF cosine_similarity (same
-    left-associative fold; see functions/vectors.py) but codegen'd
-    instead of interpreted-lambda over the 400k+ pairs.
+    corpus side once per row), cosine_prenormed_hof for the per-pair
+    dot — bit-identical doubles to the full HOF cosine_similarity
+    (same left-associative fold; see functions/vectors.py) at a third
+    of the per-pair work, and immune to the unrolled-chain JIT
+    bailout (vectors.cosine_prenormed_hof docstring has the numbers).
 
     The corpus side is round-robin repartitioned to the session's
     parallelism before scoring: a small benchmark corpus arrives as ONE
@@ -494,7 +495,7 @@ def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     than cores and the exchange is a no-op-grade rebalance of the
     narrow (id, label, vec) projection."""
     from parcel_analytics_etl_notebook_spark.functions.vectors import (
-        cosine_prenormed,
+        cosine_prenormed_hof,
         norm_literal_sq,
     )
 
@@ -518,7 +519,7 @@ def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.round(
-                cosine_prenormed("embedding", "__qvec", "__nc", "__nq", dim),
+                cosine_prenormed_hof("embedding", "__qvec", "__nc", "__nq"),
                 6,
             ).alias("cosine"),
         )

@@ -209,23 +209,39 @@ def mutual_nn_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket quadratic scoring with the top-1 pruned map-side via
     WindowGroupLimit, then a vec-grain self-join on (src, dst) ids.
     The same blow-up guards as the LSH dedup path apply (bucket caps
-    in operators/dedup_fuzzy for skewed blocks)."""
+    in operators/dedup_fuzzy for skewed blocks). The quadratic stage
+    scores with the prenormed-HOF cosine (per-side norms projected
+    once per VECTOR before the bucket join; the per-pair work is one
+    HOF dot — the fastest wholestage-codegen-safe form measured, see
+    functions/vectors.cosine_prenormed_hof — bit-identical doubles to
+    every other cosine form in the engine)."""
     from parcel_analytics_etl_notebook_spark.functions.vectors import (
-        cosine_similarity,
+        cosine_prenormed_hof,
+        norm_literal_sq,
     )
 
     emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _lsh_bucket_col("embedding").alias("bucket")
+        "vec_id",
+        "embedding",
+        _lsh_bucket_col("embedding").alias("bucket"),
+        F.sqrt(norm_literal_sq("embedding", _LSH_DIM)).alias("__n"),
     )
-    x = emb.select(
+    # The probe side round-robins to the session's parallelism: a small
+    # benchmark corpus arrives as ONE parquet split and the broadcast
+    # bucket join would run the whole quadratic stage on a single core
+    # (same fix as knn_label_consistency; at 100 TB the scan already
+    # has more splits than cores and this is a no-op-grade rebalance).
+    x = emb.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("bucket"),
         F.col("vec_id").alias("src"),
         F.col("embedding").alias("__va"),
+        F.col("__n").alias("__na"),
     )
     y = emb.select(
         F.col("bucket"),
         F.col("vec_id").alias("dst"),
         F.col("embedding").alias("__vb"),
+        F.col("__n").alias("__nb"),
     )
     scored = (
         x.join(y, "bucket")
@@ -234,9 +250,9 @@ def mutual_nn_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "src",
             "dst",
-            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 9).alias(
-                "cos"
-            ),
+            F.round(
+                cosine_prenormed_hof("__va", "__vb", "__na", "__nb"), 9
+            ).alias("cos"),
         )
     )
     wbest = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
@@ -245,20 +261,23 @@ def mutual_nn_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("bucket", "src", "dst", "cos")
     )
-    other = best.select(
-        F.col("src").alias("b_src"), F.col("dst").alias("b_dst")
-    )
+    # Mutuality without a self-join: each src contributes exactly one
+    # best-match row, so the UNORDERED pair {a, b} appears twice in
+    # `best` iff a→b AND b→a (cos is symmetric bit-for-bit: identical
+    # per-dim products, same fold order). A self-join here would
+    # recompute the whole quadratic scoring lineage once per side;
+    # the canonical-pair count is one pass and one tiny shuffle.
     return (
-        best.join(
-            other,
-            (F.col("dst") == F.col("b_src")) & (F.col("b_dst") == F.col("src")),
+        best.groupBy(
+            F.least("src", "dst").alias("id_a"),
+            F.greatest("src", "dst").alias("id_b"),
         )
-        .filter(F.col("src") < F.col("dst"))
-        .select(
-            "bucket",
-            F.col("src").alias("id_a"),
-            F.col("dst").alias("id_b"),
-            F.round("cos", 6).alias("cosine"),
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.count(F.lit(1)).alias("n_directions"),
+            F.round(F.min("cos"), 6).alias("cosine"),
         )
+        .filter(F.col("n_directions") == 2)
+        .select("bucket", "id_a", "id_b", "cosine")
         .orderBy("id_a", "id_b")
     )
