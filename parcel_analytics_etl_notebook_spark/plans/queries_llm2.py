@@ -624,8 +624,18 @@ def approx_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     state — the swap SCALING.md prescribes past ~10⁷ rows/group; the
     exact columns exist here only for the external check."""
     docs = table(spark, sf_dir, "documents")
-    t = docs.select(
-        "lang", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    # tokenization runs twice (sketch pass + rank-verification pass);
+    # round-robin the single-split benchmark scan first so both passes
+    # use every core (at 100 TB the scan already has ≥cores splits and
+    # this is a no-op-grade rebalance of (lang, text))
+    t = (
+        docs.select("lang", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "lang", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+        )
+        .persist()  # (lang, count) pairs: read by the sketch pass AND
+        # the rank pass — without this, tokenization runs twice
     )
     agg = t.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -635,7 +645,8 @@ def approx_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_exact"),
         F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90_exact"),
         F.round(F.expr("percentile(n_tokens, 0.99)"), 4).alias("p99_exact"),
-    )
+    ).persist()  # lang-grain (≤|langs| rows): broadcast to the rank
+    # pass and joined into the result — one percentile agg, not two
     # true rank of each sketch output, counted against the data itself:
     # one extra broadcast join + aggregate over the same token table
     sums = []
