@@ -97,13 +97,25 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as f:
-        json.dump(
-            {"metric": "catalog_total_wall", "value": total, "unit": "sec",
-             "queries": timings, "sf": sf, "n_queries": len(timings)},
-            f, indent=1, sort_keys=True,
-        )
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail = {"metric": "catalog_total_wall", "value": total, "unit": "sec",
+              "queries": timings, "sf": sf, "n_queries": len(timings)}
+    # stable name (latest) PLUS a per-round snapshot so per-query
+    # regressions diff across rounds without git archaeology (ADVICE
+    # r03 #8): the round number is 1 + the highest driver-recorded
+    # BENCH_r{N}.json, overridable via SPARK_GRAFT_ROUND.
+    import glob
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    rnd = int(os.environ.get("SPARK_GRAFT_ROUND", max(rounds, default=0) + 1))
+    for fname in ("BENCH_DETAIL.json", f"BENCH_DETAIL_r{rnd:02d}.json"):
+        with open(os.path.join(here, fname), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
     headline = {
         n: round(t, 2) for n, t in timings.items() if n in HEADLINE_QUERIES
     }

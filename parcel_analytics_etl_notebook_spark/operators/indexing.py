@@ -156,3 +156,104 @@ def global_running_sum(
         )
         .drop("__pid", "__off")
     )
+
+
+def global_running_sums(
+    df: DataFrame,
+    order_cols: list,
+    sum_cols: list[str],
+    out_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive global running sums of SEVERAL measures over one total
+    order — the multi-measure sibling of :func:`global_running_sum`,
+    for ECDF-style queries that need parallel prefix sums of two or
+    more counters (e.g. the two-sample KS statistic's per-group
+    cumulative counts).
+
+    One range partition + one checkpoint + one partitioned window no
+    matter how many measures. Unlike :func:`global_running_sum`, sums
+    run in each column's OWN type (no double cast): integral counters
+    accumulate exactly as BIGINT, which is what makes cumulative
+    counts hash-comparable against a SQL oracle.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must name at least one column")
+    out_cols = out_cols or [f"{c}_run" for c in sum_cols]
+    if len(out_cols) != len(sum_cols):
+        raise ValueError("out_cols must match sum_cols")
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    with_pid = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()  # subtotals and cumsum must see ONE assignment
+    )
+    rows = (
+        with_pid.groupBy("__pid")
+        .agg(*[F.sum(F.col(c)).alias(c) for c in sum_cols])
+        .collect()
+    )
+    subtot = {r["__pid"]: [r[c] for c in sum_cols] for r in rows}
+    offsets: dict[int, list] = {}
+    running = [0] * len(sum_cols)
+    for pid in sorted(subtot):
+        offsets[pid] = list(running)
+        for i, v in enumerate(subtot[pid]):
+            running[i] += v or 0
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    res = with_pid
+    for i, (c, oc) in enumerate(zip(sum_cols, out_cols)):
+        off_map = F.create_map(
+            *[
+                x
+                for pid, vs in sorted(offsets.items())
+                for x in (F.lit(pid), F.lit(vs[i]))
+            ]
+        )
+        res = res.withColumn(
+            oc, off_map[F.col("__pid")] + F.sum(F.col(c)).over(w)
+        )
+    return res.drop("__pid")
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_cols: list,
+    n_buckets: int,
+    out_col: str = "bucket",
+    total: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``ntile(n_buckets)`` over a TOTAL order (unique tiebreak
+    required) without the single-partition global window.
+
+    Two passes: :func:`stable_global_index` supplies the global rank,
+    then ntile's documented bucket arithmetic maps rank → bucket — the
+    first ``total % n`` buckets take ``ceil(total/n)`` rows, the rest
+    ``floor(total/n)`` — in exact integer math (``div``), so the
+    result equals ``F.ntile(n).over(Window.orderBy(...))`` row-for-row.
+
+    ``total`` (the row count) costs one driver scalar when not
+    supplied; pass it when the caller already knows it or computes
+    several ntiles over the same frame (count once, share it).
+    ``order_cols`` accepts Column expressions, so descending ntiles
+    (``F.col("x").desc()``) work as in a window spec.
+    """
+    if total is None:
+        total = df.count()
+    q, r = divmod(total, n_buckets)
+    big = r * (q + 1)  # rows covered by the ceil-sized leading buckets
+    idx = stable_global_index(
+        df, order_cols, out_col="__rn", num_partitions=num_partitions
+    )
+    return idx.withColumn(
+        out_col,
+        F.expr(
+            f"CASE WHEN __rn <= {big} THEN (__rn - 1) div {max(q + 1, 1)}"
+            f" ELSE {r} + (__rn - {big} - 1) div {max(q, 1)} END + 1"
+        ).cast("bigint"),
+    ).drop("__rn")

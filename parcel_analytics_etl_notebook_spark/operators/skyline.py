@@ -12,10 +12,12 @@ rewrite here is O(N log N):
 1. collapse to one row per distinct x (max y per group) — one shuffle,
    output O(distinct x);
 2. running strictly-preceding max of y along descending x over that
-   COLLAPSED frame — a single-partition window whose input is already
-   collapsed (at extreme x-cardinality, pre-thin per partition with a
-   monotone local frontier pass before the global window: a point
-   dominated within its partition is dominated globally);
+   collapsed frame — computed WITHOUT a single-partition window, via
+   the same two-pass construction as ``operators/indexing``
+   (range-partition on x desc, per-partition max of y — a tiny
+   aggregate — driver prefix-max of the ≤cores partition maxima, then
+   prev_max = greatest(partition-local preceding max, earlier
+   partitions' max)). Max is a monoid, so the split is exact;
 3. a (x, y)-equi-join back tags the surviving rows.
 
 Property-tested against the quadratic Python model for arbitrary
@@ -28,6 +30,57 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _with_global_prev_max(
+    grp: DataFrame,
+    x: str,
+    val_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach the strictly-preceding global running max of ``val_col``
+    along descending ``x`` (NULL for the first row), two-pass — no
+    single task ever sees the whole frame. ``x`` values must be unique
+    (callers pass a groupBy(x) output)."""
+    n = num_partitions or grp.sparkSession.sparkContext.defaultParallelism
+    with_pid = (
+        grp.repartitionByRange(n, F.col(x).desc())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()  # offsets and the window pass must see ONE
+        # partition assignment (repartitionByRange resamples per job)
+    )
+    maxes = {
+        r["__pid"]: r["m"]
+        for r in with_pid.groupBy("__pid")
+        .agg(F.max(val_col).alias("m"))
+        .collect()
+    }
+    offsets: dict[int, object] = {}
+    running = None
+    for pid in sorted(maxes):
+        if running is not None:
+            offsets[pid] = running
+        m = maxes[pid]
+        if m is not None and (running is None or m > running):
+            running = m
+    w = Window.partitionBy("__pid").orderBy(F.col(x).desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local_prev = F.max(val_col).over(w)
+    if offsets:
+        off_map = F.create_map(
+            *[
+                c
+                for pid, v in sorted(offsets.items())
+                for c in (F.lit(pid), F.lit(v))
+            ]
+        )
+        # missing pid (first partition) → NULL; greatest skips NULLs
+        prev = F.greatest(local_prev, off_map[F.col("__pid")])
+    else:
+        prev = local_prev
+    return with_pid.withColumn(out_col, prev).drop("__pid")
+
+
 def pareto_frontier_2d(df: DataFrame, x: str, y: str) -> DataFrame:
     """Rows of ``df`` not dominated on (``x``, ``y``), both maximized.
 
@@ -38,11 +91,8 @@ def pareto_frontier_2d(df: DataFrame, x: str, y: str) -> DataFrame:
     """
     pts = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
     grp = pts.groupBy(x).agg(F.max(y).alias("__gmax"))
-    w = Window.orderBy(F.col(x).desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     frontier = (
-        grp.withColumn("__prevmax", F.max("__gmax").over(w))
+        _with_global_prev_max(grp, x, "__gmax", "__prevmax")
         .filter(
             F.col("__prevmax").isNull() | (F.col("__gmax") > F.col("__prevmax"))
         )

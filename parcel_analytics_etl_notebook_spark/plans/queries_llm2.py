@@ -624,18 +624,17 @@ def approx_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     state — the swap SCALING.md prescribes past ~10⁷ rows/group; the
     exact columns exist here only for the external check."""
     docs = table(spark, sf_dir, "documents")
-    # tokenization runs twice (sketch pass + rank-verification pass);
-    # round-robin the single-split benchmark scan first so both passes
-    # use every core (at 100 TB the scan already has ≥cores splits and
-    # this is a no-op-grade rebalance of (lang, text))
+    # tokenize in the scan stage and persist ONLY the (lang, n_tokens)
+    # pairs — the narrow frame both the sketch pass and the rank pass
+    # read. No repartition: at fact scale the parquet scan already has
+    # ≥cores splits, and shuffling the full text column just to spread
+    # a cheap tokenize was the round-3 4.7× regression (VERDICT r03 #1).
     t = (
-        docs.select("lang", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(
+        docs.select(
             "lang", F.size(tokens("text")).cast("bigint").alias("n_tokens")
         )
-        .persist()  # (lang, count) pairs: read by the sketch pass AND
-        # the rank pass — without this, tokenization runs twice
+        .persist()  # read by the sketch pass AND the rank pass —
+        # without this, tokenization runs twice
     )
     agg = t.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -109,19 +109,25 @@ FROM d GROUP BY decile ORDER BY decile
 )
 def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token-count deciles — the length-distribution audit run
-    before choosing truncation/packing budgets. ntile() here is the
-    EXACT small-corpus form (one global sort window, single-task at
-    scale); the 100 TB path is approx_token_percentiles (percentile
-    sketch, no global order) — this query is its exact twin so sketch
-    drift is measurable."""
+    before choosing truncation/packing budgets. EXACT, and fully
+    distributed (VERDICT r03 #4): operators/indexing.exact_ntile —
+    two-pass stable_global_index rank plus ntile's bucket arithmetic
+    in exact integer math — replaces the single-task global sort
+    window and equals ntile(10) row-for-row under the same total
+    order (n, doc_id). The total row count is one driver scalar off
+    the persisted (doc_id, n) frame — the same model-sized collect
+    budget every two-pass operator spends. The 100 TB companion is
+    approx_token_percentiles (percentile sketch, no global order);
+    this query is its exact twin so sketch drift is measurable."""
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        exact_ntile,
+    )
+
     docs = table(spark, sf_dir, "documents")
     n = docs.select(
         "doc_id", F.size(tokens("text")).cast("bigint").alias("n")
-    )
-    d = n.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy("n", "doc_id")),
-    )
+    ).persist()
+    d = exact_ntile(n, ["n", "doc_id"], 10, out_col="decile")
     return (
         d.groupBy("decile")
         .agg(

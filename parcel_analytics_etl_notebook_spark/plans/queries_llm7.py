@@ -207,10 +207,16 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers). Restricting one side to the 10 SEED parts bounds the
     join fan-out at 10 rows per customer before it happens — seeds are
     a broadcast-sized frame, so the plan is basket ⋈ broadcast(seeds)
-    then one shuffle on cust, one groupBy((seed, neighbor)). The
-    full-matrix variant at 100 TB adds the standard hot-customer cap
-    (drop customers with > C items — they carry no signal) exactly as
-    drop_hot_shingles does for shingles."""
+    then one shuffle on cust, one groupBy((seed, neighbor)). Seed
+    SELECTION itself is a row_number over an unpartitioned window on
+    the part-grain frequency frame — single-partition by design; part
+    is catalog-grain (bounded, ~10⁵ even at 100 TB), not fact-grain,
+    so the one-task sort is over a dimension-sized frame. The
+    full-matrix variant (every pair, no seed bound) is
+    operators/cf.item_item_cosine, which adds the standard
+    hot-customer cap (drop customers with > C items — they carry no
+    signal) exactly as drop_hot_shingles does for shingles; fan-out
+    bound pinned by tests/test_cf.py."""
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     basket = (
@@ -498,8 +504,13 @@ def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_prenormed_hof,
         norm_literal_sq,
     )
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm2 import (
+        _LSH_DIM,
+    )
 
-    dim = 64
+    # shared embedding dim (one place — ADVICE r03: a hardcoded 64
+    # would silently index past the array if the fixture dim changed)
+    dim = _LSH_DIM
     emb_raw = table(spark, sf_dir, "embeddings")
     q = emb_raw.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("qid"),

@@ -429,8 +429,11 @@ def decayed_popularity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     — model-sized collect rule — and folds it in as a literal, so no
     BroadcastNestedLoopJoin); scoring is then a codegen'd projection
     into one groupBy(partkey) partial-combining shuffle, and the
-    top-20 is a TakeOrderedAndProject (per-partition partial top-k,
-    no global sort)."""
+    top-20 comes from orderBy().limit(20) — which genuinely plans as
+    TakeOrderedAndProject (per-partition partial top-k, no global
+    sort; ADVICE r03 flagged the previous global row_number form) —
+    with the rank column assigned afterwards over the already-cut
+    20-row frame."""
     li = table(spark, sf_dir, "lineitem")
     anchor = li.agg(F.max(F.col("l_shipdate").cast("date"))).head()[0]
     scored = li.groupBy("l_partkey").agg(
@@ -442,13 +445,19 @@ def decayed_popularity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
         F.count(F.lit(1)).cast("bigint").alias("n_ships"),
     )
-    ranked = scored.select(
+    top = (
+        scored.select(
+            "l_partkey", "n_ships", F.round("score", 6).alias("decayed_score")
+        )
+        .orderBy(F.col("decayed_score").desc(), "l_partkey")
+        .limit(20)
+    )
+    return top.select(
         "l_partkey",
         "n_ships",
-        F.round("score", 6).alias("decayed_score"),
+        "decayed_score",
         F.row_number()
-        .over(Window.orderBy(F.round("score", 6).desc(), "l_partkey"))
+        .over(Window.orderBy(F.col("decayed_score").desc(), "l_partkey"))
         .cast("bigint")
         .alias("rank"),
-    )
-    return ranked.filter(F.col("rank") <= 20).orderBy("rank")
+    ).orderBy("rank")

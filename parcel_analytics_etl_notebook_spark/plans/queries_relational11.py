@@ -464,11 +464,18 @@ def score_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-decile Brier score. The standard reliability diagram data —
     avg_pred far from pos_rate in a decile = miscalibration.
 
-    Scale shape: ntile needs a global order; here it is a single
-    ordered window (embeddings-table-sized). At 100 TB the decile
-    edges come from approx_percentile and binning becomes a literal
-    comparison chain (exactly the psi_acctbal_drift shape) — the
-    per-decile aggregate below is unchanged."""
+    Scale shape: ntile needs a global order, but NOT a global window —
+    operators/indexing.exact_ntile (two-pass rank + exact bucket
+    arithmetic) assigns deciles with no single task ever holding the
+    embeddings-grain frame. The approximate alternative (decile edges
+    from approx_percentile folded into a literal comparison chain, the
+    psi_acctbal_drift shape) trades exact ntile semantics for one less
+    pass — this query keeps the exact form so the reliability table is
+    reproducible bit-for-bit against the oracle."""
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        exact_ntile,
+    )
+
     emb = table(spark, sf_dir, "embeddings")
     scored = emb.select(
         (1.0 / (1.0 + F.exp(-F.col("embedding")[0].cast("double")))).alias(
@@ -477,11 +484,9 @@ def score_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
         "vec_id",
     )
-    binned = scored.select(
-        F.ntile(10).over(Window.orderBy("phat", "vec_id")).alias("decile"),
-        "phat",
-        "y",
-    )
+    binned = exact_ntile(
+        scored, ["phat", "vec_id"], 10, out_col="decile"
+    ).select("decile", "phat", "y")
     return (
         binned.groupBy("decile")
         .agg(

@@ -93,7 +93,10 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     50 rows per task no matter the corpus size. The point estimate
     folds in as a model-sized collected literal."""
     orders = table(spark, sf_dir, "orders")
-    point = round(orders.agg(F.avg("o_totalprice")).head()[0], 4)
+    # collect the raw mean and round ENGINE-side (F.round = half away
+    # from zero, matching the oracle's round()) — Python round() is
+    # banker's half-even and would diverge on an exact 4dp halfway
+    point = orders.agg(F.avg("o_totalprice")).head()[0]
     u = (
         (F.col("o_orderkey") % 1000003) * F.lit(2654435761)
         + F.col("b") * 40503
@@ -124,7 +127,7 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_replicates"),
-        F.lit(point).alias("point_mean"),
+        F.round(F.lit(point), 4).alias("point_mean"),
         F.max(F.when(F.col("r") == 2, F.col("m"))).alias("ci_lo"),
         F.max(F.when(F.col("r") == 25, F.col("m"))).alias("ci_median"),
         F.max(F.when(F.col("r") == 49, F.col("m"))).alias("ci_hi"),
@@ -170,12 +173,19 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic cross-engine.
 
     Scale shape: one groupBy(custkey) reduces orders to the
-    customer-grain frame; the three global ntile windows are the
-    BOUNDED-frame cost here (customer-grain, not order-grain). At
-    100 TB replace each ntile with approx-percentile quintile EDGES
-    folded into a literal comparison chain (the psi_acctbal_drift
-    shape) — the cube aggregate below is unchanged. The anchor date is
-    a model-sized collected literal."""
+    customer-grain frame — which still scales with the data, so the
+    three quintile assignments use operators/indexing.exact_ntile
+    (two-pass global rank + exact bucket arithmetic, no
+    single-partition window; customer count counted ONCE and shared by
+    all three). The approximate alternative (quintile EDGES from
+    approx_percentile folded into a literal comparison chain, the
+    psi_acctbal_drift shape) saves two passes at the cost of exact
+    ntile semantics. The anchor date is a model-sized collected
+    literal."""
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        exact_ntile,
+    )
+
     orders = table(spark, sf_dir, "orders")
     anchor = orders.agg(F.max(F.col("o_orderdate").cast("date"))).head()[0]
     cust = orders.groupBy("o_custkey").agg(
@@ -184,17 +194,30 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recency"),
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
-    )
-    scored = cust.select(
-        F.ntile(5)
-        .over(Window.orderBy("recency", "o_custkey"))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
-        .alias("m_score"),
+    ).persist()  # three ntile passes + the count read this frame
+    n_cust = cust.count()
+    scored = exact_ntile(
+        exact_ntile(
+            exact_ntile(
+                cust,
+                ["recency", "o_custkey"],
+                5,
+                out_col="r_score",
+                total=n_cust,
+            ),
+            [F.col("frequency").desc(), "o_custkey"],
+            5,
+            out_col="f_score",
+            total=n_cust,
+        ),
+        [F.col("monetary").desc(), "o_custkey"],
+        5,
+        out_col="m_score",
+        total=n_cust,
+    ).select(
+        "r_score",
+        "f_score",
+        "m_score",
         # integer cents: cell averages then come from an EXACT integer
         # sum + one division, immune to float accumulation order (the
         # raw per-cell avg() straddled a 4dp boundary cross-engine)

@@ -273,12 +273,26 @@ def daily_users_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.agg(
         F.count_distinct("user_id").cast("bigint").alias("exact_users")
     )
-    return merged.crossJoin(exact).select(
+    # 1-row frames combine via unionByName + max-fold, the catalog's
+    # window-fold idiom — a 1-row crossJoin would plan as
+    # BroadcastNestedLoopJoin, which the catalog plan fence forbids
+    combined = merged.select(
         "n_days",
-        "exact_users",
+        "__approx",
+        F.lit(None).cast("bigint").alias("exact_users"),
+    ).unionByName(
+        exact.select(
+            F.lit(None).cast("bigint").alias("n_days"),
+            F.lit(None).cast("double").alias("__approx"),
+            "exact_users",
+        )
+    )
+    return combined.agg(
+        F.max("n_days").alias("n_days"),
+        F.max("exact_users").alias("exact_users"),
         (
-            F.abs(F.col("__approx") - F.col("exact_users"))
-            <= F.greatest(F.lit(2), F.round(0.05 * F.col("exact_users")))
+            F.abs(F.max("__approx") - F.max("exact_users"))
+            <= F.greatest(F.lit(2), F.round(0.05 * F.max("exact_users")))
         ).alias("union_within_5pct"),
     )
 

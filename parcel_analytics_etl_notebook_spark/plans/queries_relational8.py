@@ -632,15 +632,23 @@ def ks_drift_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     month-over-month), computed exactly.
 
     Exact-but-scalable shape: values first collapse to per-distinct-
-    value group counts (one shuffle, output is O(distinct values)),
-    THEN the two ECDFs come from running sums over that collapsed
-    frame — a single-partition window over distinct values, which is
-    the honest cost of an exact global ECDF; at 100 TB pre-bucket the
-    value axis (equi-width bins give a KS bound within bin-width) or
-    reuse operators/indexing.global_running_sum for the two-pass
-    distributed prefix sum. Grouping by value BEFORE the ECDF also
-    makes ties well-defined (both samples step at the same value
-    point), which is what makes the statistic deterministic."""
+    value group counts (one shuffle, output is O(distinct values) —
+    for a continuous column that still scales with the data), THEN
+    both ECDFs come from operators/indexing.global_running_sums — the
+    two-pass distributed prefix sum (range partition on v,
+    per-partition subtotals, driver prefix of the ≤cores subtotal
+    rows, partition-local cumsum) — so no single task ever holds the
+    collapsed frame, and both counters share one partitioning pass.
+    Sample totals n1/n2 fold in as model-sized collected literals (2
+    scalars off the persisted collapsed frame). Grouping by value
+    BEFORE the ECDF also makes ties well-defined (both samples step at
+    the same value point), which is what makes the statistic
+    deterministic. Counts accumulate as exact BIGINTs; the only float
+    math is the final c/n division, identical to the oracle's."""
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        global_running_sums,
+    )
+
     c = table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
     )
@@ -651,40 +659,27 @@ def ks_drift_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grouped = s.groupBy("v").agg(
         F.sum("g1").alias("d1"), F.sum("g2").alias("d2")
-    )
-    # Sample totals n1/n2 are just the FINAL cumulative counts, so an
-    # unbounded frame over the same sorted collapsed frame yields them
-    # without any join (the broadcast-cross-join alternative plans as a
-    # BroadcastNestedLoopJoin, which the catalog plan fence forbids).
-    w = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ecdf = grouped.select(
-        "v",
-        F.sum("d1").over(w).alias("c1"),
-        F.sum("d2").over(w).alias("c2"),
-        F.sum("d1").over(wall).alias("n1"),
-        F.sum("d2").over(wall).alias("n2"),
+    ).persist()  # read by the totals collect AND the ECDF pass
+    tot = grouped.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2")).head()
+    n1, n2 = int(tot["n1"]), int(tot["n2"])
+    ecdf = global_running_sums(
+        grouped, ["v"], ["d1", "d2"], out_cols=["c1", "c2"]
     )
     return (
-        ecdf.groupBy("n1", "n2")
-        .agg(
+        ecdf.agg(
             F.round(
                 F.max(
                     F.abs(
-                        F.col("c1").cast("double") / F.col("n1")
-                        - F.col("c2").cast("double") / F.col("n2")
+                        F.col("c1").cast("double") / F.lit(n1)
+                        - F.col("c2").cast("double") / F.lit(n2)
                     )
                 ),
                 4,
             ).alias("ks_stat")
         )
         .select(
-            F.col("n1").cast("bigint").alias("n1"),
-            F.col("n2").cast("bigint").alias("n2"),
+            F.lit(n1).cast("bigint").alias("n1"),
+            F.lit(n2).cast("bigint").alias("n2"),
             "ks_stat",
         )
     )

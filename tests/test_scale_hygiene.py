@@ -238,3 +238,58 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+#: Catalog queries allowed to plan a Window over an Exchange
+#: SinglePartition, each with the reason its input frame is BOUNDED
+#: (does not scale with the fact tables). Every other catalog query
+#: must plan zero single-partition windows — the two row-grain
+#: offenders VERDICT r03 named (spearman_spend_balance,
+#: doc_length_deciles) were rewritten onto the two-pass operators in
+#: operators/indexing, as were score_calibration_deciles,
+#: rfm_segmentation, ks_drift_acctbal and the pareto skyline.
+BOUNDED_WINDOW_OK = {
+    "acf_daily_revenue": "lag windows over the day-grain revenue series (calendar-bounded)",
+    "benford_first_digit": "window-fold over the 9-digit frame",
+    "bootstrap_mean_ci": "rank window over the 50 replicate means (bounded by test design)",
+    "chi2_priority_status": "window-fold over the priority×status contingency cells",
+    "cuped_adjusted_lift": "window-fold over the 2-arm summary frame",
+    "cusum_changepoint": "cumulative window over day-grain sums (calendar-bounded)",
+    "daily_value_anomalies": "rolling frames over the day-grain series (calendar-bounded)",
+    "hybrid_rrf_retrieval": "rank windows over per-query top-k candidate sets (k-capped)",
+    "kaplan_meier_signup_purchase": "cumulative log-sum over distinct durations (≤ days of history)",
+    "largest_remainder_quota": "remainder-rank window over the quota category frame",
+    "mixture_temperature_rebalance": "window-fold over the source-grain weight frame",
+    "mom_revenue_growth": "lag window over month-grain revenue (calendar-bounded)",
+    "mutual_information_type_dow": "window-fold over the type×dow contingency cells",
+    "psi_acctbal_drift": "window-fold over the 10-bin counts frame",
+    "randomization_test_acctbal": "extremity window over the 200 permutation means (bounded by K)",
+    "roc_auc_embedding_dim": "cumulative window over 6dp-rounded distinct scores (≤2M values)",
+    "session_entry_exit_stats": "window-fold over the event-type-grain rollup",
+}
+
+
+def test_no_row_grain_single_partition_window(spark):
+    """Plan fence (VERDICT r03 #5): no catalog query may plan a Window
+    over Exchange SinglePartition unless its input frame is bounded —
+    annotated in BOUNDED_WINDOW_OK with the reason. A new query that
+    sneaks a global-sort window over a fact-scaling frame fails here;
+    so does a stale annotation after a rewrite (the fence is exact in
+    both directions, like the shuffle budget)."""
+    from parcel_analytics_etl_notebook_spark.plans.catalog import queries
+    from tools.window_audit import single_partition_windows
+
+    qs = queries()
+    hits = {}
+    for name in sorted(qs):
+        spark.catalog.clearCache()
+        n = single_partition_windows(qs[name](spark, SF))
+        if n:
+            hits[name] = n
+    unexplained = sorted(set(hits) - set(BOUNDED_WINDOW_OK))
+    stale = sorted(set(BOUNDED_WINDOW_OK) - set(hits))
+    assert not unexplained, (
+        "single-partition window over a potentially fact-scaling frame "
+        f"(rewrite via operators/indexing or annotate): {unexplained}"
+    )
+    assert not stale, f"stale BOUNDED_WINDOW_OK annotations: {stale}"
