@@ -636,56 +636,71 @@ def approx_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # read by the sketch pass AND the rank pass —
         # without this, tokenization runs twice
     )
-    agg = t.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.expr("approx_percentile(n_tokens, 0.5, 1000)").alias("__a50"),
-        F.expr("approx_percentile(n_tokens, 0.9, 1000)").alias("__a90"),
-        F.expr("approx_percentile(n_tokens, 0.99, 1000)").alias("__a99"),
-        F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_exact"),
-        F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90_exact"),
-        F.round(F.expr("percentile(n_tokens, 0.99)"), 4).alias("p99_exact"),
-    ).persist()  # lang-grain (≤|langs| rows): broadcast to the rank
-    # pass and joined into the result — one percentile agg, not two
-    # true rank of each sketch output, counted against the data itself:
-    # one extra broadcast join + aggregate over the same token table
+    # pass 1: sketch + exact percentiles per language, COLLECTED — the
+    # frame is lang-grain (≤|langs| rows), squarely inside the
+    # model-sized-collect budget; folding the sketch outputs back as
+    # LITERALS makes the rank-verification pass a plain aggregate over
+    # the persisted pairs (no broadcast exchange, no join stage)
+    aggrows = {
+        r["lang"]: r
+        for r in t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("approx_percentile(n_tokens, 0.5, 1000)").alias("a50"),
+            F.expr("approx_percentile(n_tokens, 0.9, 1000)").alias("a90"),
+            F.expr("approx_percentile(n_tokens, 0.99, 1000)").alias("a99"),
+            F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(n_tokens, 0.99)"), 4).alias("p99"),
+        )
+        .collect()
+    }
+
+    def lut(field: str):
+        return F.create_map(
+            *[
+                c
+                for lang, r in sorted(aggrows.items())
+                for c in (F.lit(lang), F.lit(r[field]))
+            ]
+        )[F.col("lang")]
+
+    # pass 2: true rank of each sketch output, counted against the
+    # data itself — one aggregate over the same persisted pairs
     sums = []
     for tag in ("50", "90", "99"):
+        thresh = lut(f"a{tag}")
         sums.append(
-            F.sum(
-                (F.col("n_tokens") <= F.col(f"__a{tag}")).cast("long")
-            ).alias(f"__le{tag}")
+            F.sum((F.col("n_tokens") <= thresh).cast("long")).alias(
+                f"__le{tag}"
+            )
         )
         sums.append(
-            F.sum(
-                (F.col("n_tokens") < F.col(f"__a{tag}")).cast("long")
-            ).alias(f"__lt{tag}")
+            F.sum((F.col("n_tokens") < thresh).cast("long")).alias(
+                f"__lt{tag}"
+            )
         )
-    ranks = (
-        t.join(F.broadcast(agg.select("lang", "__a50", "__a90", "__a99")),
-               on="lang")
-        .groupBy("lang")
-        .agg(*sums)
-    )
+    ranks = t.groupBy("lang").agg(*sums)
 
     def in_bound(tag: str, p: float):
         # tie-safe two-sided rank check: some value at the sketch's
         # output must occupy rank p·n within tolerance — i.e. fewer
         # than p·n + tol values lie strictly below it AND at least
         # p·n − tol lie at or below it
-        tol = F.greatest(F.lit(1.0), 0.01 * F.col("n_docs"))
+        n = lut("n_docs")
+        tol = F.greatest(F.lit(1.0), 0.01 * n)
         return (
-            (F.col(f"__le{tag}") >= p * F.col("n_docs") - tol)
-            & (F.col(f"__lt{tag}") <= p * F.col("n_docs") + tol)
+            (F.col(f"__le{tag}") >= p * n - tol)
+            & (F.col(f"__lt{tag}") <= p * n + tol)
         )
 
     return (
-        agg.join(ranks, on="lang")
-        .select(
+        ranks.select(
             "lang",
-            "n_docs",
-            "p50_exact",
-            "p90_exact",
-            "p99_exact",
+            lut("n_docs").alias("n_docs"),
+            lut("p50").alias("p50_exact"),
+            lut("p90").alias("p90_exact"),
+            lut("p99").alias("p99_exact"),
             in_bound("50", 0.5).alias("p50_in_bound"),
             in_bound("90", 0.9).alias("p90_in_bound"),
             in_bound("99", 0.99).alias("p99_in_bound"),

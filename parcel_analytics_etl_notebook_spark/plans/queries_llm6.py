@@ -23,7 +23,11 @@ from parcel_analytics_etl_notebook_spark.functions.vectors import (
     cosine_similarity,
 )
 from parcel_analytics_etl_notebook_spark.plans.catalog import register, table
-from parcel_analytics_etl_notebook_spark.plans.queries_llm import _SQL_COS
+from parcel_analytics_etl_notebook_spark.plans.queries_llm import (
+    _SQL_COS,
+    _SQL_POLY,
+    _SQL_TOKS,
+)
 
 
 @register(
@@ -1044,4 +1048,118 @@ def kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("rel_err"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# local fingerprinting algorithm) → near-dup candidate pairs
+# --------------------------------------------------------------------------
+#: winnow window: a fingerprint is selected from every run of
+#: _WINNOW_W consecutive k-gram hashes (guarantee: any shared
+#: substring of ≥ _WINNOW_W + k − 1 tokens yields ≥1 shared
+#: fingerprint — the detection floor is a TUNABLE, not luck)
+_WINNOW_W = 4
+#: document-frequency cap for the fingerprint inverted index — tighter
+#: than MAX_SHINGLE_DF because fingerprints are winnow-selected minima
+#: (already ~1/_WINNOW_W density); corpus-wide boilerplate fingerprints
+#: carry no pairing signal, same argument as drop_hot_shingles
+_WINNOW_MAX_DF = 64
+
+
+@register(
+    "winnowing_fingerprint_pairs",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+hh AS (SELECT doc_id, list_transform(l, tok -> {_SQL_POLY.format('tok')}) AS th FROM t),
+shl AS (SELECT doc_id, list_transform(range(1, len(th)-1),
+          i -> ((th[i]*1000003 + th[i+1]) % 1000000007 * 1000003 + th[i+2]) % 1000000007) AS sh
+        FROM hh WHERE len(th) >= 3),
+ex AS (SELECT doc_id, len(sh) AS n,
+              unnest(range(1, len(sh)+1)) AS pos,
+              unnest(sh) AS h
+       FROM shl WHERE len(sh) > 0),
+m AS (SELECT doc_id, n, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS f
+      FROM ex),
+fp AS (SELECT DISTINCT doc_id, f FROM m WHERE pos >= least({_WINNOW_W}, n)),
+capped AS (SELECT doc_id, f FROM fp
+           QUALIFY count(*) OVER (PARTITION BY f) <= {_WINNOW_MAX_DF})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+FROM capped a JOIN capped b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b
+""",
+)
+def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints → candidate near-dup pairs:
+    hash every 3-token shingle (the cross-engine polynomial hash),
+    slide a window of W=4 consecutive shingle hashes, keep each
+    window's MINIMUM hash (the winnowing selection of Schleimer et
+    al. 2003 — MOSS), and pair documents sharing ≥ 3 distinct
+    fingerprints. Unlike MinHash (a global random projection of the
+    whole document), winnowing is POSITION-LOCAL: a long-enough shared
+    passage guarantees a shared fingerprint, which is why it is the
+    standard detector for quotation/containment and template reuse.
+
+    Scale shape: everything is per-row array math until the explode;
+    the sliding minimum is a doc-partitioned trailing window (rows
+    between -(W-1) and 0) over the exploded (doc, pos, hash) frame —
+    one shuffle on doc_id, never a global window. Short docs
+    (< W shingles but ≥ 1) contribute their single full-array min
+    (pos+1 ≥ least(W, n) keeps exactly the full windows and that
+    degenerate case). The fingerprint index is df-capped at
+    _WINNOW_MAX_DF (64) before the self-join (drop_hot_shingles
+    rationale), so candidate volume is Σ df² over kept fingerprints —
+    bucketed, never all-pairs."""
+    from parcel_analytics_etl_notebook_spark.functions.textfns import tokens
+    from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
+        drop_hot_shingles,
+        poly_hash,
+        shingle_hashes_from_tokens,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    th = docs.select(
+        "doc_id",
+        F.transform(tokens("text"), lambda t: poly_hash(t)).alias("th"),
+    )
+    sh = th.select(
+        "doc_id", shingle_hashes_from_tokens(F.col("th"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    ex = sh.select(
+        "doc_id",
+        F.size("sh").alias("n"),
+        F.posexplode("sh").alias("pos0", "h"),
+    )
+    wdoc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos0")
+        .rowsBetween(-(_WINNOW_W - 1), 0)
+    )
+    fp = (
+        ex.select(
+            "doc_id",
+            "n",
+            (F.col("pos0") + 1).alias("pos"),
+            F.min("h").over(wdoc).alias("f"),
+        )
+        .filter(F.col("pos") >= F.least(F.lit(_WINNOW_W), F.col("n")))
+        .select("doc_id", "f")
+        .distinct()
+    )
+    capped = drop_hot_shingles(fp, shingle_col="f", max_df=_WINNOW_MAX_DF)
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+        .filter(F.col("shared") >= 3)
+        .orderBy("id_a", "id_b")
     )

@@ -603,3 +603,62 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("s_acctbal").desc(), "p_partkey")
         .limit(100)
     )
+
+
+@register(
+    "large_volume_customers",
+    oracle="""
+WITH big AS (
+    SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+       o.o_totalprice, big.total_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT 100
+""",
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large volume customers): orders whose total lineitem
+    quantity exceeds 300, with their customer, top-100 by order value.
+    Completes the catalog's TPC-H sweep (Q18 was the one classic shape
+    missing). Threshold 300 is the spec's value; the synthetic
+    lineitem's per-order quantity tops out near 450, so the filter is
+    selective at every test SF exactly as in TPC-H proper.
+
+    Scale shape: the classic Q18 rewrite — pre-aggregate lineitem to
+    order grain ONCE with map-side partials and filter on the HAVING
+    before any join (the naive form joins raw lineitem twice), then
+    two equi-joins (order-grain frame ⋈ orders ⋈ customer) and a
+    top-100 that plans as TakeOrderedAndProject (per-partition partial
+    top-k, no global sort). Unique tiebreak (price desc, date,
+    orderkey) makes the cut deterministic cross-engine."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 300)
+        .select("l_orderkey", F.round("__qty", 2).alias("total_qty"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate"), "o_orderkey"
+        )
+        .limit(100)
+    )

@@ -1070,3 +1070,62 @@ def test_hll_registers_merge_and_estimate_bounds(spark):
     est = hll_estimate_expr(full).head()[0]
     sigma = 1.04 / (HLL_M ** 0.5)
     assert abs(est - n) / n < 3 * sigma, f"estimate {est} vs {n}"
+
+
+def test_global_running_sums_multi_measure(spark):
+    """Multi-measure two-pass prefix sums equal the window form for
+    each measure, and integral inputs stay exact BIGINTs."""
+    from pyspark.sql import Window
+
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        global_running_sums,
+    )
+
+    rows = [(i, (i * 13) % 29 + 1, (i * 7) % 11) for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, a bigint, b bigint")
+    out = global_running_sums(
+        df, ["id"], ["a", "b"], out_cols=["ca", "cb"], num_partitions=6
+    )
+    assert dict(out.dtypes)["ca"] == "bigint"
+    got = {r["id"]: (r["ca"], r["cb"]) for r in out.collect()}
+    w = Window.orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["id"]: (r["ca"], r["cb"])
+        for r in df.withColumn("ca", F.sum("a").over(w))
+        .withColumn("cb", F.sum("b").over(w))
+        .collect()
+    }
+    assert got == want
+
+
+def test_exact_ntile_equals_window_ntile(spark):
+    """exact_ntile equals F.ntile row-for-row — including the uneven
+    split (total % n != 0), descending orders, and total < n."""
+    from pyspark.sql import Window
+
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        exact_ntile,
+    )
+
+    for total, n in [(503, 10), (500, 7), (4, 10), (10, 10)]:
+        rows = [(i, (i * 37) % 97) for i in range(total)]
+        df = spark.createDataFrame(rows, "id bigint, v bigint")
+        for order in (
+            [F.col("v").asc(), F.col("id").asc()],
+            [F.col("v").desc(), F.col("id").asc()],
+        ):
+            got = {
+                r["id"]: r["b"]
+                for r in exact_ntile(
+                    df, list(order), n, out_col="b", num_partitions=5
+                ).collect()
+            }
+            want = {
+                r["id"]: r["b"]
+                for r in df.withColumn(
+                    "b", F.ntile(n).over(Window.orderBy(*order))
+                ).collect()
+            }
+            assert got == want, (total, n)
