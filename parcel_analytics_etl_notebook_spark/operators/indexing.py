@@ -220,6 +220,70 @@ def global_running_sums(
     return res.drop("__pid")
 
 
+def _ntile_bucket_expr(rank_col: str, total: int, n_buckets: int) -> str:
+    """ntile's documented bucket arithmetic as a SQL expression over a
+    1-based global rank column: the first ``total % n`` buckets take
+    ``ceil(total/n)`` rows, the rest ``floor(total/n)`` — exact integer
+    math (``div``), equal to ``ntile(n)`` under the same total order."""
+    q, r = divmod(total, n_buckets)
+    big = r * (q + 1)  # rows covered by the ceil-sized leading buckets
+    return (
+        f"CASE WHEN {rank_col} <= {big}"
+        f" THEN ({rank_col} - 1) div {max(q + 1, 1)}"
+        f" ELSE {r} + ({rank_col} - {big} - 1) div {max(q, 1)} END + 1"
+    )
+
+
+def exact_ntile_bounded(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list,
+    n_buckets: int,
+    out_col: str = "bucket",
+    total: int | None = None,
+    descending: bool = False,
+) -> DataFrame:
+    """``ntile(n)`` over the total order (``value_col``, tiebreaks)
+    when ``value_col`` has BOUNDED cardinality (calendar days,
+    small-count integers, enum codes) — the cheap sibling of
+    :func:`exact_ntile`.
+
+    Global rank = cumulative count of strictly-preceding value groups
+    (one cumulative window over the value-grain frame — bounded by
+    assumption, so the single-partition sort is O(distinct values),
+    not O(rows)) + ``row_number`` within the value group (a window
+    PARTITIONED by value — fully parallel). One broadcast join, one
+    partitioned window, no checkpoint and no per-partition counts
+    pass. Caller asserts the bound; for unbounded (continuous) value
+    columns use :func:`exact_ntile`.
+    """
+    if total is None:
+        total = df.count()
+    order = F.col(value_col).desc() if descending else F.col(value_col).asc()
+    grp = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    wv = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    off = grp.select(
+        value_col,
+        F.coalesce(F.sum("__cnt").over(wv), F.lit(0))
+        .cast("bigint")
+        .alias("__off"),
+    )
+    wr = Window.partitionBy(value_col).orderBy(*tiebreak_cols)
+    return (
+        df.join(F.broadcast(off), value_col)
+        .withColumn(
+            "__rn", F.col("__off") + F.row_number().over(wr).cast("bigint")
+        )
+        .withColumn(
+            out_col,
+            F.expr(_ntile_bucket_expr("__rn", total, n_buckets)).cast(
+                "bigint"
+            ),
+        )
+        .drop("__off", "__rn")
+    )
+
+
 def exact_ntile(
     df: DataFrame,
     order_cols: list,
@@ -245,15 +309,10 @@ def exact_ntile(
     """
     if total is None:
         total = df.count()
-    q, r = divmod(total, n_buckets)
-    big = r * (q + 1)  # rows covered by the ceil-sized leading buckets
     idx = stable_global_index(
         df, order_cols, out_col="__rn", num_partitions=num_partitions
     )
     return idx.withColumn(
         out_col,
-        F.expr(
-            f"CASE WHEN __rn <= {big} THEN (__rn - 1) div {max(q + 1, 1)}"
-            f" ELSE {r} + (__rn - {big} - 1) div {max(q, 1)} END + 1"
-        ).cast("bigint"),
+        F.expr(_ntile_bucket_expr("__rn", total, n_buckets)).cast("bigint"),
     ).drop("__rn")

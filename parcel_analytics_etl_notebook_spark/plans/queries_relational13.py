@@ -173,17 +173,22 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic cross-engine.
 
     Scale shape: one groupBy(custkey) reduces orders to the
-    customer-grain frame — which still scales with the data, so the
-    three quintile assignments use operators/indexing.exact_ntile
-    (two-pass global rank + exact bucket arithmetic, no
-    single-partition window; customer count counted ONCE and shared by
-    all three). The approximate alternative (quintile EDGES from
-    approx_percentile folded into a literal comparison chain, the
-    psi_acctbal_drift shape) saves two passes at the cost of exact
-    ntile semantics. The anchor date is a model-sized collected
-    literal."""
+    customer-grain frame — which still scales with the data, so no
+    quintile may use a customer-grain single-partition window. The
+    three measures split by value cardinality: recency is
+    CALENDAR-bounded and frequency ORDER-COUNT-bounded, so their
+    quintiles use operators/indexing.exact_ntile_bounded (cumulative
+    offsets over the bounded value-grain frame + a value-partitioned
+    row_number — one broadcast join each, no checkpoint); monetary is
+    effectively customer-grain, so it takes the full two-pass
+    exact_ntile. Customer count is counted ONCE and shared. The
+    approximate alternative (quintile EDGES from approx_percentile in
+    a literal comparison chain, the psi_acctbal_drift shape) saves
+    passes at the cost of exact ntile semantics. The anchor date is a
+    model-sized collected literal."""
     from parcel_analytics_etl_notebook_spark.operators.indexing import (
         exact_ntile,
+        exact_ntile_bounded,
     )
 
     orders = table(spark, sf_dir, "orders")
@@ -197,18 +202,21 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()  # three ntile passes + the count read this frame
     n_cust = cust.count()
     scored = exact_ntile(
-        exact_ntile(
-            exact_ntile(
+        exact_ntile_bounded(
+            exact_ntile_bounded(
                 cust,
-                ["recency", "o_custkey"],
+                "recency",
+                ["o_custkey"],
                 5,
                 out_col="r_score",
                 total=n_cust,
             ),
-            [F.col("frequency").desc(), "o_custkey"],
+            "frequency",
+            ["o_custkey"],
             5,
             out_col="f_score",
             total=n_cust,
+            descending=True,
         ),
         [F.col("monetary").desc(), "o_custkey"],
         5,
