@@ -5,25 +5,132 @@ PARTITION BY — forces every row through ONE task (Spark plans a global
 Window after a total sort, with no partition key to parallelize on).
 Fine at 60k rows, fatal at 100 TB.
 
-The scalable form here is the classic two-pass construction:
+Two scalable constructions live here; the operators pick automatically:
 
-1. range-repartition + sort within partitions on the total order
-   (this is exactly what a global ``orderBy`` does — parallel);
-2. count rows per partition (a tiny per-partition aggregate — the only
-   extra action) and prefix-sum the counts on the driver;
-3. global index = partition offset + per-partition ``row_number``
-   (window PARTITIONED by ``spark_partition_id()`` — parallel).
+**Literal-boundary bucketing (preferred).** One tiny
+``percentile_approx`` aggregate yields ~``num_partitions`` boundary
+LITERALS for the leading (numeric/date/timestamp) order column. Each
+row's bucket is then a PURE FUNCTION of its own values — deterministic
+across jobs and executor failures with no checkpoint — so the
+construction is: bucket counts (small aggregate, map-side partials) →
+explode-based prefix fold (lazy, no collect, no single-partition
+window) → global index = bucket offset + ``row_number`` over a window
+PARTITIONED by bucket (fully parallel). Equal rows share a
+bucket (boundaries compare strictly), so within-bucket tiebreak order
+composes into the exact total order. Boundary accuracy only affects
+bucket BALANCE, never correctness; a single hot value concentrates its
+ties into one bucket (same skew profile as any range partitioning on
+ties).
 
-Cost: one extra, trivially small pass for the counts. Every heavy step
-is fully parallel. The result equals the single-task form row-for-row
-whenever ``order_cols`` is a total order (enforce uniqueness via a
-tiebreak column, same rule as every dedup/top-k in this engine).
+**Range-repartition two-pass (fallback).** For non-numeric leading
+order columns: ``repartitionByRange`` + ``localCheckpoint`` (range
+sampling is order-sensitive, so the assignment must be frozen before
+the counts pass reads it — on a cluster where executor loss matters,
+swap in reliable ``checkpoint()``), then the same
+counts → offsets → partitioned ``row_number`` assembly keyed on
+``spark_partition_id()``.
+
+Both equal the single-task form row-for-row whenever ``order_cols`` is
+a total order (enforce uniqueness via a tiebreak column, same rule as
+every dedup/top-k in this engine).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_NUMERIC_DTYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def _bucket_sort_key(df: DataFrame, col_name: str) -> Column | None:
+    """A double-valued, order-preserving sort key for ``col_name``, or
+    None when the column can't drive literal-boundary bucketing
+    (strings, arrays, missing)."""
+    dt = dict(df.dtypes).get(col_name)
+    if dt is None:
+        return None
+    if dt == "date":
+        return F.unix_date(F.col(col_name)).cast("double")
+    if dt.startswith("timestamp"):
+        # zone-free, monotone NON-DECREASING to the second (NTZ can't
+        # cast to double, and LTZ casts aren't monotone across DST) —
+        # sub-second ties just share a bucket, which bucketing allows
+        c = F.col(col_name)
+        return (
+            F.unix_date(F.to_date(c)).cast("double") * 86400.0
+            + F.hour(c) * 3600.0
+            + F.minute(c) * 60.0
+            + F.second(c)
+        )
+    if dt in _NUMERIC_DTYPES or dt.startswith("decimal"):
+        return F.col(col_name).cast("double")
+    return None
+
+
+def _bucketed(
+    df: DataFrame,
+    order_cols: list,
+    n: int,
+    boundaries: list[float] | None = None,
+) -> tuple[DataFrame, int] | None:
+    """Tag each row with ``__pid`` = its literal-boundary bucket on the
+    leading order column, or None when the fast path is ineligible
+    (leading order entry not a plain numeric/date/timestamp column
+    name). Costs ONE tiny aggregate action for the boundaries — or
+    ZERO when the caller supplies ``boundaries`` (any ascending-sorted
+    cut points on the SORT-KEY scale; only bucket balance depends on
+    their quality, never correctness). Callers computing several
+    indexes over one frame should batch all boundary sets into one
+    aggregate (see spearman_spend_balance / rfm_segmentation).
+
+    NULL keys bucket to -1, matching ascending NULLS FIRST — callers
+    ordering descending must pre-negate the key column (the engine
+    convention, see token_batch_packing / rfm_segmentation)."""
+    if not order_cols or not isinstance(order_cols[0], str):
+        return None
+    if n > 256:
+        # the unrolled boundary-comparison expression grows O(n); past
+        # a few hundred terms plan size/codegen outweigh the checkpoint
+        # the fallback path spends (a two-level coarse→fine bucket
+        # lookup would lift this — not needed at current scales)
+        return None
+    key = _bucket_sort_key(df, order_cols[0])
+    if key is None:
+        return None
+    if boundaries is None:
+        probs = [i / n for i in range(1, n)]
+        row = df.agg(
+            F.percentile_approx(key, probs, 1000).alias("bs")
+        ).first()
+        boundaries = row["bs"] or []
+    bs = sorted({float(b) for b in boundaries if b is not None})
+    # materialize the key ONCE into a column before the boundary
+    # comparisons: inlining it repeats the (date-math) key expression
+    # per boundary — measured 3× slower. The unrolled sum of boolean
+    # casts (vs a higher-order aggregate lambda, interpreted per row)
+    # keeps the comparisons inside whole-stage codegen.
+    kc = F.col("__key")
+    if not bs:
+        bucket = F.when(kc.isNull(), F.lit(-1)).otherwise(F.lit(0))
+    else:
+        strictly_less = sum(
+            ((kc > F.lit(b)).cast("int") for b in bs), F.lit(0)
+        )
+        bucket = F.when(kc.isNull(), F.lit(-1)).otherwise(strictly_less)
+    # persist the TAGGED frame: the cache is an optimizer barrier, so
+    # the inner join's inferred isnotnull(__pid) null-filter references
+    # the stored column — without it, predicate pushdown INLINES the
+    # whole n-comparison bucket expression into a per-row Filter below
+    # the projection (measured 3.6× on orders_global_index). Both the
+    # offsets subtree and the consumer read this one materialization.
+    tagged = (
+        df.withColumn("__key", key)
+        .withColumn("__pid", bucket)
+        .drop("__key")
+        .persist()
+    )
+    return tagged, len(bs)
 
 
 def stable_global_index(
@@ -31,27 +138,54 @@ def stable_global_index(
     order_cols: list[str],
     out_col: str = "global_idx",
     num_partitions: int | None = None,
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """Add a 1-based dense global index following ``order_cols``.
 
     ``order_cols`` must be a total order (unique tiebreak included) or
     the assignment within ties is partition-dependent.
 
-    The pid-tagged frame is localCheckpoint'ed (materialized) before
+    Numeric/date/timestamp leading order column → the literal-boundary
+    bucketing path (module docstring): no checkpoint, bucket assignment
+    recomputation-safe. Otherwise the range-repartition fallback, where
+    the pid-tagged frame is localCheckpoint'ed (materialized) before
     the counts pass: the counts job and the final indexing job MUST see
     the same partition assignment, and a re-executed repartitionByRange
-    can sample different range boundaries per job. On a cluster where
-    executor loss matters, swap in reliable ``checkpoint()``.
+    can sample different range boundaries per job.
     """
     if not order_cols:
         raise ValueError("order_cols must name at least one column")
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    bucketed = _bucketed(df, order_cols, n, boundaries)
+    if bucketed is not None:
+        # relational offsets: no driver collect, no extra action — the
+        # explode-based prefix fold over the bucket-grain counts frame,
+        # broadcast back (left join: the minimum bucket has no row)
+        with_pid, max_pid = bucketed
+        off = _bucket_offsets(
+            with_pid,
+            [F.count(F.lit(1)).cast("bigint").alias("__off")],
+            max_pid,
+        )
+        return (
+            with_pid.join(off, "__pid", "left")
+            .withColumn(
+                # widen BEFORE adding: int32 row_number wraps negative
+                # past 2^31 rows under non-ANSI arithmetic — the exact
+                # scale this operator exists for
+                out_col,
+                F.coalesce(F.col("__off"), F.lit(0).cast("bigint"))
+                + F.row_number().over(w).cast("bigint"),
+            )
+            .drop("__pid", "__off")
+        )
+
     with_pid = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint()
     )
-
     counts = {
         r["__pid"]: r["cnt"]
         for r in with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -62,15 +196,40 @@ def stable_global_index(
         offsets[pid] = running
         running += counts[pid]
 
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
     indexed = _attach_offset(with_pid, offsets).withColumn(
-        # widen BEFORE adding: int32 __off + int32 row_number wraps
-        # negative past 2^31 rows under non-ANSI arithmetic — the exact
-        # scale this operator exists for
         out_col,
         F.col("__off").cast("bigint") + F.row_number().over(w).cast("bigint"),
     )
     return indexed.drop("__pid", "__off")
+
+
+def _bucket_offsets(
+    with_pid: DataFrame, aggs: list, max_pid: int
+) -> DataFrame:
+    """(__pid, <agg outputs>) where each output is the exclusive prefix
+    fold of that aggregate over buckets in ``__pid`` order — WITHOUT a
+    single-partition window (the indexing operators' defining
+    invariant, fenced by tests/test_scale_hygiene): bucket ids are
+    dense literals in [-1, max_pid], so each bucket's subtotal
+    ``sequence``-explodes to every LATER bucket id and a plain hash
+    aggregate sums the contributions. O(buckets²) ≤ 66k intermediate
+    rows at the 256-bucket cap — model-sized. Lazy (no collect, no
+    extra action) and broadcast-hinted; buckets with no predecessor
+    (the minimum present id) emit NO row, so consumers LEFT-join and
+    coalesce to typed zero."""
+    tot = with_pid.groupBy("__pid").agg(*aggs)
+    names = [c for c in tot.columns if c != "__pid"]
+    dtypes = dict(tot.dtypes)
+    later = F.when(
+        F.col("__pid") < max_pid,
+        F.sequence(F.col("__pid") + 1, F.lit(max_pid)),
+    ).otherwise(F.array().cast("array<int>"))
+    contrib = tot.select(F.explode(later).alias("__pid"), *names)
+    return F.broadcast(
+        contrib.groupBy("__pid").agg(
+            *[F.sum(c).cast(dtypes[c]).alias(c) for c in names]
+        )
+    )
 
 
 #: above this many partitions, pid→offset switches from a literal
@@ -110,6 +269,7 @@ def global_running_sum(
     sum_col: str,
     out_col: str = "running_sum",
     num_partitions: int | None = None,
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """Inclusive global running sum of ``sum_col`` over the total order
     ``order_cols`` — without the single-task global Window.
@@ -127,6 +287,25 @@ def global_running_sum(
     if not order_cols:
         raise ValueError("order_cols must name at least one column")
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(sum_col).cast("double")).over(w)
+    bucketed = _bucketed(df, order_cols, n, boundaries)
+    if bucketed is not None:
+        with_pid, max_pid = bucketed
+        off = _bucket_offsets(
+            with_pid,
+            [F.sum(F.col(sum_col).cast("double")).alias("__off")],
+            max_pid,
+        )
+        return (
+            with_pid.join(off, "__pid", "left")
+            .withColumn(out_col, F.coalesce(F.col("__off"), F.lit(0.0)) + cum)
+            .drop("__pid", "__off")
+        )
     with_pid = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
@@ -143,17 +322,9 @@ def global_running_sum(
     for pid in sorted(subtotals):
         offsets[pid] = running
         running += subtotals[pid] or 0
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
         _attach_offset(with_pid, offsets)
-        .withColumn(
-            out_col,
-            (F.col("__off") + F.sum(F.col(sum_col).cast("double")).over(w)),
-        )
+        .withColumn(out_col, F.col("__off") + cum)
         .drop("__pid", "__off")
     )
 
@@ -164,6 +335,7 @@ def global_running_sums(
     sum_cols: list[str],
     out_cols: list[str] | None = None,
     num_partitions: int | None = None,
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """Inclusive global running sums of SEVERAL measures over one total
     order — the multi-measure sibling of :func:`global_running_sum`,
@@ -183,10 +355,31 @@ def global_running_sums(
     if len(out_cols) != len(sum_cols):
         raise ValueError("out_cols must match sum_cols")
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bucketed = _bucketed(df, order_cols, n, boundaries)
+    if bucketed is not None:
+        with_pid, max_pid = bucketed
+        off = _bucket_offsets(
+            with_pid,
+            [F.sum(F.col(c)).alias(f"__off_{c}") for c in sum_cols],
+            max_pid,
+        )
+        res = with_pid.join(off, "__pid", "left")
+        for c, oc in zip(sum_cols, out_cols):
+            res = res.withColumn(
+                oc,
+                F.coalesce(F.col(f"__off_{c}"), F.lit(0))
+                + F.sum(F.col(c)).over(w),
+            )
+        return res.drop("__pid", *[f"__off_{c}" for c in sum_cols])
     with_pid = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()  # subtotals and cumsum must see ONE assignment
+        .localCheckpoint()  # subtotals/cumsum must see ONE assignment
     )
     rows = (
         with_pid.groupBy("__pid")
@@ -200,11 +393,6 @@ def global_running_sums(
         offsets[pid] = list(running)
         for i, v in enumerate(subtot[pid]):
             running[i] += v or 0
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     res = with_pid
     for i, (c, oc) in enumerate(zip(sum_cols, out_cols)):
         off_map = F.create_map(
@@ -291,6 +479,7 @@ def exact_ntile(
     out_col: str = "bucket",
     total: int | None = None,
     num_partitions: int | None = None,
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """``ntile(n_buckets)`` over a TOTAL order (unique tiebreak
     required) without the single-partition global window.
@@ -310,7 +499,11 @@ def exact_ntile(
     if total is None:
         total = df.count()
     idx = stable_global_index(
-        df, order_cols, out_col="__rn", num_partitions=num_partitions
+        df,
+        order_cols,
+        out_col="__rn",
+        num_partitions=num_partitions,
+        boundaries=boundaries,
     )
     return idx.withColumn(
         out_col,

@@ -1102,16 +1102,17 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     passage guarantees a shared fingerprint, which is why it is the
     standard detector for quotation/containment and template reuse.
 
-    Scale shape: everything is per-row array math until the explode;
-    the sliding minimum is a doc-partitioned trailing window (rows
-    between -(W-1) and 0) over the exploded (doc, pos, hash) frame —
-    one shuffle on doc_id, never a global window. Short docs
-    (< W shingles but ≥ 1) contribute their single full-array min
-    (pos+1 ≥ least(W, n) keeps exactly the full windows and that
-    degenerate case). The fingerprint index is df-capped at
-    _WINNOW_MAX_DF (64) before the self-join (drop_hot_shingles
-    rationale), so candidate volume is Σ df² over kept fingerprints —
-    bucketed, never all-pairs."""
+    Scale shape: the sliding minimum never leaves the row — W = 4 is
+    a constant, so each window min is ``least`` of 4 adjacent array
+    elements inside a ``transform``, and distinct fingerprints come
+    from ``array_distinct`` BEFORE the explode (the only shuffle-bound
+    frame is the already-deduped (doc, fingerprint) index; the earlier
+    explode→doc-partitioned-window form shuffled every shingle
+    position on doc_id first). Short docs (< W shingles but ≥ 1)
+    contribute their single full-array min. The fingerprint index is
+    df-capped at _WINNOW_MAX_DF (64) before the self-join
+    (drop_hot_shingles rationale), so candidate volume is Σ df² over
+    kept fingerprints — bucketed, never all-pairs."""
     from parcel_analytics_etl_notebook_spark.functions.textfns import tokens
     from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
         drop_hot_shingles,
@@ -1127,26 +1128,14 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = th.select(
         "doc_id", shingle_hashes_from_tokens(F.col("th"), 3).alias("sh")
     ).filter(F.size("sh") > 0)
-    ex = sh.select(
-        "doc_id",
-        F.size("sh").alias("n"),
-        F.posexplode("sh").alias("pos0", "h"),
+    trailing = ", ".join(f"sh[i-{d}]" for d in range(1, _WINNOW_W))
+    wins = F.expr(
+        f"CASE WHEN size(sh) < {_WINNOW_W} THEN array(array_min(sh)) "
+        f"ELSE transform(sequence({_WINNOW_W - 1}, size(sh)-1), "
+        f"i -> least(sh[i], {trailing})) END"
     )
-    wdoc = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos0")
-        .rowsBetween(-(_WINNOW_W - 1), 0)
-    )
-    fp = (
-        ex.select(
-            "doc_id",
-            "n",
-            (F.col("pos0") + 1).alias("pos"),
-            F.min("h").over(wdoc).alias("f"),
-        )
-        .filter(F.col("pos") >= F.least(F.lit(_WINNOW_W), F.col("n")))
-        .select("doc_id", "f")
-        .distinct()
+    fp = sh.select(
+        "doc_id", F.explode(F.array_distinct(wins)).alias("f")
     )
     capped = drop_hot_shingles(fp, shingle_col="f", max_df=_WINNOW_MAX_DF)
     a, b = capped.alias("a"), capped.alias("b")

@@ -175,17 +175,19 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one groupBy(custkey) reduces orders to the
     customer-grain frame — which still scales with the data, so no
     quintile may use a customer-grain single-partition window. The
-    three measures split by value cardinality: recency is
-    CALENDAR-bounded and frequency ORDER-COUNT-bounded, so their
-    quintiles use operators/indexing.exact_ntile_bounded (cumulative
-    offsets over the bounded value-grain frame + a value-partitioned
-    row_number — one broadcast join each, no checkpoint); monetary is
-    effectively customer-grain, so it takes the full two-pass
-    exact_ntile. Customer count is counted ONCE and shared. The
-    approximate alternative (quintile EDGES from approx_percentile in
-    a literal comparison chain, the psi_acctbal_drift shape) saves
-    passes at the cost of exact ntile semantics. The anchor date is a
-    model-sized collected literal."""
+    three quintile maps are computed FLAT off the one persisted
+    customer frame and hash-joined back on custkey — chaining them
+    (each ntile consuming the previous ntile's un-persisted output)
+    recomputes every earlier layer in each later layer's offsets
+    subtree, compounding per layer. Recency is CALENDAR-bounded and
+    frequency ORDER-COUNT-bounded, so those use
+    operators/indexing.exact_ntile_bounded (value-grain offsets +
+    value-partitioned row_number, zero extra actions with the shared
+    count); monetary is customer-grain, so it takes the full
+    distributed exact_ntile over the negated column (monetary DESC ≡
+    −monetary ASC — negation is exact for doubles, and a plain
+    ascending numeric column keeps the literal-boundary fast path
+    eligible). The anchor date is a model-sized collected literal."""
     from parcel_analytics_etl_notebook_spark.operators.indexing import (
         exact_ntile,
         exact_ntile_bounded,
@@ -200,29 +202,44 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     ).persist()  # three ntile passes + the count read this frame
-    n_cust = cust.count()
-    scored = exact_ntile(
-        exact_ntile_bounded(
-            exact_ntile_bounded(
-                cust,
-                "recency",
-                ["o_custkey"],
-                5,
-                out_col="r_score",
-                total=n_cust,
-            ),
-            "frequency",
-            ["o_custkey"],
-            5,
-            out_col="f_score",
-            total=n_cust,
-            descending=True,
+    # one action: the shared customer count AND monetary bucket
+    # boundaries (negated below — monetary ntile orders on −monetary)
+    crow = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(
+            F.col("monetary"), [i / 32 for i in range(1, 32)], 1000
+        ).alias("mb"),
+    ).first()
+    n_cust = crow["n"]
+    neg_bounds = sorted(-b for b in (crow["mb"] or []) if b is not None)
+    r = exact_ntile_bounded(
+        cust.select("o_custkey", "recency"),
+        "recency",
+        ["o_custkey"],
+        5,
+        out_col="r_score",
+        total=n_cust,
+    ).select("o_custkey", "r_score")
+    f = exact_ntile_bounded(
+        cust.select("o_custkey", "frequency"),
+        "frequency",
+        ["o_custkey"],
+        5,
+        out_col="f_score",
+        total=n_cust,
+        descending=True,
+    ).select("o_custkey", "f_score")
+    m = exact_ntile(
+        cust.select(
+            "o_custkey", "monetary", (-F.col("monetary")).alias("__neg_mon")
         ),
-        [F.col("monetary").desc(), "o_custkey"],
+        ["__neg_mon", "o_custkey"],
         5,
         out_col="m_score",
         total=n_cust,
-    ).select(
+        boundaries=neg_bounds,
+    ).select("o_custkey", "m_score", "monetary")
+    scored = m.join(r, "o_custkey").join(f, "o_custkey").select(
         "r_score",
         "f_score",
         "m_score",

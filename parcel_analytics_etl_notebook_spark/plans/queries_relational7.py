@@ -459,6 +459,16 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate": "CAST(to_date({0}) AS STRING)",
         "o_orderpriority": "{0}",
     }
+    cols = list(renderers)
+    # Two split passes instead of one agg with 6 count_distincts: the
+    # fused form plans an Expand (7× row multiplication — one replica
+    # per distinct-aggregate grouping set) feeding THREE SortAggregate
+    # phases. Split, each side stays hash-friendly: (a) the no-distinct
+    # profile is one scan with partial aggregation; (b) distinct counts
+    # unpivot to (col_name, raw-value string) — injective per type:
+    # Spark renders doubles shortest-roundtrip — and run two hash
+    # aggregates with map-side partials. Same single-scan-per-pass
+    # shape at 100 TB, minus the 7× intermediate.
     a = o.agg(
         F.count(F.lit(1)).alias("n_rows"),
         *[
@@ -468,29 +478,46 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col(cname).isNull().cast("long")).alias(
                     f"__nn_{cname}"
                 ),
-                F.count_distinct(F.col(cname)).alias(f"__nd_{cname}"),
                 F.min(cname).alias(f"__mn_{cname}"),
                 F.max(cname).alias(f"__mx_{cname}"),
             ]
         ],
     )
+    unpivot_args = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in cols
+    )
+    nd = (
+        o.select(
+            F.expr(
+                f"stack({len(cols)}, {unpivot_args}) AS (col_name, val)"
+            )
+        )
+        .filter(F.col("val").isNotNull())
+        .groupBy("col_name", "val")
+        .agg(F.lit(1))
+        .groupBy("col_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
+    )
     stack_args = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}, "
+        f"'{c}', __nn_{c}, "
         f"{r.format(f'__mn_{c}')}, {r.format(f'__mx_{c}')}"
         for c, r in renderers.items()
     )
-    cols = list(renderers)
-    return a.select(
+    base = a.select(
         F.expr(
             f"stack({len(cols)}, {stack_args}) AS "
-            "(col_name, n_nulls, n_distinct, min_value, max_value)"
+            "(col_name, n_nulls, min_value, max_value)"
         ),
         "n_rows",
-    ).select(
+    )
+    return base.join(F.broadcast(nd), "col_name", "left").select(
         "col_name",
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("n_nulls").cast("bigint").alias("n_nulls"),
-        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        # left join + 0: an all-NULL column has no distinct-count row
+        F.coalesce("n_distinct", F.lit(0)).cast("bigint").alias(
+            "n_distinct"
+        ),
         "min_value",
         "max_value",
     ).orderBy("col_name")

@@ -425,13 +425,25 @@ def spearman_spend_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_acctbal")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .persist()  # read by both rank-map builds AND both final joins
     )
+    # ONE aggregate supplies both dimensions' bucket boundaries (the
+    # operator would otherwise spend a percentile action each); the
+    # row-grain percentiles are fine cut points for the value-grain
+    # rank frames — boundary quality only affects bucket balance
+    probs = [i / 32 for i in range(1, 32)]
+    brow = pts.agg(
+        F.percentile_approx(F.col("spend").cast("double"), probs, 1000).alias("s"),
+        F.percentile_approx(F.col("c_acctbal").cast("double"), probs, 1000).alias("b"),
+    ).first()
 
-    def frac_rank_map(col: str, out: str) -> DataFrame:
+    def frac_rank_map(col: str, out: str, bounds) -> DataFrame:
         grp = pts.groupBy(col).agg(
             F.count(F.lit(1)).cast("bigint").alias("__cnt")
         )
-        run = global_running_sum(grp, [col], "__cnt", out_col="__cum")
+        run = global_running_sum(
+            grp, [col], "__cnt", out_col="__cum", boundaries=bounds
+        )
         return run.select(
             col,
             (
@@ -441,8 +453,10 @@ def spearman_spend_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ranked = (
-        pts.join(frac_rank_map("spend", "r_spend"), on="spend")
-        .join(frac_rank_map("c_acctbal", "r_bal"), on="c_acctbal")
+        pts.join(frac_rank_map("spend", "r_spend", brow["s"]), on="spend")
+        .join(
+            frac_rank_map("c_acctbal", "r_bal", brow["b"]), on="c_acctbal"
+        )
         .select("r_spend", "r_bal")
     )
     return ranked.agg(

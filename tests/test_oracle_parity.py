@@ -28,9 +28,15 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert res.ok, "\n".join(res.problems)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, sf_dir, name):
-    """Non-SQL-expressible queries still must run and return a schema."""
-    df = QUERIES[name](spark, sf_dir)
-    assert df.columns
-    df.limit(5).collect()
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+if ROWS_ONLY:  # empty since r03 (every query oracled) — an empty
+    # parametrize would register one permanent SKIP, muddying `-rs`
+
+    @pytest.mark.parametrize("name", ROWS_ONLY)
+    def test_rows_only_queries_run(spark, sf_dir, name):
+        """Non-SQL-expressible queries still must run and return a
+        schema."""
+        df = QUERIES[name](spark, sf_dir)
+        assert df.columns
+        df.limit(5).collect()

@@ -332,11 +332,18 @@ def test_ri_audit_join_shapes(spark):
 
 
 def test_table_profile_single_aggregate(spark):
-    """The 6-column profile must be ONE aggregate over one scan — no
-    per-column jobs (the reference issued 4 actions per checkpoint)."""
+    """The 6-column profile runs as TWO fused passes — the no-distinct
+    profile (one scan, partial-combining aggregate) plus one unpivoted
+    distinct-count pass — never per-column jobs (the reference issued 4
+    actions per checkpoint) and never the fused multi-distinct Expand
+    (7× row replication into SortAggregate phases)."""
     p = plan_of(spark, "table_profile_orders")
-    assert p.count("Location: InMemoryFileIndex") == 1  # one scan node
-    assert "Expand" in p  # the multi-distinct rewrite, not per-column jobs
+    assert p.count("Location: InMemoryFileIndex") == 2  # two scans, not 6+
+    assert "Expand" not in p  # split passes, not the 7× multi-distinct
+    # the distinct-count pass hash-aggregates with map-side partials
+    # (string min/max buffers force the profile pass's GLOBAL aggregate
+    # to the SortAggregate exec — keyless, so nothing actually sorts)
+    assert "HashAggregate" in p
 
 
 # Queries whose physical plan LEGITIMATELY contains a nested-loop /

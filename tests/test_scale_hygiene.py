@@ -264,6 +264,7 @@ BOUNDED_WINDOW_OK = {
     "mutual_information_type_dow": "window-fold over the type×dow contingency cells",
     "psi_acctbal_drift": "window-fold over the 10-bin counts frame",
     "randomization_test_acctbal": "extremity window over the 200 permutation means (bounded by K)",
+    "rfm_segmentation": "exact_ntile_bounded value-grain folds: recency is calendar-bounded, frequency order-count-bounded (monetary takes the full distributed exact_ntile)",
     "roc_auc_embedding_dim": "cumulative window over 6dp-rounded distinct scores (≤2M values)",
     "session_entry_exit_stats": "window-fold over the event-type-grain rollup",
 }
