@@ -86,6 +86,18 @@ def main() -> None:
     for t in TESTDATA_TABLES:
         catalog.table(spark, sf_dir, t).count()
 
+    # Host calibration: per-action scheduling overhead (median of 20
+    # trivial jobs). Short-query walls at small SF are dominated by this
+    # fixed cost, and it varies SEVERALFOLD across rounds on shared
+    # hosts — cross-round per-query comparisons should normalize by it
+    # before calling a ratio a regression.
+    cal = []
+    for _ in range(20):
+        c0 = time.perf_counter()
+        spark.range(1).count()
+        cal.append(time.perf_counter() - c0)
+    action_overhead_ms = round(sorted(cal)[len(cal) // 2] * 1000, 1)
+
     timings: dict[str, float] = {}
     for name in sorted(qs):
         t0 = time.perf_counter()
@@ -99,7 +111,8 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     here = os.path.dirname(os.path.abspath(__file__))
     detail = {"metric": "catalog_total_wall", "value": total, "unit": "sec",
-              "queries": timings, "sf": sf, "n_queries": len(timings)}
+              "queries": timings, "sf": sf, "n_queries": len(timings),
+              "action_overhead_ms": action_overhead_ms}
     # stable name (latest) PLUS a per-round snapshot so per-query
     # regressions diff across rounds without git archaeology (ADVICE
     # r03 #8): the round number is 1 + the highest driver-recorded
@@ -134,6 +147,7 @@ def main() -> None:
                 "sf": sf,
                 "headline_total_sec": round(sum(headline.values()), 2),
                 "catalog_n": len(timings),
+                "action_overhead_ms": action_overhead_ms,
             },
             separators=(",", ":"),
         )

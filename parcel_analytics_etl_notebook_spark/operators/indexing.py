@@ -408,6 +408,57 @@ def global_running_sums(
     return res.drop("__pid")
 
 
+def global_frac_rank(
+    df: DataFrame,
+    value_col: str,
+    out_col: str = "frac_rank",
+    num_partitions: int | None = None,
+    boundaries: list[float] | None = None,
+) -> DataFrame:
+    """Average (fractional) rank of each row's ``value_col`` over the
+    whole frame — ``lo + (cnt + 1) / 2`` where ``lo`` = rows strictly
+    below and ``cnt`` = rows tied — the tie-aware rank Spearman/ECDF
+    statistics need, WITHOUT the single-task global window and WITHOUT
+    the value-grain groupBy + join-back the rank-map composition
+    spends. NULL values rank first (below every non-null), matching
+    ascending NULLS FIRST.
+
+    One exchange on the literal-boundary bucket (a pure function of
+    the row's own value — every tie lands in one bucket, so in-bucket
+    ``rank() - 1`` is the within-bucket strict-below count and a
+    (bucket, value)-partitioned ``count`` is the global tie count),
+    plus the explode-based prefix offsets broadcast back. Critical
+    path: tag → one shuffle → two windows sharing that partitioning.
+
+    Requires a numeric/date/timestamp ``value_col`` (the
+    literal-boundary eligibility rule); composes with caller-batched
+    ``boundaries`` like the other operators here.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    bucketed = _bucketed(df, [value_col], n, boundaries)
+    if bucketed is None:
+        raise ValueError(
+            f"global_frac_rank needs a numeric/date/timestamp column, "
+            f"got {dict(df.dtypes).get(value_col)!r} for {value_col!r}"
+        )
+    with_pid, max_pid = bucketed
+    off = _bucket_offsets(
+        with_pid, [F.count(F.lit(1)).cast("bigint").alias("__off")], max_pid
+    )
+    w_rank = Window.partitionBy("__pid").orderBy(value_col)
+    w_tie = Window.partitionBy("__pid", value_col)
+    return (
+        with_pid.join(off, "__pid", "left")
+        .withColumn(
+            out_col,
+            F.coalesce(F.col("__off"), F.lit(0).cast("bigint"))
+            + (F.rank().over(w_rank).cast("bigint") - F.lit(1))
+            + (F.count(F.lit(1)).over(w_tie).cast("double") + 1.0) / 2.0,
+        )
+        .drop("__pid", "__off")
+    )
+
+
 def _ntile_bucket_expr(rank_col: str, total: int, n_buckets: int) -> str:
     """ntile's documented bucket arithmetic as a SQL expression over a
     1-based global rank column: the first ``total % n`` buckets take

@@ -1134,9 +1134,16 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ELSE transform(sequence({_WINNOW_W - 1}, size(sh)-1), "
         f"i -> least(sh[i], {trailing})) END"
     )
+    # persist the fingerprint index: the tokenize→hash→shingle→winnow
+    # pipeline above is the expensive part (pure per-row array math
+    # over the full corpus text), and WITHOUT the cache it recomputes
+    # up to 4× — under the df-cap count, and under BOTH sides of the
+    # self-join. The index is (doc_id, int64) — a small fraction of
+    # the text it derives from, the standard signature-persist shape
+    # (minhash_jaccard_error rationale).
     fp = sh.select(
         "doc_id", F.explode(F.array_distinct(wins)).alias("f")
-    )
+    ).persist()
     capped = drop_hot_shingles(fp, shingle_col="f", max_df=_WINNOW_MAX_DF)
     a, b = capped.alias("a"), capped.alias("b")
     return (

@@ -187,31 +187,37 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed exact_ntile over the negated column (monetary DESC ≡
     −monetary ASC — negation is exact for doubles, and a plain
     ascending numeric column keeps the literal-boundary fast path
-    eligible). The anchor date is a model-sized collected literal."""
+    eligible). The anchor date is max(last_order) OVER customers, so
+    it rides the same single action as the count and the monetary
+    boundaries — no separate full-orders scan — and recency is a
+    projection off the persisted customer frame."""
     from parcel_analytics_etl_notebook_spark.operators.indexing import (
         exact_ntile,
         exact_ntile_bounded,
     )
 
     orders = table(spark, sf_dir, "orders")
-    anchor = orders.agg(F.max(F.col("o_orderdate").cast("date"))).head()[0]
-    cust = orders.groupBy("o_custkey").agg(
-        F.datediff(
-            F.lit(anchor), F.max(F.col("o_orderdate").cast("date"))
-        ).alias("recency"),
+    base = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("__lastd"),
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
-    ).persist()  # three ntile passes + the count read this frame
-    # one action: the shared customer count AND monetary bucket
-    # boundaries (negated below — monetary ntile orders on −monetary)
-    crow = cust.agg(
+    ).persist()  # three ntile passes + the shared action read this frame
+    # ONE action: shared customer count, monetary bucket boundaries
+    # (negated below — monetary ntile orders on −monetary), AND the
+    # anchor date (= max last-order over customers, saving the separate
+    # full-orders scan the collected-literal form spent)
+    crow = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.percentile_approx(
             F.col("monetary"), [i / 32 for i in range(1, 32)], 1000
         ).alias("mb"),
+        F.max("__lastd").alias("anchor"),
     ).first()
     n_cust = crow["n"]
     neg_bounds = sorted(-b for b in (crow["mb"] or []) if b is not None)
+    cust = base.withColumn(
+        "recency", F.datediff(F.lit(crow["anchor"]), F.col("__lastd"))
+    )
     r = exact_ntile_bounded(
         cust.select("o_custkey", "recency"),
         "recency",

@@ -404,19 +404,19 @@ def spearman_spend_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pearson is outlier-dominated.
 
     Scale: fully distributed — NO single-partition window anywhere
-    (VERDICT r03 #3). Each dimension's tie-averaged rank is computed
-    at VALUE grain: group to (value, cnt), two-pass distributed
-    running sum of cnt over the value order
-    (operators/indexing.global_running_sum — range partition,
-    per-partition subtotals, driver prefix-sum of the ≤cores
-    subtotals, partition-local cumsum), then
-    avg_rank = cum − cnt + (cnt+1)/2, which equals the window form
-    (2·rank + ties − 1)/2 row-for-row. Rank maps join back to the
-    customer-grain frame as plain hash joins; corr() stays a one-pass
+    (VERDICT r03 #3). Each dimension's tie-averaged rank comes from
+    operators/indexing.global_frac_rank directly ON the customer-grain
+    rows: one shuffle on the dimension's literal-boundary bucket, an
+    in-bucket rank() window plus a (bucket, value) tie-count window
+    sharing that partitioning, and the broadcast bucket offsets —
+    no value-grain groupBy and no join-back (the rank-map composition
+    this replaced spent both per dimension). ONE up-front aggregate
+    supplies both dimensions' bucket boundaries (batched, so the
+    operators spend zero percentile actions); corr() stays a one-pass
     mergeable aggregate. Ranks are exact rationals (.0/.5) so the only
     float rounding is in corr itself, rounded to 4dp both sides."""
     from parcel_analytics_etl_notebook_spark.operators.indexing import (
-        global_running_sum,
+        global_frac_rank,
     )
 
     c = table(spark, sf_dir, "customer")
@@ -425,40 +425,22 @@ def spearman_spend_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_acctbal")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
-        .persist()  # read by both rank-map builds AND both final joins
+        .persist()  # read by the boundary action and the rank chain
     )
-    # ONE aggregate supplies both dimensions' bucket boundaries (the
-    # operator would otherwise spend a percentile action each); the
-    # row-grain percentiles are fine cut points for the value-grain
-    # rank frames — boundary quality only affects bucket balance
     probs = [i / 32 for i in range(1, 32)]
     brow = pts.agg(
         F.percentile_approx(F.col("spend").cast("double"), probs, 1000).alias("s"),
         F.percentile_approx(F.col("c_acctbal").cast("double"), probs, 1000).alias("b"),
     ).first()
 
-    def frac_rank_map(col: str, out: str, bounds) -> DataFrame:
-        grp = pts.groupBy(col).agg(
-            F.count(F.lit(1)).cast("bigint").alias("__cnt")
-        )
-        run = global_running_sum(
-            grp, [col], "__cnt", out_col="__cum", boundaries=bounds
-        )
-        return run.select(
-            col,
-            (
-                F.col("__cum") - F.col("__cnt")
-                + (F.col("__cnt") + 1) / 2.0
-            ).alias(out),
-        )
-
-    ranked = (
-        pts.join(frac_rank_map("spend", "r_spend", brow["s"]), on="spend")
-        .join(
-            frac_rank_map("c_acctbal", "r_bal", brow["b"]), on="c_acctbal"
-        )
-        .select("r_spend", "r_bal")
-    )
+    ranked = global_frac_rank(
+        global_frac_rank(
+            pts, "spend", out_col="r_spend", boundaries=brow["s"]
+        ),
+        "c_acctbal",
+        out_col="r_bal",
+        boundaries=brow["b"],
+    ).select("r_spend", "r_bal")
     return ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(F.corr("r_spend", "r_bal"), 4).alias("spearman_rho"),

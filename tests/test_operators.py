@@ -527,6 +527,44 @@ def test_global_running_sum_equals_window(spark):
     assert got == want
 
 
+def test_global_frac_rank_equals_window_form(spark):
+    """global_frac_rank equals the tie-averaged window form
+    (rank + (rank + ties - 1)) / 2 row-for-row — heavy ties, nulls
+    (rank first), and caller-supplied boundaries included."""
+    from pyspark.sql import Window
+
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        global_frac_rank,
+    )
+
+    rows = [(i, float((i * 7) % 13) if i % 11 else None) for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    w = Window.orderBy(F.col("v").asc_nulls_first())
+    want = {
+        r["id"]: float(r["fr"])
+        for r in df.withColumn(
+            "fr",
+            (
+                F.rank().over(w) * 2
+                + F.count(F.lit(1)).over(Window.partitionBy("v"))
+                - 1
+            )
+            / 2.0,
+        ).collect()
+    }
+    for bounds in (None, [2.0, 5.0, 9.0]):
+        got = {
+            r["id"]: float(r["fr"])
+            for r in global_frac_rank(
+                df, "v", out_col="fr", num_partitions=5, boundaries=bounds
+            ).collect()
+        }
+        assert got == want
+
+    with pytest.raises(ValueError):
+        global_frac_rank(df.withColumn("s", F.lit("x")), "s")
+
+
 def test_offset_join_fallback_matches_literal_map(spark, monkeypatch):
     """stable_global_index with the broadcast-join offset path (forced
     by shrinking the literal-map threshold) equals the literal-map

@@ -353,7 +353,6 @@ def test_table_profile_single_aggregate(spark):
 # here must be justified the same way or replanned.
 NESTED_LOOP_ALLOWED = {
     # 1-row global-scalar cross joins (scalar-subquery pattern)
-    "daily_users_hll_sketch": "1-row global sketch joined to per-day rows",
     "event_date_bounds": "1-row min/max bounds joined back",
     "source_mixture_weights": "1-row corpus total for weight normalization",
     "vocab_growth_curve": "1-row vocab total per checkpoint set",

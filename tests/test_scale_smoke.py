@@ -334,3 +334,37 @@ def test_sketches_10m(spark, big_events):
     assert kmv.count() <= KMV_K
     elapsed = time.perf_counter() - t0
     assert elapsed < 240, f"sketch smoke too slow: {elapsed:.0f}s"
+
+
+def test_global_indexing_family_10m(big_events):
+    """The literal-boundary indexing family at 10M rows: a global index
+    over (value, event_id) — continuous leading key, heavy machinery —
+    and a fractional rank over the 100-distinct-value column (every
+    bucket one giant tie group, the skew extreme). Endpoint identities
+    pin correctness without a driver-side sort: max index == row count,
+    and the mean fractional rank of ANY frame is exactly (n + 1) / 2."""
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        global_frac_rank,
+        stable_global_index,
+    )
+
+    t0 = time.perf_counter()
+    idx = stable_global_index(
+        big_events.select("event_id", "value"),
+        ["value", "event_id"],
+        num_partitions=64,
+    )
+    row = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("global_idx").alias("mx"),
+        F.count_distinct("global_idx").alias("nd"),
+    ).head()
+    assert row["n"] == row["mx"] == row["nd"] == N
+
+    fr = global_frac_rank(
+        big_events.select("event_id", "value"), "value", out_col="fr"
+    )
+    mean_fr = fr.agg(F.avg("fr")).head()[0]
+    assert abs(mean_fr - (N + 1) / 2) < 1e-3, mean_fr
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 240, f"indexing smoke too slow: {elapsed:.0f}s"
