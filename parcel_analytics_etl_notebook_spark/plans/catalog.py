@@ -138,6 +138,7 @@ def _ensure_loaded() -> None:
         queries_relational12,
         queries_relational13,
         queries_relational14,
+        queries_relational15,
     )
 
     try:

@@ -1,0 +1,288 @@
+"""Batch 15 (relational): global percentile banding, weight-
+proportional systematic sampling, and NOT IN (null-aware anti join)
+semantics — three shapes the catalog exercised only in weaker forms.
+
+``customer_spend_distribution`` covers percent_rank/cume_dist WITHIN a
+segment (a partitioned window — trivially parallel); the GLOBAL
+percentile of a fact-scaling measure is the form that breaks at scale
+(single-partition window) and is closed here by
+operators/indexing.global_frac_rank. Sampling so far was unweighted
+systematic (``aqp_revenue_by_region``) or stratified-by-budget
+(``token_weighted_sample``); probability-proportional-to-size
+systematic sampling (Madow 1949) is the survey-sampling standard for
+monetary audits and rides the exact BIGINT distributed prefix sum.
+``NOT IN (subquery)`` has different NULL semantics than NOT EXISTS
+(one NULL in the inner set empties the result) and a different — and
+at scale DANGEROUS — physical plan; the engine-side query shows the
+scalable rewrite.
+
+Oracle-parity conventions as in plans/catalog.py: exact integer-cents
+algebra wherever float accumulation order could differ; integer
+(``div`` / ``//``) arithmetic for band and bucket assignment so no
+float boundary can straddle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parcel_analytics_etl_notebook_spark.plans.catalog import register, table
+
+
+# --------------------------------------------------------------------------
+# Global tie-aware percentile bands over customer spend
+# --------------------------------------------------------------------------
+@register(
+    "spend_global_percentile_bands",
+    oracle="""
+WITH cust AS (
+    SELECT o_custkey,
+           CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+r AS (
+    SELECT cents,
+           rank() OVER (ORDER BY cents) * 2
+             + count(*) OVER (PARTITION BY cents) - 1 AS t2,
+           count(*) OVER () AS n
+    FROM cust
+)
+SELECT CAST((t2 - 1) * 10 // (2 * n) AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(min(cents) / 100.0, 2) AS min_spend,
+       round(max(cents) / 100.0, 2) AS max_spend,
+       round(sum(cents) / (100.0 * count(*)), 4) AS avg_spend
+FROM r GROUP BY 1 ORDER BY band
+""",
+)
+def spend_global_percentile_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decile bands of the GLOBAL spend percentile: each customer's
+    tie-averaged rank over the whole corpus (avg rank = lo + (ties+1)/2
+    — the value every ECDF/percentile statistic wants under ties),
+    banded into 10 population deciles and profiled (count, min/max/avg
+    spend per band). The global twin of customer_spend_distribution's
+    within-segment percent_rank — the form that needs distributed rank
+    machinery instead of a partitioned window.
+
+    Band arithmetic stays in INTEGERS end to end: 2·frac_rank is an
+    exact BIGINT (frac ranks are .0/.5 rationals), so
+    band = (2·frac − 1)·10 div 2n involves no float whose rounding
+    could straddle a decile boundary cross-engine; spend aggregates use
+    the integer-cents rule.
+
+    Scale shape: one groupBy(custkey), then
+    operators/indexing.global_frac_rank — one shuffle on the
+    literal-boundary bucket with in-bucket rank/tie-count windows, no
+    single-partition window, no value-grain join-back — and a 10-group
+    aggregate. The customer count and bucket boundaries ride ONE
+    model-sized action."""
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        global_frac_rank,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.round(F.round(F.sum("o_totalprice"), 2) * 100, 0)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .persist()  # boundary action + rank pass read this frame
+    )
+    row = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(
+            F.col("cents").cast("double"), [i / 32 for i in range(1, 32)], 1000
+        ).alias("bs"),
+    ).first()
+    n = row["n"]
+    fr = global_frac_rank(cust, "cents", out_col="fr", boundaries=row["bs"])
+    banded = fr.withColumn("t2", (F.col("fr") * 2).cast("bigint")).withColumn(
+        "band", F.expr(f"(t2 - 1) * 10 div ({2 * n}L)")
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.min("cents") / 100.0, 2).alias("min_spend"),
+            F.round(F.max("cents") / 100.0, 2).alias("max_spend"),
+            F.round(F.sum("cents") / (100.0 * F.count(F.lit(1))), 4).alias(
+                "avg_spend"
+            ),
+        )
+        .select(
+            F.col("band").cast("bigint").alias("band"),
+            "n_customers",
+            "min_spend",
+            "max_spend",
+            "avg_spend",
+        )
+        .orderBy("band")
+    )
+
+
+# --------------------------------------------------------------------------
+# Probability-proportional-to-size systematic sample (Madow 1949)
+# --------------------------------------------------------------------------
+_PPS_K = 100
+
+
+@register(
+    "pps_systematic_sample",
+    oracle=f"""
+WITH w AS (
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+),
+c AS (
+    SELECT o_orderkey, cents,
+           sum(cents) OVER (ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(cents) OVER () AS total
+    FROM w
+)
+SELECT o_orderkey,
+       round(cents / 100.0, 2) AS o_totalprice,
+       CAST((cum - 1) * {_PPS_K} // total AS BIGINT) AS bucket
+FROM c
+WHERE (cum - 1) * {_PPS_K} // total > (cum - cents - 1) * {_PPS_K} // total
+   OR cum = cents
+ORDER BY o_orderkey
+""",
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size systematic sample of ~K orders,
+    weighted by order value (Madow 1949) — the survey-sampling standard
+    behind monetary-unit audit sampling: lay all order values end to
+    end on a line of total length T, cut the line into K equal buckets,
+    and take the order under each cut. Selection probability is
+    proportional to value; an order longer than a bucket is taken
+    exactly once (its bucket ids jump by >1). Deterministic: the line
+    order is the order key, the arithmetic is exact BIGINT cents —
+    no RNG, no floats, reproducible across engines and repartitionings.
+
+    A row is selected iff its cents-interval (cum−cents, cum] contains
+    a bucket boundary, tested in integer math as
+    (cum−1)·K div T > (cum−cents−1)·K div T (the first row is always
+    selected: it owns boundary 0).
+
+    Scale shape: the cumulative line position is
+    operators/indexing.global_running_sums — exact BIGINT accumulation,
+    literal-boundary bucketing, no single-partition window — the
+    selection test is a pure projection, and the output is ~K rows.
+    The total T and the operator's bucket boundaries ride ONE
+    model-sized action. (At 100 TB the cum·K product approaches BIGINT
+    range — 1e17 cents · 100 — so a cluster deployment would compute
+    the test in DECIMAL(38,0); the shape is unchanged.)"""
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        global_running_sums,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    w = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    ).persist()  # total/boundary action + the prefix-sum pass read it
+    row = w.agg(
+        F.sum("cents").alias("t"),
+        F.percentile_approx(
+            F.col("o_orderkey").cast("double"),
+            [i / 32 for i in range(1, 32)],
+            1000,
+        ).alias("bs"),
+    ).first()
+    total = int(row["t"])
+    cum = global_running_sums(
+        w,
+        ["o_orderkey"],
+        ["cents"],
+        out_cols=["cum"],
+        boundaries=row["bs"],
+    )
+    k = _PPS_K
+    return (
+        cum.withColumn(
+            "bucket", F.expr(f"(cum - 1) * {k} div {total}L").cast("bigint")
+        )
+        .filter(
+            (
+                F.expr(f"(cum - 1) * {k} div {total}L")
+                > F.expr(f"(cum - cents - 1) * {k} div {total}L")
+            )
+            | (F.col("cum") == F.col("cents"))
+        )
+        .select(
+            "o_orderkey",
+            F.round(F.col("cents") / 100.0, 2).alias("o_totalprice"),
+            "bucket",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# NOT IN (subquery): null-aware anti join, rewritten scalably
+# --------------------------------------------------------------------------
+@register(
+    "parts_never_ordered_notin",
+    oracle="""
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS never_ordered_parts
+FROM part
+WHERE p_partkey NOT IN (
+    SELECT l_partkey FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+)
+GROUP BY 1 ORDER BY p_brand
+""",
+)
+def parts_never_ordered_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts with no 1998+ shipment, per brand — expressed in the
+    oracle as ``NOT IN (subquery)``, whose NULL semantics differ from
+    NOT EXISTS: one NULL anywhere in the inner set makes the whole
+    result EMPTY (x <> NULL is unknown for every x). Spark honors that
+    by planning single-column NOT IN as a null-aware anti join, which
+    degenerates to BroadcastNestedLoopJoin when the inner side is too
+    big to broadcast — a data-scale cartesian at 100 TB.
+
+    The engine side is the scalable REWRITE of the same semantics:
+    a plain shuffled LEFT ANTI join (hash, partial-agg-friendly, safe
+    at any inner size), aggregated to brand grain, then gated by the
+    1-row null-flag scalar — ``any(l_partkey IS NULL)`` — attached via
+    the catalog's allowlisted broadcast-scalar pattern to the BOUNDED
+    brand frame, emptying the result when the inner set contains a
+    NULL, exactly NOT IN's contract.
+
+    (Here l_partkey is never NULL, so the flag is constant FALSE and
+    the rewrite equals NOT EXISTS — the point is the PLAN: semantics
+    preserved for general inputs with a hash anti join instead of the
+    null-aware BNLJ cliff.)"""
+    part = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1998-01-01"
+    )
+    inner = li.select("l_partkey")
+    null_flag = inner.agg(
+        F.max(F.coalesce(F.col("l_partkey").isNull(), F.lit(False))).alias(
+            "__has_null"
+        )
+    )
+    survivors = part.join(
+        inner, part.p_partkey == inner.l_partkey, "left_anti"
+    )
+    counts = survivors.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("never_ordered_parts")
+    )
+    return (
+        counts.crossJoin(F.broadcast(null_flag))
+        # empty inner set ⇒ the ungrouped max is NULL ⇒ no null was
+        # seen ⇒ keep everything (NOT IN over an empty set is TRUE)
+        .filter(~F.coalesce(F.col("__has_null"), F.lit(False)))
+        .select("p_brand", "never_ordered_parts")
+        .orderBy("p_brand")
+    )

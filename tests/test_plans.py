@@ -361,6 +361,8 @@ NESTED_LOOP_ALLOWED = {
     "important_part_value": "1-row global avg threshold (Q11/Q17 shape)",
     "market_basket_lift": "1-row total-orders scalar for lift denominator",
     "heavy_hitter_words": "1-row token total for the exact threshold",
+    "parts_never_ordered_notin": "1-row NOT-IN null-flag scalar gating "
+    "the bounded brand frame (the scalable null-aware-anti rewrite)",
     "hll_relational_distinct_users": "1-row sketch estimate x 1-row "
     "exact count combine",
     "hll_user_segment_overlap": "1-row estimate triple x 1-row exact "

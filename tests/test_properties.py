@@ -462,3 +462,67 @@ def test_rolling_distinct_actives_matches_bruteforce(spark, pairs, window):
         }
         want.add((day, len(ids)))
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(-20, 20)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 6),
+    st.one_of(st.none(), st.lists(st.floats(-15, 15), max_size=4)),
+)
+def test_global_frac_rank_matches_python_model(spark, vals, nparts, bounds):
+    """global_frac_rank == lo + (ties + 1)/2 from a pure-Python model,
+    for arbitrary values (nulls rank first), partition counts, and
+    caller-supplied boundary lists of any quality — boundary choice
+    must never affect the result, only bucket balance."""
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        global_frac_rank,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    key = lambda v: (-(10**9)) if v is None else v  # noqa: E731
+    expect = {}
+    for i, v in rows:
+        lo = sum(1 for _, u in rows if key(u) < key(v))
+        ties = sum(1 for _, u in rows if key(u) == key(v))
+        expect[i] = lo + (ties + 1) / 2
+    out = global_frac_rank(
+        df, "v", out_col="fr", num_partitions=nparts, boundaries=bounds
+    ).collect()
+    assert {r["id"]: float(r["fr"]) for r in out} == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(0, 8), min_size=1, max_size=40),
+    st.integers(1, 7),
+)
+def test_exact_ntile_bounded_matches_window_ntile(spark, vals, nbuckets):
+    """exact_ntile_bounded == F.ntile over the same total order, for
+    arbitrary duplicate-heavy value columns and bucket counts —
+    including ties split across bucket boundaries."""
+    from pyspark.sql import Window
+
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        exact_ntile_bounded,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    got = {
+        r["id"]: r["bucket"]
+        for r in exact_ntile_bounded(
+            df, "v", ["id"], nbuckets, total=len(rows)
+        ).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["b"]
+        for r in df.withColumn("b", F.ntile(nbuckets).over(w)).collect()
+    }
+    assert got == want
