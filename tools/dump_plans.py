@@ -138,6 +138,27 @@ SHOWCASE: list[tuple[str, str]] = [
         "ADJACENT rows of each cluster's centroid-similarity sort — one "
         "window, zero pairwise joins.",
     ),
+    (
+        "spearman_spend_balance",
+        "Distributed fractional rank (global_frac_rank): each dimension "
+        "is ONE exchange on the literal-boundary bucket with in-bucket "
+        "rank/tie-count windows sharing that partitioning plus a "
+        "broadcast explode-prefix offsets subtree — no Exchange "
+        "SinglePartition anywhere, no value-grain join-back.",
+    ),
+    (
+        "pps_systematic_sample",
+        "Weight-proportional systematic sampling: exact BIGINT prefix "
+        "sums over the literal-boundary buckets (global_running_sums), "
+        "selection as a pure integer-arithmetic projection — the whole "
+        "sampler is one shuffle plus a broadcast.",
+    ),
+    (
+        "parts_never_ordered_notin",
+        "NOT IN rewritten scalably: shuffled hash LEFT ANTI join (never "
+        "the null-aware BroadcastNestedLoopJoin) with the 1-row has-null "
+        "scalar gating the bounded brand frame.",
+    ),
 ]
 
 
