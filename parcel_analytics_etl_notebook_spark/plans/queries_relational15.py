@@ -286,3 +286,74 @@ def parts_never_ordered_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "never_ordered_parts")
         .orderBy("p_brand")
     )
+
+
+# --------------------------------------------------------------------------
+# Relational division: customers active in ALL four quarters of 1997
+# --------------------------------------------------------------------------
+@register(
+    "customers_all_quarters_1997",
+    oracle="""
+WITH q AS (
+    SELECT DISTINCT o_custkey,
+           CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qt
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+),
+full_year AS (
+    SELECT o_custkey FROM q GROUP BY o_custkey HAVING count(*) = 4
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS all_quarter_customers,
+       round(sum(c.c_acctbal), 2) AS total_acctbal
+FROM full_year f JOIN customer c ON c.c_custkey = f.o_custkey
+GROUP BY 1 ORDER BY c_mktsegment
+""",
+)
+def customers_all_quarters_1997(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION — the classical "for all" query shape
+    (Codd's ÷): customers who placed at least one order in EVERY
+    quarter of 1997, profiled per market segment. Division has no
+    direct SQL/DataFrame operator; the two textbook rewrites are
+    double-NOT-EXISTS (two anti-join passes) and the counting form
+    used here — dedup to (customer, quarter), then
+    ``count(*) == |divisor|`` per customer — which is one dedup
+    aggregate and one count aggregate, both hash-friendly with
+    map-side partials, and is how a 100 TB engine should divide
+    (the divisor cardinality is a CONSTANT literal 4, not a scalar
+    subquery; the double-anti form shuffles the fact twice and cannot
+    partial-aggregate).
+
+    Scale shape: the date filter pushes to the parquet scan; the dedup
+    shuffles on (custkey, quarter) with map-side partials and the
+    division count on custkey (both key-grain, bounded fan-in ≤ 4 rows
+    per customer into the count); the survivors then hash-join
+    customer and reduce to the 5-segment frame."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    q = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select(
+            "o_custkey",
+            F.quarter(F.col("o_orderdate").cast("date")).alias("qt"),
+        )
+        .distinct()
+    )
+    full_year = (
+        q.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("nq"))
+        .filter(F.col("nq") == 4)
+    )
+    return (
+        full_year.join(customer, full_year.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("all_quarter_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
