@@ -98,21 +98,61 @@ def main() -> None:
         cal.append(time.perf_counter() - c0)
     action_overhead_ms = round(sorted(cal)[len(cal) // 2] * 1000, 1)
 
-    timings: dict[str, float] = {}
-    for name in sorted(qs):
+    # Repeat policy (VERDICT r04 #5): short-query walls are dominated by
+    # per-job scheduling overhead that drifts severalfold across rounds
+    # on shared hosts, so sub-second "regressions" were pure noise. Each
+    # query runs once; queries whose first wall is under REPEAT_T1 get a
+    # second run (third under REPEAT_T2), plus an always-repeat set for
+    # names under active cross-round adjudication. The recorded wall is
+    # the MIN of its runs — scheduling noise is strictly additive, so
+    # min is the best estimator of true plan cost — and every run is
+    # kept in BENCH_DETAIL's "query_runs" so a reader can reconstruct
+    # variance. Total extra time is capped so the bench process stays
+    # inside the driver's capture window.
+    REPEAT_T1, REPEAT_T2, REPEAT_BUDGET_S = 1.0, 0.4, 160.0
+    FORCE_3RUNS = {
+        # round-4 flagged ratios — adjudicated via repeats (VERDICT #3/#8)
+        "token_counts_salted", "approx_token_percentiles",
+        "ewma_value_bands", "pareto_customers",
+        "multimodal_features", "expression_key_join",
+    }
+
+    def run_once(name: str) -> float:
         t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        w = time.perf_counter() - t0
         # queries that persist intermediates would otherwise hold executor
         # memory into later timings — isolate each measurement
         spark.catalog.clearCache()
+        return w
+
+    runs: dict[str, list[float]] = {}
+    extra_spent = 0.0
+    for name in sorted(qs):
+        w = run_once(name)
+        runs[name] = [w]
+        want = 1
+        if name in FORCE_3RUNS:
+            want = 3
+        elif w < REPEAT_T2:
+            want = 3
+        elif w < REPEAT_T1:
+            want = 2
+        while len(runs[name]) < want and extra_spent < REPEAT_BUDGET_S:
+            w2 = run_once(name)
+            runs[name].append(w2)
+            extra_spent += w2
+    timings = {n: round(min(ws), 4) for n, ws in runs.items()}
 
     total = round(sum(timings.values()), 4)
     here = os.path.dirname(os.path.abspath(__file__))
     detail = {"metric": "catalog_total_wall", "value": total, "unit": "sec",
               "queries": timings, "sf": sf, "n_queries": len(timings),
-              "action_overhead_ms": action_overhead_ms}
+              "action_overhead_ms": action_overhead_ms,
+              "bench_policy": "best-of-n (min of runs); repeats under "
+              f"{REPEAT_T1}s walls, capped at {REPEAT_BUDGET_S}s extra",
+              "query_runs": {n: [round(w, 4) for w in ws]
+                             for n, ws in runs.items() if len(ws) > 1}}
     # stable name (latest) PLUS a per-round snapshot so per-query
     # regressions diff across rounds without git archaeology (ADVICE
     # r03 #8): the round number is 1 + the highest driver-recorded
@@ -148,6 +188,7 @@ def main() -> None:
                 "headline_total_sec": round(sum(headline.values()), 2),
                 "catalog_n": len(timings),
                 "action_overhead_ms": action_overhead_ms,
+                "n_runs_max": max(len(ws) for ws in runs.values()),
             },
             separators=(",", ":"),
         )

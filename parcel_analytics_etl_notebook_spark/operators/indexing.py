@@ -22,8 +22,14 @@ bucket BALANCE, never correctness; a single hot value concentrates its
 ties into one bucket (same skew profile as any range partitioning on
 ties).
 
-**Range-repartition two-pass (fallback).** For non-numeric leading
-order columns: ``repartitionByRange`` + ``localCheckpoint`` (range
+**String keys** take the same literal-boundary path with cut points
+as STRING literals from a bounded sample (``_string_boundaries``) —
+Spark compares strings by UTF-8 bytes, so a frozen string literal is
+as valid a boundary as a double.
+
+**Range-repartition two-pass (fallback).** For the remaining leading
+order column types (arrays, structs, binary):
+``repartitionByRange`` + ``localCheckpoint`` (range
 sampling is order-sensitive, so the assignment must be frozen before
 the counts pass reads it — on a cluster where executor loss matters,
 swap in reliable ``checkpoint()``), then the same
@@ -42,6 +48,41 @@ from pyspark.sql import functions as F
 
 _NUMERIC_DTYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
+#: bounded sample size for string-key boundary estimation — ~100
+#: samples per bucket at the 256-bucket cap keeps cut-point quality
+#: high while the collect stays driver-safe at any data scale
+_STRING_SAMPLE_TARGET = 25_600
+
+
+def _string_boundaries(df: DataFrame, col_name: str, n: int) -> list[str]:
+    """Up to ``n-1`` ascending string cut points for literal-boundary
+    bucketing of a STRING order column (VERDICT r04 #6 — retires the
+    localCheckpoint+collect fallback from the string-key hot path).
+
+    Spark orders strings by UTF-8 binary comparison, so cut points can
+    be literal strings: a bounded random sample (one count — parquet
+    answers it from row-group metadata — plus one ≤~26k-row collect)
+    yields evenly spaced sample quantiles. Sample quality affects only
+    bucket BALANCE: once collected, the cuts are frozen literals and
+    the bucket stays a pure function of the row's own value —
+    deterministic across jobs, retries, and executor loss, which is
+    the invariant the checkpoint existed to fake."""
+    cnt = df.count()
+    if cnt == 0:
+        return []
+    frac = min(1.0, (_STRING_SAMPLE_TARGET * 1.25) / cnt)
+    vals = sorted(
+        r[0]
+        for r in df.select(col_name)
+        .where(F.col(col_name).isNotNull())
+        .sample(fraction=frac, seed=42)
+        .limit(4 * _STRING_SAMPLE_TARGET)
+        .collect()
+    )
+    if not vals:
+        return []
+    return sorted({vals[(len(vals) * i) // n] for i in range(1, n)})
+
 
 def _bucket_sort_key(df: DataFrame, col_name: str) -> Column | None:
     """A double-valued, order-preserving sort key for ``col_name``, or
@@ -52,9 +93,18 @@ def _bucket_sort_key(df: DataFrame, col_name: str) -> Column | None:
         return None
     if dt == "date":
         return F.unix_date(F.col(col_name)).cast("double")
+    if dt == "timestamp":
+        # plain (LTZ) timestamps: the EPOCH is the monotone key — it is
+        # zone-independent by definition. Field decomposition
+        # (to_date/hour/minute/second) is what breaks under a DST
+        # fall-back (a later instant repeats smaller wall-clock fields),
+        # so it must NOT be used here (ADVICE r04, verified misbucketing
+        # across 2021-11-07 in America/New_York).
+        return F.unix_micros(F.col(col_name)).cast("double")
     if dt.startswith("timestamp"):
-        # zone-free, monotone NON-DECREASING to the second (NTZ can't
-        # cast to double, and LTZ casts aren't monotone across DST) —
+        # timestamp_ntz: no epoch functions apply (no zone to anchor
+        # one), but wall-clock fields ARE the value, so their
+        # decomposition is monotone NON-DECREASING to the second —
         # sub-second ties just share a bucket, which bucketing allows
         c = F.col(col_name)
         return (
@@ -76,8 +126,9 @@ def _bucketed(
 ) -> tuple[DataFrame, int] | None:
     """Tag each row with ``__pid`` = its literal-boundary bucket on the
     leading order column, or None when the fast path is ineligible
-    (leading order entry not a plain numeric/date/timestamp column
-    name). Costs ONE tiny aggregate action for the boundaries — or
+    (leading order entry not a plain numeric/date/timestamp/string
+    column name). Costs ONE tiny aggregate action for the boundaries
+    (strings: one metadata count + one bounded sample collect) — or
     ZERO when the caller supplies ``boundaries`` (any ascending-sorted
     cut points on the SORT-KEY scale; only bucket balance depends on
     their quality, never correctness). Callers computing several
@@ -95,16 +146,27 @@ def _bucketed(
         # the fallback path spends (a two-level coarse→fine bucket
         # lookup would lift this — not needed at current scales)
         return None
-    key = _bucket_sort_key(df, order_cols[0])
-    if key is None:
+    col0 = order_cols[0]
+    key = _bucket_sort_key(df, col0)
+    is_string = key is None and dict(df.dtypes).get(col0) == "string"
+    if key is None and not is_string:
         return None
-    if boundaries is None:
-        probs = [i / n for i in range(1, n)]
-        row = df.agg(
-            F.percentile_approx(key, probs, 1000).alias("bs")
-        ).first()
-        boundaries = row["bs"] or []
-    bs = sorted({float(b) for b in boundaries if b is not None})
+    if is_string:
+        # string order column: cut points are STRING literals from a
+        # bounded sample (UTF-8 binary comparison IS Spark's string
+        # order) — see _string_boundaries
+        key = F.col(col0)
+        if boundaries is None:
+            boundaries = _string_boundaries(df, col0, n)
+        bs = sorted({str(b) for b in boundaries if b is not None})
+    else:
+        if boundaries is None:
+            probs = [i / n for i in range(1, n)]
+            row = df.agg(
+                F.percentile_approx(key, probs, 1000).alias("bs")
+            ).first()
+            boundaries = row["bs"] or []
+        bs = sorted({float(b) for b in boundaries if b is not None})
     # materialize the key ONCE into a column before the boundary
     # comparisons: inlining it repeats the (date-math) key expression
     # per boundary — measured 3× slower. The unrolled sum of boolean
@@ -430,7 +492,7 @@ def global_frac_rank(
     plus the explode-based prefix offsets broadcast back. Critical
     path: tag → one shuffle → two windows sharing that partitioning.
 
-    Requires a numeric/date/timestamp ``value_col`` (the
+    Requires a numeric/date/timestamp/string ``value_col`` (the
     literal-boundary eligibility rule); composes with caller-batched
     ``boundaries`` like the other operators here.
     """
@@ -438,8 +500,9 @@ def global_frac_rank(
     bucketed = _bucketed(df, [value_col], n, boundaries)
     if bucketed is None:
         raise ValueError(
-            f"global_frac_rank needs a numeric/date/timestamp column, "
-            f"got {dict(df.dtypes).get(value_col)!r} for {value_col!r}"
+            f"global_frac_rank needs a numeric/date/timestamp/string "
+            f"column, got {dict(df.dtypes).get(value_col)!r} for "
+            f"{value_col!r}"
         )
     with_pid, max_pid = bucketed
     off = _bucket_offsets(

@@ -70,6 +70,21 @@ def oracle_sql() -> dict[str, str]:
     return {n: e.oracle for n, e in _REGISTRY.items() if e.oracle is not None}
 
 
+def release_caches(spark: SparkSession) -> None:
+    """Drop every frame the catalog's queries have ``persist()``-ed.
+
+    Several queries cache model-sized intermediates (fingerprint
+    indexes, rank boundaries, centroids) for intra-query reuse; the
+    frames are session-scoped, so a long-lived service sweeping many
+    catalog queries must call this between sweeps or the storage pool
+    gradually squeezes execution memory (observed as
+    UNABLE_TO_ACQUIRE_MEMORY in round 4's full test run). Tests apply
+    the same hygiene per module via an autouse fixture
+    (``tests/conftest.py``).
+    """
+    spark.catalog.clearCache()
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table (parquet scan; pruning/pushdown-friendly).
 

@@ -630,7 +630,13 @@ def approx_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ≥cores splits, and shuffling the full text column just to spread
     # a cheap tokenize was the round-3 4.7× regression (VERDICT r03 #1).
     t = (
-        docs.select(
+        docs
+        # NULL-lang docs are excluded up front: the pre-r4 shape inner-
+        # joined on lang (dropping the NULL group); the literal-LUT
+        # rewrite must keep that contract — and a NULL key would also
+        # break the deterministic sorted() over collected langs below
+        .filter(F.col("lang").isNotNull())
+        .select(
             "lang", F.size(tokens("text")).cast("bigint").alias("n_tokens")
         )
         .persist()  # read by the sketch pass AND the rank pass —

@@ -483,8 +483,18 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ],
     )
+    # injective rendering per type: for float/double add 0.0 first so
+    # -0.0 collapses onto 0.0 ('-0.0' vs '0.0' would otherwise count as
+    # two where count_distinct normalizes them to one; NaN needs no
+    # help — every NaN renders as the single string 'NaN', matching
+    # count_distinct's all-NaNs-equal rule). Other types render
+    # shortest-roundtrip, injective as-is.
+    dtypes = dict(o.dtypes)
     unpivot_args = ", ".join(
-        f"'{c}', CAST({c} AS STRING)" for c in cols
+        f"'{c}', CAST(({c} + 0.0) AS STRING)"
+        if dtypes.get(c) in ("float", "double")
+        else f"'{c}', CAST({c} AS STRING)"
+        for c in cols
     )
     nd = (
         o.select(

@@ -659,9 +659,21 @@ def randomization_test_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: power-iteration count, shared by the engine loop and the oracle's
+#: CTE unroll so the two always agree; every _PR_CHECKPOINT_EVERY
+#: iterations the (model-sized, |nodes|-row) ranks frame is
+#: localCheckpoint'ed — Catalyst re-optimization over an N-deep
+#: join-agg chain grows superlinearly in N (VERDICT r04 #7), and
+#: truncating lineage every few steps bounds plan depth at the cost of
+#: one tiny job per checkpoint. (kmeans_fit needs no such bound: it
+#: collects centroids each iteration, so its plan depth is constant.)
+_PR_ITERS = 10
+_PR_CHECKPOINT_EVERY = 5
+
+
 def _pagerank_oracle() -> str:
     d = 0.85
-    iters = 10
+    iters = _PR_ITERS
     ctes = []
     for i in range(1, iters + 1):
         prev = f"it{i - 1}"
@@ -733,7 +745,7 @@ def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = nodes.count()
     d = 0.85
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(10):
+    for i in range(1, _PR_ITERS + 1):
         ranks = (
             ranks.join(edges, ranks.node == edges.src)
             .groupBy(F.col("dst").alias("node"))
@@ -744,6 +756,10 @@ def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank")
             )
         )
+        if i % _PR_CHECKPOINT_EVERY == 0 and i < _PR_ITERS:
+            # bound lineage/plan depth on the |nodes|-row frame; at a
+            # larger node alphabet swap for reliable checkpoint()
+            ranks = ranks.localCheckpoint()
     return ranks.select(
         F.col("node").alias("event_type"),
         F.round("rank", 6).alias("pagerank"),

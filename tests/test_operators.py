@@ -561,8 +561,45 @@ def test_global_frac_rank_equals_window_form(spark):
         }
         assert got == want
 
+    # arrays remain ineligible for literal-boundary ranking
     with pytest.raises(ValueError):
-        global_frac_rank(df.withColumn("s", F.lit("x")), "s")
+        global_frac_rank(df.withColumn("s", F.array(F.lit(1))), "s")
+
+
+def test_string_keys_take_lazy_bucketing_path(spark):
+    """String leading order columns must use literal-boundary bucketing
+    (VERDICT r04 #6): correct 1..n assignment in UTF-8 order — heavy
+    shared prefixes and duplicate values included — and NO
+    localCheckpoint in the lineage (the retired fallback's tell)."""
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        global_frac_rank,
+        stable_global_index,
+    )
+
+    words = ["https://a", "https://b", "apple", "apply", "b", "ab", ""]
+    rows = [(i, words[i % len(words)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    out = stable_global_index(df, ["s", "id"], num_partitions=6)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" not in plan  # localCheckpoint would inject one
+    got = [(r["s"], r["id"]) for r in sorted(
+        out.collect(), key=lambda r: r["global_idx"]
+    )]
+    assert got == sorted((w, i) for i, w in rows)
+
+    # frac rank on strings: equals the tie-averaged window form
+    want = {}
+    svals = sorted(w for _, w in rows)
+    import bisect
+    for i, w in rows:
+        lo = bisect.bisect_left(svals, w)
+        cnt = bisect.bisect_right(svals, w) - lo
+        want[i] = lo + (cnt + 1) / 2.0
+    fr = {
+        r["id"]: float(r["fr"])
+        for r in global_frac_rank(df, "s", out_col="fr", num_partitions=6).collect()
+    }
+    assert fr == want
 
 
 def test_offset_join_fallback_matches_literal_map(spark, monkeypatch):
@@ -583,6 +620,38 @@ def test_offset_join_fallback_matches_literal_map(spark, monkeypatch):
     assert sorted((r["k"], r["id"], r["global_idx"]) for r in lit) == sorted(
         (r["k"], r["id"], r["global_idx"]) for r in joined
     )
+
+
+def test_global_index_timestamp_monotone_across_dst(spark):
+    """Regression (ADVICE r04): the literal-boundary bucket key for
+    plain (LTZ) timestamps must be the epoch, not session-zone field
+    decomposition — wall-clock fields repeat across a DST fall-back
+    (America/New_York 2021-11-07: 01:30 EDT and 01:30 EST are distinct
+    instants with identical fields), which misbucketed rows and made
+    stable_global_index return 1,3,5,... instead of 1..n."""
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        stable_global_index,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        # instants every 30 min across the fall-back (05:00–07:00 UTC
+        # = 01:00 EDT .. 02:00 EST; local wall clock repeats 01:00–02:00)
+        df = spark.sql(
+            "SELECT id, timestamp_micros(CAST(1636255800000000"
+            " + id * 1800000000 AS BIGINT)) AS ts"
+            " FROM range(8)"
+        )
+        got = {
+            r["id"]: r["global_idx"]
+            for r in stable_global_index(
+                df, ["ts", "id"], num_partitions=4
+            ).collect()
+        }
+        assert got == {i: i + 1 for i in range(8)}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
 def test_kmeans_fit_tiny_known_clusters(spark):
@@ -1167,3 +1236,42 @@ def test_exact_ntile_equals_window_ntile(spark):
                 ).collect()
             }
             assert got == want, (total, n)
+
+
+def test_pps_selection_decimal_switch_near_bigint_overflow(spark):
+    """pps_selection must auto-switch to DECIMAL(38,0) when total*K
+    nears 2^63 (VERDICT r04 #4): with ~5e18 of total weight the cum*K
+    intermediate product overflows BIGINT, so the narrow path would
+    return garbage — the wide path must match exact Python integers."""
+    from parcel_analytics_etl_notebook_spark.plans.queries_relational15 import (
+        _PPS_BIGINT_HEADROOM,
+        pps_selection,
+    )
+
+    cents = [3_000_000_000_000_000_000, 1_500_000_000_000_000_000,
+             400_000_000_000_000_000, 99_000_000_000_000_000,
+             1_000_000_000_000_000_000]
+    k = 100
+    total = sum(cents)
+    assert total * k >= _PPS_BIGINT_HEADROOM  # exercises the wide path
+    cums = []
+    c = 0
+    for w in cents:
+        c += w
+        cums.append(c)
+    expect = {}
+    for i, (w, cu) in enumerate(zip(cents, cums)):
+        hi = (cu - 1) * k // total
+        lo = (cu - w - 1) * k // total
+        if hi > lo or cu == w:
+            expect[i] = hi
+    df = spark.createDataFrame(
+        [(i, w, cu) for i, (w, cu) in enumerate(zip(cents, cums))],
+        "id long, cents long, cum long",
+    )
+    bucket, keep = pps_selection(total, k)
+    got = {
+        r["id"]: r["bucket"]
+        for r in df.withColumn("bucket", bucket).filter(keep).collect()
+    }
+    assert got == expect

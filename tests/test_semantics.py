@@ -125,3 +125,37 @@ def test_pointintime_join_assigns_ship_time_regime(spark, tmp_path):
     # line@d12: shipped under 1-URGENT regime but its order is 5-LOW
     assert rows["1-URGENT"]["n_lines"] == 1
     assert rows["1-URGENT"]["n_drifted"] == 1
+
+
+def test_not_in_rewrite_general_null_semantics(spark, tmp_path):
+    """parts_never_ordered_notin must equal SQL NOT IN on ARBITRARY
+    inputs (ADVICE r04): a NULL inner value empties the result; a
+    NULL-keyed OUTER row is excluded whenever the inner set is
+    non-empty but kept when it is empty (NULL NOT IN {} is TRUE)."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    def write(parts, lines):
+        spark.createDataFrame(
+            parts, "p_partkey long, p_brand string"
+        ).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+        spark.createDataFrame(
+            lines, "l_partkey long, l_shipdate timestamp"
+        ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    q = queries()["parts_never_ordered_notin"]
+    ship = dt.datetime(1998, 6, 1)
+    parts = [(1, "A"), (2, "A"), (None, "B")]
+
+    # inner non-empty, no NULLs: part 2 survives, NULL-keyed part drops
+    write(parts, [(1, ship)])
+    got = {r["p_brand"]: r["never_ordered_parts"] for r in q(spark, str(tmp_path)).collect()}
+    assert got == {"A": 1}
+
+    # one NULL in the inner set: NOT IN is UNKNOWN for every row
+    write(parts, [(1, ship), (None, ship)])
+    assert q(spark, str(tmp_path)).count() == 0
+
+    # inner empty (all shipments pre-1998): every part kept, NULL key too
+    write(parts, [(1, dt.datetime(1997, 6, 1))])
+    got = {r["p_brand"]: r["never_ordered_parts"] for r in q(spark, str(tmp_path)).collect()}
+    assert got == {"A": 2, "B": 1}

@@ -23,23 +23,45 @@ from pyspark.sql import SparkSession  # noqa: E402
 SF = "/root/testdata/sf0.001"
 
 
+def _depth_and_node(line: str) -> tuple[int, str]:
+    """(tree depth, node text) for one line of Spark's tree rendering.
+
+    Depth = column where the node text starts, after the tree art
+    (``+- `` / ``:- `` / ``:  `` / spaces); the ``*(n)`` whole-stage
+    codegen tag is stripped so node-name matches anchor at position 0.
+    """
+    m = re.match(r"^[ :+\-]*", line)
+    depth = m.end()
+    return depth, re.sub(r"^\*\(\d+\)\s*", "", line[depth:])
+
+
 def single_partition_windows(df) -> int:
     """Count Window-family nodes fed (through Sort/Project chains) by an
-    Exchange SinglePartition in the pre-AQE physical plan."""
+    Exchange SinglePartition in the pre-AQE physical plan.
+
+    Walks the ACTUAL first-child chain by tree indentation (each
+    pass-through node — Sort / Project / WindowGroupLimit — has exactly
+    one child, the next line at deeper indent), rather than a fixed
+    lookahead: a fixed window both missed chains longer than it and
+    could mis-attribute a sibling subtree's Exchange (ADVICE r04).
+    """
     plan = df._jdf.queryExecution().executedPlan().toString()
-    lines = plan.splitlines()
+    parsed = [_depth_and_node(ln) for ln in plan.splitlines()]
     hits = 0
-    for i, line in enumerate(lines):
-        if not re.search(r"\b(Window|WindowGroupLimit)\b", line):
+    for i, (d, node) in enumerate(parsed):
+        if not re.match(r"(Window|WindowGroupLimit)\b", node):
             continue
-        # scan the direct child chain: following lines at deeper indent,
-        # passing through Sort / Project / WindowGroupLimit only
-        for nxt in lines[i + 1 : i + 6]:
-            if "Exchange SinglePartition" in nxt:
+        cur_depth = d
+        for cd, cnode in parsed[i + 1 :]:
+            if cd <= cur_depth:
+                break  # sibling/ancestor — chain ended without a child
+            if cnode.startswith("Exchange SinglePartition"):
                 hits += 1
                 break
-            if not re.search(r"\b(Sort|Project|WindowGroupLimit)\b", nxt):
-                break
+            if re.match(r"(Sort|Project|WindowGroupLimit)\b", cnode):
+                cur_depth = cd  # single-child pass-through: descend
+                continue
+            break  # any other node terminates the chain
     return hits
 
 
