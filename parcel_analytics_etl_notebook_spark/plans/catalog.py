@@ -154,6 +154,7 @@ def _ensure_loaded() -> None:
         queries_relational13,
         queries_relational14,
         queries_relational15,
+        queries_relational16,
     )
 
     try:

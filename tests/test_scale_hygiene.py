@@ -267,6 +267,7 @@ BOUNDED_WINDOW_OK = {
     "rfm_segmentation": "exact_ntile_bounded value-grain folds: recency is calendar-bounded, frequency order-count-bounded (monetary takes the full distributed exact_ntile)",
     "roc_auc_embedding_dim": "cumulative window over 6dp-rounded distinct scores (≤2M values)",
     "session_entry_exit_stats": "window-fold over the event-type-grain rollup",
+    "weighted_sliding_regression": "sliding RANGE window over the day-grain order partials (calendar-bounded)",
 }
 
 
