@@ -98,24 +98,47 @@ def main() -> None:
         cal.append(time.perf_counter() - c0)
     action_overhead_ms = round(sorted(cal)[len(cal) // 2] * 1000, 1)
 
-    # Repeat policy (VERDICT r04 #5): short-query walls are dominated by
-    # per-job scheduling overhead that drifts severalfold across rounds
-    # on shared hosts, so sub-second "regressions" were pure noise. Each
-    # query runs once; queries whose first wall is under REPEAT_T1 get a
-    # second run (third under REPEAT_T2), plus an always-repeat set for
-    # names under active cross-round adjudication. The recorded wall is
-    # the MIN of its runs — scheduling noise is strictly additive, so
-    # min is the best estimator of true plan cost — and every run is
-    # kept in BENCH_DETAIL's "query_runs" so a reader can reconstruct
-    # variance. Total extra time is capped so the bench process stays
-    # inside the driver's capture window.
+    # Repeat policy (VERDICT r04 #5, widened r06 per VERDICT r05 #4):
+    # short-query walls are dominated by per-job scheduling overhead that
+    # drifts severalfold across rounds on shared hosts, so sub-second
+    # "regressions" were pure noise. Each query runs once; it gets extra
+    # runs when (a) its first wall is under REPEAT_T1 (second run; third
+    # under REPEAT_T2), (b) it is in the always-repeat adjudication set,
+    # or (c) — the r06 addition, closing the >1s blind spot that left
+    # ngram_jaccard_pairs' 2.07× drift a single sample — its first wall
+    # exceeds REGRESS_RATIO × its prior-round recorded wall (read from
+    # the previous BENCH_DETAIL_r*.json). The recorded wall is the MIN
+    # of its runs — scheduling noise is strictly additive, so min is the
+    # best estimator of true plan cost — and every run is kept in
+    # BENCH_DETAIL's "query_runs" so a reader can reconstruct variance.
+    # Forced repeats are skipped above REPEAT_CEIL_S (a 10s+ wall is not
+    # noise) and each repeat is launched only if the first-run wall fits
+    # the remaining budget, so the cap cannot overshoot by a full run.
     REPEAT_T1, REPEAT_T2, REPEAT_BUDGET_S = 1.0, 0.4, 160.0
+    REGRESS_RATIO, REPEAT_CEIL_S = 1.5, 10.0
     FORCE_3RUNS = {
-        # round-4 flagged ratios — adjudicated via repeats (VERDICT #3/#8)
+        # cross-round adjudication set (VERDICT r04 #3/#8, r05 #4)
         "token_counts_salted", "approx_token_percentiles",
         "ewma_value_bands", "pareto_customers",
         "multimodal_features", "expression_key_join",
+        "ngram_jaccard_pairs", "near_dup_groups", "near_dup_dedup_summary",
     }
+
+    import glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior: dict[str, float] = {}
+    prior_files = sorted(
+        glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json")),
+        key=lambda p: int(_re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
+    if prior_files:
+        try:
+            with open(prior_files[-1]) as f:
+                prior = json.load(f).get("queries", {})
+        except (OSError, ValueError):
+            prior = {}
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
@@ -132,34 +155,48 @@ def main() -> None:
         w = run_once(name)
         runs[name] = [w]
         want = 1
+        regressed = name in prior and w > REGRESS_RATIO * prior[name]
         if name in FORCE_3RUNS:
             want = 3
         elif w < REPEAT_T2:
             want = 3
-        elif w < REPEAT_T1:
+        elif w < REPEAT_T1 or regressed:
             want = 2
-        while len(runs[name]) < want and extra_spent < REPEAT_BUDGET_S:
+        if w > REPEAT_CEIL_S:
+            want = 1  # multi-second walls are not scheduling noise
+        while (
+            len(runs[name]) < want
+            and extra_spent + w < REPEAT_BUDGET_S
+        ):
             w2 = run_once(name)
             runs[name].append(w2)
             extra_spent += w2
     timings = {n: round(min(ws), 4) for n, ws in runs.items()}
+    first_runs = {n: ws[0] for n, ws in runs.items()}
 
     total = round(sum(timings.values()), 4)
-    here = os.path.dirname(os.path.abspath(__file__))
+    # first_run_total: the sum of every query's FIRST wall — the number
+    # that is like-for-like comparable with rounds 1-4's single-run
+    # policy (ADVICE r05 #1). `value` stays min-of-runs.
+    first_run_total = round(sum(first_runs.values()), 4)
     detail = {"metric": "catalog_total_wall", "value": total, "unit": "sec",
               "queries": timings, "sf": sf, "n_queries": len(timings),
               "action_overhead_ms": action_overhead_ms,
+              # full calibration series (VERDICT r05 #8): lets cross-round
+              # ratio analysis subtract jobs × overhead per query instead
+              # of eyeballing the median
+              "overhead_samples_ms": [round(c * 1000, 2) for c in cal],
+              "first_run_total": first_run_total,
               "bench_policy": "best-of-n (min of runs); repeats under "
-              f"{REPEAT_T1}s walls, capped at {REPEAT_BUDGET_S}s extra",
+              f"{REPEAT_T1}s walls or >{REGRESS_RATIO}x prior-round wall, "
+              f"skipped above {REPEAT_CEIL_S}s, "
+              f"capped at {REPEAT_BUDGET_S}s extra",
               "query_runs": {n: [round(w, 4) for w in ws]
                              for n, ws in runs.items() if len(ws) > 1}}
     # stable name (latest) PLUS a per-round snapshot so per-query
     # regressions diff across rounds without git archaeology (ADVICE
     # r03 #8): the round number is 1 + the highest driver-recorded
     # BENCH_r{N}.json, overridable via SPARK_GRAFT_ROUND.
-    import glob
-    import re as _re
-
     rounds = [
         int(m.group(1))
         for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
@@ -188,6 +225,7 @@ def main() -> None:
                 "headline_total_sec": round(sum(headline.values()), 2),
                 "catalog_n": len(timings),
                 "action_overhead_ms": action_overhead_ms,
+                "first_run_total": round(first_run_total, 2),
                 "n_runs_max": max(len(ws) for ws in runs.values()),
             },
             separators=(",", ":"),

@@ -27,8 +27,17 @@ as STRING literals from a bounded sample (``_string_boundaries``) —
 Spark compares strings by UTF-8 bytes, so a frozen string literal is
 as valid a boundary as a double.
 
+**Large bucket counts** (257–65536) use a two-level coarse→fine
+lookup (``_bucketed``): ≤255 unrolled comparisons pick a coarse
+chunk, a broadcast join attaches the chunk's fine cut points, one
+bounded array fold finishes the bucket — expression size O(√n). The
+offsets prefix fold goes two-level in step (``_bucket_offsets``).
+
 **Range-repartition two-pass (fallback).** For the remaining leading
-order column types (arrays, structs, binary):
+order column types (arrays, structs, binary — present for API
+completeness over any orderable type; NO catalog query routes a
+fact-scale frame through it, every catalog order key is
+numeric/date/timestamp/string on the literal-boundary path):
 ``repartitionByRange`` + ``localCheckpoint`` (range
 sampling is order-sensitive, so the assignment must be frozen before
 the counts pass reads it — on a cluster where executor loss matters,
@@ -60,23 +69,29 @@ def _string_boundaries(df: DataFrame, col_name: str, n: int) -> list[str]:
     localCheckpoint+collect fallback from the string-key hot path).
 
     Spark orders strings by UTF-8 binary comparison, so cut points can
-    be literal strings: a bounded random sample (one count — parquet
-    answers it from row-group metadata — plus one ≤~26k-row collect)
-    yields evenly spaced sample quantiles. Sample quality affects only
-    bucket BALANCE: once collected, the cuts are frozen literals and
-    the bucket stays a pure function of the row's own value —
-    deterministic across jobs, retries, and executor loss, which is
-    the invariant the checkpoint existed to fake."""
+    be literal strings: one ``count()`` to size the sample fraction
+    (metadata-only for a plain parquet scan; a full — but narrow,
+    pre-shuffle — pass when the caller hands a filtered/derived frame)
+    plus one bounded-row collect yields evenly spaced sample quantiles.
+    Sample quality affects only bucket BALANCE: once collected, the
+    cuts are frozen literals and the bucket stays a pure function of
+    the row's own value — deterministic across jobs, retries, and
+    executor loss, which is the invariant the checkpoint existed to
+    fake."""
     cnt = df.count()
     if cnt == 0:
         return []
-    frac = min(1.0, (_STRING_SAMPLE_TARGET * 1.25) / cnt)
+    # scale the sample with the requested bucket count so large-n
+    # (two-level) bucketing still gets distinct cut points, bounded so
+    # the collect stays driver-safe
+    target = min(200_000, max(_STRING_SAMPLE_TARGET, 4 * n))
+    frac = min(1.0, (target * 1.25) / cnt)
     vals = sorted(
         r[0]
         for r in df.select(col_name)
         .where(F.col(col_name).isNotNull())
         .sample(fraction=frac, seed=42)
-        .limit(4 * _STRING_SAMPLE_TARGET)
+        .limit(4 * target)
         .collect()
     )
     if not vals:
@@ -118,33 +133,51 @@ def _bucket_sort_key(df: DataFrame, col_name: str) -> Column | None:
     return None
 
 
+#: fine-chunk width of the two-level coarse→fine bucket lookup; also
+#: the cutoff below which the single-level unrolled comparison is used
+_CHUNK = 256
+
+#: two-level ceiling (_CHUNK² buckets). At 100 TB / 65536 buckets each
+#: bucket is ~1.5 GB — executor-sized; beyond this the range-partition
+#: fallback is the right tool anyway.
+_MAX_BUCKETS = _CHUNK * _CHUNK
+
+
 def _bucketed(
     df: DataFrame,
     order_cols: list,
     n: int,
-    boundaries: list[float] | None = None,
+    boundaries: list[float | str] | None = None,
 ) -> tuple[DataFrame, int] | None:
     """Tag each row with ``__pid`` = its literal-boundary bucket on the
     leading order column, or None when the fast path is ineligible
     (leading order entry not a plain numeric/date/timestamp/string
-    column name). Costs ONE tiny aggregate action for the boundaries
-    (strings: one metadata count + one bounded sample collect) — or
-    ZERO when the caller supplies ``boundaries`` (any ascending-sorted
-    cut points on the SORT-KEY scale; only bucket balance depends on
-    their quality, never correctness). Callers computing several
-    indexes over one frame should batch all boundary sets into one
-    aggregate (see spearman_spend_balance / rfm_segmentation).
+    column name, or ``n`` beyond the two-level ceiling). Costs ONE tiny
+    aggregate action for the boundaries (strings: one count + one
+    bounded sample collect) — or ZERO when the caller supplies
+    ``boundaries`` (ascending cut points on the SORT-KEY scale: floats
+    for numeric/date/timestamp keys, strings for string keys — mixing
+    types raises; only bucket balance depends on their quality, never
+    correctness). Callers computing several indexes over one frame
+    should batch all boundary sets into one aggregate (see
+    spearman_spend_balance / rfm_segmentation).
+
+    ``n`` ≤ 256 buckets → a single unrolled sum of boundary
+    comparisons, fully inside whole-stage codegen. Larger ``n`` (up to
+    65536) → the TWO-LEVEL coarse→fine lookup (VERDICT r05 #6): ≤255
+    unrolled comparisons pick a coarse chunk, a broadcast hash join
+    attaches that chunk's ≤256 fine cut points as an array column, and
+    one bounded higher-order fold counts fine cuts below the key —
+    expression size stays O(√n), the join is broadcast (no shuffle),
+    and the bucket remains a pure function of the row's value plus
+    frozen literals (same determinism story as the single-level path).
 
     NULL keys bucket to -1, matching ascending NULLS FIRST — callers
     ordering descending must pre-negate the key column (the engine
     convention, see token_batch_packing / rfm_segmentation)."""
     if not order_cols or not isinstance(order_cols[0], str):
         return None
-    if n > 256:
-        # the unrolled boundary-comparison expression grows O(n); past
-        # a few hundred terms plan size/codegen outweigh the checkpoint
-        # the fallback path spends (a two-level coarse→fine bucket
-        # lookup would lift this — not needed at current scales)
+    if n > _MAX_BUCKETS:
         return None
     col0 = order_cols[0]
     key = _bucket_sort_key(df, col0)
@@ -158,38 +191,80 @@ def _bucketed(
         key = F.col(col0)
         if boundaries is None:
             boundaries = _string_boundaries(df, col0, n)
-        bs = sorted({str(b) for b in boundaries if b is not None})
+        if any(not isinstance(b, str) for b in boundaries if b is not None):
+            raise TypeError(
+                f"string order column {col0!r} needs str cut points; got "
+                "numeric boundaries (they would bucket lexicographically)"
+            )
+        bs: list = sorted({b for b in boundaries if b is not None})
+        elem_type = "string"
     else:
         if boundaries is None:
             probs = [i / n for i in range(1, n)]
             row = df.agg(
-                F.percentile_approx(key, probs, 1000).alias("bs")
+                F.percentile_approx(key, probs, max(1000, n)).alias("bs")
             ).first()
             boundaries = row["bs"] or []
+        if any(isinstance(b, str) for b in boundaries):
+            raise TypeError(
+                f"numeric/temporal order column {col0!r} needs float cut "
+                "points on the sort-key scale; got str boundaries"
+            )
         bs = sorted({float(b) for b in boundaries if b is not None})
+        elem_type = "double"
     # materialize the key ONCE into a column before the boundary
     # comparisons: inlining it repeats the (date-math) key expression
     # per boundary — measured 3× slower. The unrolled sum of boolean
     # casts (vs a higher-order aggregate lambda, interpreted per row)
     # keeps the comparisons inside whole-stage codegen.
     kc = F.col("__key")
+    fine_tbl = None
     if not bs:
         bucket = F.when(kc.isNull(), F.lit(-1)).otherwise(F.lit(0))
-    else:
+    elif len(bs) <= _CHUNK - 1:
         strictly_less = sum(
             ((kc > F.lit(b)).cast("int") for b in bs), F.lit(0)
         )
         bucket = F.when(kc.isNull(), F.lit(-1)).otherwise(strictly_less)
+    else:
+        # two-level: chunk the sorted cuts; the last element of each
+        # non-final chunk is a coarse cut. key > coarse cut j ⇒ key >
+        # every cut in chunks ≤ j, so bucket = _CHUNK·coarse + (# fine
+        # cuts of chunk `coarse` below key).
+        chunks = [bs[i : i + _CHUNK] for i in range(0, len(bs), _CHUNK)]
+        coarse_cuts = [c[-1] for c in chunks[:-1]]
+        coarse = sum(
+            ((kc > F.lit(b)).cast("int") for b in coarse_cuts), F.lit(0)
+        )
+        spark = df.sparkSession
+        fine_tbl = F.broadcast(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(chunks)],
+                f"__coarse int, __fbs array<{elem_type}>",
+            )
+        )
+        bucket = F.when(kc.isNull(), F.lit(-1)).otherwise(
+            F.lit(_CHUNK) * F.col("__coarse")
+            + F.aggregate(
+                F.col("__fbs"),
+                F.lit(0),
+                lambda acc, b: acc + (kc > b).cast("int"),
+            )
+        )
     # persist the TAGGED frame: the cache is an optimizer barrier, so
     # the inner join's inferred isnotnull(__pid) null-filter references
     # the stored column — without it, predicate pushdown INLINES the
     # whole n-comparison bucket expression into a per-row Filter below
     # the projection (measured 3.6× on orders_global_index). Both the
     # offsets subtree and the consumer read this one materialization.
+    tagged = df.withColumn("__key", key)
+    if fine_tbl is not None:
+        tagged = tagged.withColumn(
+            "__coarse", F.when(kc.isNull(), F.lit(-1)).otherwise(coarse)
+        ).join(fine_tbl, "__coarse", "left")
     tagged = (
-        df.withColumn("__key", key)
-        .withColumn("__pid", bucket)
-        .drop("__key")
+        tagged.withColumn("__pid", bucket)
+        .drop("__key", "__coarse", "__fbs")
         .persist()
     )
     return tagged, len(bs)
@@ -200,7 +275,7 @@ def stable_global_index(
     order_cols: list[str],
     out_col: str = "global_idx",
     num_partitions: int | None = None,
-    boundaries: list[float] | None = None,
+    boundaries: list[float | str] | None = None,
 ) -> DataFrame:
     """Add a 1-based dense global index following ``order_cols``.
 
@@ -275,21 +350,66 @@ def _bucket_offsets(
     dense literals in [-1, max_pid], so each bucket's subtotal
     ``sequence``-explodes to every LATER bucket id and a plain hash
     aggregate sums the contributions. O(buckets²) ≤ 66k intermediate
-    rows at the 256-bucket cap — model-sized. Lazy (no collect, no
-    extra action) and broadcast-hinted; buckets with no predecessor
-    (the minimum present id) emit NO row, so consumers LEFT-join and
-    coalesce to typed zero."""
+    rows at ≤256 buckets — model-sized. Past that (two-level bucketing,
+    up to 65536 buckets) the quadratic explode would be ~2B rows, so
+    the fold itself goes TWO-LEVEL: an exclusive prefix window inside
+    each 256-bucket chunk (partitioned by chunk — parallel, ≤256 rows
+    each), the explode fold across the ≤257 chunk totals, and offset =
+    chunk offset + within-chunk prefix. Lazy (no collect, no extra
+    action) and broadcast-hinted; buckets with no predecessor may emit
+    NO row or typed-NULL outputs, so consumers LEFT-join and coalesce
+    to typed zero."""
     tot = with_pid.groupBy("__pid").agg(*aggs)
     names = [c for c in tot.columns if c != "__pid"]
     dtypes = dict(tot.dtypes)
-    later = F.when(
-        F.col("__pid") < max_pid,
-        F.sequence(F.col("__pid") + 1, F.lit(max_pid)),
-    ).otherwise(F.array().cast("array<int>"))
-    contrib = tot.select(F.explode(later).alias("__pid"), *names)
-    return F.broadcast(
-        contrib.groupBy("__pid").agg(
+
+    def explode_fold(frame: DataFrame, id_col: str, max_id: int) -> DataFrame:
+        later = F.when(
+            F.col(id_col) < max_id,
+            F.sequence(F.col(id_col) + 1, F.lit(max_id)),
+        ).otherwise(F.array().cast("array<int>"))
+        contrib = frame.select(F.explode(later).alias(id_col), *names)
+        return contrib.groupBy(id_col).agg(
             *[F.sum(c).cast(dtypes[c]).alias(c) for c in names]
+        )
+
+    if max_pid <= _CHUNK:
+        return F.broadcast(explode_fold(tot, "__pid", max_pid))
+    # two-level fold: __pid = -1 keeps its own chunk (-1) since
+    # floor(-1/256) = -1 — it precedes every real chunk, same as the
+    # flat fold's ordering.
+    tot = tot.withColumn(
+        "__chunk", F.floor(F.col("__pid") / _CHUNK).cast("int")
+    )
+    w_in = (
+        Window.partitionBy("__chunk")
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = tot.select(
+        "__pid",
+        "__chunk",
+        *[F.sum(c).over(w_in).cast(dtypes[c]).alias(f"__in_{c}") for c in names],
+    )
+    chunk_tot = tot.groupBy("__chunk").agg(
+        *[F.sum(c).cast(dtypes[c]).alias(c) for c in names]
+    )
+    max_chunk = max_pid // _CHUNK
+    chunk_off = explode_fold(chunk_tot, "__chunk", max_chunk)
+    zero = {c: F.lit(0).cast(dtypes[c]) for c in names}
+    return F.broadcast(
+        within.join(F.broadcast(chunk_off), "__chunk", "left")
+        .select(
+            "__pid",
+            *[
+                (
+                    F.coalesce(F.col(f"__in_{c}"), zero[c])
+                    + F.coalesce(F.col(c), zero[c])
+                )
+                .cast(dtypes[c])
+                .alias(c)
+                for c in names
+            ],
         )
     )
 
@@ -331,7 +451,7 @@ def global_running_sum(
     sum_col: str,
     out_col: str = "running_sum",
     num_partitions: int | None = None,
-    boundaries: list[float] | None = None,
+    boundaries: list[float | str] | None = None,
 ) -> DataFrame:
     """Inclusive global running sum of ``sum_col`` over the total order
     ``order_cols`` — without the single-task global Window.
@@ -397,7 +517,7 @@ def global_running_sums(
     sum_cols: list[str],
     out_cols: list[str] | None = None,
     num_partitions: int | None = None,
-    boundaries: list[float] | None = None,
+    boundaries: list[float | str] | None = None,
 ) -> DataFrame:
     """Inclusive global running sums of SEVERAL measures over one total
     order — the multi-measure sibling of :func:`global_running_sum`,
@@ -475,7 +595,7 @@ def global_frac_rank(
     value_col: str,
     out_col: str = "frac_rank",
     num_partitions: int | None = None,
-    boundaries: list[float] | None = None,
+    boundaries: list[float | str] | None = None,
 ) -> DataFrame:
     """Average (fractional) rank of each row's ``value_col`` over the
     whole frame — ``lo + (cnt + 1) / 2`` where ``lo`` = rows strictly
@@ -593,7 +713,7 @@ def exact_ntile(
     out_col: str = "bucket",
     total: int | None = None,
     num_partitions: int | None = None,
-    boundaries: list[float] | None = None,
+    boundaries: list[float | str] | None = None,
 ) -> DataFrame:
     """``ntile(n_buckets)`` over a TOTAL order (unique tiebreak
     required) without the single-partition global window.

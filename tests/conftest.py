@@ -31,6 +31,15 @@ def spark():
         # storage pool can't starve execution memory in late large tests.
         extra_conf={"spark.driver.memory": "6g"},
     )
+    # spark.driver.memory only takes effect when THIS builder launches
+    # the JVM (pyspark forwards it to spark-submit at gateway start); a
+    # session created earlier in the process would silently ignore it
+    # and reopen the UNABLE_TO_ACQUIRE_MEMORY failure this fixes
+    # (ADVICE r05). Fail loudly instead of degrading.
+    assert s.sparkContext.getConf().get("spark.driver.memory") == "6g", (
+        "driver memory conf was ignored — a SparkSession existed before "
+        "the test fixture built one"
+    )
     yield s
     s.stop()
 

@@ -602,6 +602,63 @@ def test_string_keys_take_lazy_bucketing_path(spark):
     assert fr == want
 
 
+def test_two_level_bucketing_large_partition_counts(spark):
+    """num_partitions > 256 must take the coarse→fine two-level path
+    (VERDICT r05 #6) — exact 1..n assignment on numeric AND string
+    leading keys, no localCheckpoint (fallback tell) in the lineage,
+    and the two-level offsets fold must agree with the flat one.
+    Duplicate key values (ties broken by the second order column) and
+    NULL keys (bucket -1, NULLS FIRST) included."""
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        global_running_sum,
+        stable_global_index,
+    )
+
+    rows = [
+        (i, ((i * 7919) % 997) if i % 97 else None, f"w{(i * 37) % 500:04d}")
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v int, s string")
+
+    out = stable_global_index(df, ["v", "id"], num_partitions=1000)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" not in plan
+    got = [r["id"] for r in sorted(out.collect(), key=lambda r: r["global_idx"])]
+    want = [i for i, v, s in sorted(rows, key=lambda t: (t[1] is not None, t[1] or 0, t[0]))]
+    assert got == want
+
+    # string leading key through the two-level path
+    out_s = stable_global_index(df, ["s", "id"], num_partitions=400)
+    got_s = [r["id"] for r in sorted(out_s.collect(), key=lambda r: r["global_idx"])]
+    want_s = [i for i, v, s in sorted(rows, key=lambda t: (t[2], t[0]))]
+    assert got_s == want_s
+
+    # two-level offsets fold: running sum equals the window form
+    from pyspark.sql import Window
+
+    nn = df.where(F.col("v").isNotNull())
+    rs = {
+        r["id"]: r["run"]
+        for r in global_running_sum(
+            nn, ["v", "id"], "v", out_col="run", num_partitions=1000
+        ).collect()
+    }
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want_rs = {
+        r["id"]: float(r["run"])
+        for r in nn.withColumn("run", F.sum("v").over(w)).collect()
+    }
+    assert rs == want_rs
+
+    # mismatched boundary element types fail loudly (ADVICE r05)
+    with pytest.raises(TypeError):
+        stable_global_index(df, ["s", "id"], num_partitions=8,
+                            boundaries=[1.0, 2.0])
+    with pytest.raises(TypeError):
+        stable_global_index(df, ["v", "id"], num_partitions=8,
+                            boundaries=["a", "b"])
+
+
 def test_offset_join_fallback_matches_literal_map(spark, monkeypatch):
     """stable_global_index with the broadcast-join offset path (forced
     by shrinking the literal-map threshold) equals the literal-map
