@@ -395,6 +395,10 @@ NESTED_LOOP_ALLOWED = {
     "region_status_matrix": "5 regions x 3 statuses scaffold cross join",
     "value_band_stats": "non-equi band join baseline; bucketized twin "
     "(value_band_stats_bucketized) is the scale path",
+    "kcore_bounded_peel": "1-row vertex-count x 1-row edge-count "
+    "per-round stat combine (both already-materialized aggregates)",
+    "priority_sample_orders": "1-row threshold tau (min priority of "
+    "the k+1 frame) broadcast back over the k-row sample",
 }
 
 
