@@ -155,15 +155,26 @@ def main() -> None:
         w = run_once(name)
         runs[name] = [w]
         want = 1
-        regressed = name in prior and w > REGRESS_RATIO * prior[name]
+        # needs adjudication when this round's wall jumped >1.5x the
+        # prior round — or when the query is NEW this round (no prior
+        # entry): its first-ever recorded wall should not be a single
+        # cold sample (r06: kcore_bounded_peel read 8.4s cold, ~3s warm)
+        regressed = (
+            bool(prior)
+            and (name not in prior or w > REGRESS_RATIO * prior[name])
+        )
         if name in FORCE_3RUNS:
             want = 3
         elif w < REPEAT_T2:
             want = 3
         elif w < REPEAT_T1 or regressed:
             want = 2
-        if w > REPEAT_CEIL_S:
-            want = 1  # multi-second walls are not scheduling noise
+        if w > REPEAT_CEIL_S and not regressed:
+            # multi-second walls are not scheduling noise — EXCEPT when
+            # this round's wall jumped >1.5x the prior round: that is
+            # exactly the case the repeat exists to adjudicate (r06:
+            # kmeans_centroids read 10.97s cold, 4.3/3.7 on repeats)
+            want = 1
         while (
             len(runs[name]) < want
             and extra_spent + w < REPEAT_BUDGET_S
