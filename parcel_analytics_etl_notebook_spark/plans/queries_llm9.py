@@ -227,3 +227,90 @@ def priority_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Suffix→prefix overlap pairs: concatenation-boundary detection
+# --------------------------------------------------------------------------
+_SP_K = 3  # boundary-window tokens
+_SP_MAX_DF = 50  # hot-hash cap (boilerplate openings/closings)
+
+_SP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+h AS (
+    SELECT doc_id, list_transform(l, tok -> {_SQL_POLY.format('tok')}) AS th
+    FROM t WHERE len(l) >= {_SP_K}
+),
+f AS (
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), th[1:{_SP_K}]),
+               (a, x) -> (a * 31 + x) % 1000000007) AS pre,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                    th[len(th) - {_SP_K} + 1 : len(th)]),
+               (a, x) -> (a * 31 + x) % 1000000007) AS suf
+    FROM h
+),
+pc AS (SELECT pre FROM f GROUP BY pre HAVING count(*) <= {_SP_MAX_DF}),
+sc AS (SELECT suf FROM f GROUP BY suf HAVING count(*) <= {_SP_MAX_DF})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.suf AS boundary_hash
+FROM f a JOIN f b ON a.suf = b.pre AND a.doc_id <> b.doc_id
+WHERE a.suf IN (SELECT suf FROM sc) AND b.pre IN (SELECT pre FROM pc)
+ORDER BY id_a, id_b
+"""
+
+
+@register("suffix_prefix_overlap_pairs", oracle=_SP_ORACLE)
+def suffix_prefix_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenation-boundary detection: document pairs where A's last
+    3 tokens hash-equal B's first 3 — the signature of crawl shards
+    that split one page across records, or of corpus builds that
+    concatenated then re-chunked documents. Neither whole-doc hashing
+    nor Jaccard catches these (the overlap is a tiny fraction of
+    either doc); the boundary window is the precise signal. Both ends
+    collapse to ONE order-sensitive polynomial hash per doc, and the
+    pair join is an equi-join suffix_hash = prefix_hash.
+
+    Scale shape: one scan computes (doc, prefix_hash, suffix_hash) —
+    map-only, in-row HOF folds; the join is hash-equi on int64 with
+    BOTH sides df-capped first (a boilerplate opening shared by 10⁶
+    docs would otherwise make the join quadratic — the drop_hot_
+    shingles rationale, cap stated in the operator contract). Output
+    is pair-grain, bounded by cap² per hot hash."""
+    docs = table(spark, sf_dir, "documents")
+    th = F.transform(tokens("text"), lambda t: poly_hash(t))
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("bigint"),
+        lambda a, x: (a * 31 + x) % 1_000_000_007,
+    )
+    n = F.size(F.col("th"))
+    f = (
+        docs.select("doc_id", th.alias("th"))
+        .filter(F.size(F.col("th")) >= _SP_K)
+        .select(
+            "doc_id",
+            fold(F.slice(F.col("th"), 1, _SP_K)).alias("pre"),
+            fold(F.slice(F.col("th"), n - _SP_K + 1, _SP_K)).alias("suf"),
+        )
+        .persist()  # read by both cap counts and both join sides
+    )
+    pc = (
+        f.groupBy("pre").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= _SP_MAX_DF).select("pre")
+    )
+    sc = (
+        f.groupBy("suf").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= _SP_MAX_DF).select("suf")
+    )
+    a = (
+        f.join(sc, "suf", "left_semi")
+        .select(F.col("doc_id").alias("id_a"), F.col("suf").alias("boundary_hash"))
+    )
+    b = (
+        f.join(pc, "pre", "left_semi")
+        .select(F.col("doc_id").alias("id_b"), F.col("pre").alias("bh"))
+    )
+    return (
+        a.join(b, (a.boundary_hash == b.bh) & (F.col("id_a") != F.col("id_b")))
+        .select("id_a", "id_b", "boundary_hash")
+        .orderBy("id_a", "id_b")
+    )

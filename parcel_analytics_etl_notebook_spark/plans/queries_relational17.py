@@ -1,7 +1,9 @@
 """Batch 17 (relational/events): round-6 capability — bounded k-core
 peeling (iterative graph-shrink), a two-table interval-OVERLAP join via
 time-bucket blocking, the ClickHouse-style window funnel (ordered step
-matching inside a time budget), and DAU/WAU stickiness.
+matching inside a time budget), DAU/WAU stickiness, and the per-node
+local clustering coefficient (triangle density over the shared
+co-purchase graph).
 
 Each is a distinct engine shape the catalog lacked: k-core is the
 *mutating-graph* iteration (unlike pagerank's fixed-topology value
@@ -36,18 +38,51 @@ _KCORE_K = 4
 _KCORE_ROUNDS = 5
 _KCORE_SUPPORT = 2
 
-
-def _kcore_oracle() -> str:
-    edges = f"""
-e0 AS MATERIALIZED (
+#: SQL twin of _copurchase_edges — shared by the k-core and clustering
+#: coefficient oracles ({name} is the CTE name)
+_SQL_COPURCHASE_EDGES = f"""
+{{name}} AS MATERIALIZED (
     SELECT a, b FROM (
-        SELECT x.l_partkey AS a, y.l_partkey AS b,
-               count(DISTINCT x.l_orderkey) AS sup
-        FROM lineitem x JOIN lineitem y
+        SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS sup
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
           ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
         GROUP BY 1, 2
     ) WHERE sup >= {_KCORE_SUPPORT}
 )"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-≥2 part co-purchase edge list (a < b), shared by the
+    graph-analytics queries (kcore_bounded_peel,
+    local_clustering_coefficient). Dedup to (order, part) BEFORE
+    pairing: pairs are then unique per order by construction, so
+    support is a plain count(*) with map-side partials —
+    count_distinct(order) per pair forces per-group hash sets over the
+    ~20x-fanned pair stream (measured ~2x slower at sf0.1)."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= _KCORE_SUPPORT)
+        .select("a", "b")
+    )
+
+
+def _kcore_oracle() -> str:
+    edges = _SQL_COPURCHASE_EDGES.format(name="e0")
     rounds = []
     for r in range(1, _KCORE_ROUNDS + 1):
         p = f"e{r - 1}"
@@ -101,31 +136,7 @@ def kcore_bounded_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     where executor loss matters, swap reliable ``checkpoint()`` in.
     The per-round stats are 1-row aggregates over the already-
     materialized frames."""
-    # dedup to (order, part) BEFORE pairing: pairs are then unique per
-    # order by construction, so support is a plain count(*) with
-    # map-side partials — count_distinct(order) per pair forces
-    # per-group hash sets over the 20x-fanned pair stream (measured
-    # ~2x slower at sf0.1)
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    x, y = li.alias("x"), li.alias("y")
-    e0 = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .groupBy(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= _KCORE_SUPPORT)
-        .select("a", "b")
-    )
-    edges = e0
+    edges = _copurchase_edges(spark, sf_dir)
     stats = []
     for r in range(1, _KCORE_ROUNDS + 1):
         deg = (
@@ -513,4 +524,94 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
         .orderBy("week_idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# Local clustering coefficient: per-node triangle density, bucketed
+# --------------------------------------------------------------------------
+@register(
+    "local_clustering_coefficient",
+    oracle="WITH " + _SQL_COPURCHASE_EDGES.format(name="e") + """,
+deg AS (
+    SELECT v, CAST(count(*) AS BIGINT) AS d
+    FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v
+),
+tri AS (
+    SELECT v, CAST(count(*) AS BIGINT) AS t
+    FROM (
+        SELECT unnest([ab.a, ab.b, bc.b]) AS v
+        FROM e ab JOIN e bc ON ab.b = bc.a
+        JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+    ) GROUP BY v
+),
+node AS (
+    SELECT deg.v, deg.d, coalesce(tri.t, 0) AS t
+    FROM deg LEFT JOIN tri ON deg.v = tri.v
+    WHERE deg.d >= 2
+)
+SELECT CAST(least(9, (20 * t) // (d * (d - 1))) AS BIGINT) AS coeff_bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       round(avg(2.0 * t / (d * (d - 1))), 4) AS avg_coeff
+FROM node GROUP BY 1 ORDER BY coeff_bucket
+""",
+)
+def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient 2·tri(v)/(deg(v)·(deg(v)−1))
+    on the support-≥2 co-purchase graph, bucketed into deciles with
+    EXACT integer arithmetic (bucket = min(9, 20t div d(d−1)) — no
+    float at the bucket boundary, so engines can't disagree on a
+    boundary node). Extends the global triangle census
+    (copurchase_triangle_census) to the node-local graph-health
+    signal: a node whose neighbors all know each other (coeff → 1) is
+    community-internal; hub nodes bridging communities score low.
+
+    Scale shape: the fact-scale work is the shared edge build
+    (_copurchase_edges — one dedup + one pair aggregate); the support
+    filter collapses the graph to model scale, so the ordered two-hop
+    triangle join (ab⋈bc⋈ac, each triangle counted once at a<b<c) and
+    the degree aggregate run on the small edge frame. On a hub-heavy
+    graph the production guard is the same degree-cutoff orientation
+    copurchase_triangle_census documents; support-filtering already
+    bounds degrees here. The ≤10-row bucket rollup ends it."""
+    e = _copurchase_edges(spark, sf_dir).persist()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.b") == F.col("bc.a"))
+        .join(
+            ac,
+            (F.col("ac.a") == F.col("ab.a")) & (F.col("ac.b") == F.col("bc.b")),
+        )
+        .select(
+            F.explode(
+                F.array(F.col("ab.a"), F.col("ab.b"), F.col("bc.b"))
+            ).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    node = (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, "v", "left")
+        .withColumn("t", F.coalesce(F.col("t"), F.lit(0).cast("bigint")))
+    )
+    dd1 = F.col("d") * (F.col("d") - 1)
+    return (
+        node.groupBy(
+            # SQL `div` = exact integer division (Spark's `/` is float)
+            F.least(F.lit(9).cast("bigint"), F.expr("(20 * t) div (d * (d - 1))"))
+            .cast("bigint")
+            .alias("coeff_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.round(F.avg(2.0 * F.col("t") / dd1), 4).alias("avg_coeff"),
+        )
+        .orderBy("coeff_bucket")
     )
