@@ -801,23 +801,31 @@ def doc_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _near_dup_pair_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The (id_a, id_b) near-dup edge list, computed ONCE per session
-    per sf_dir (catalog.memo_frame) and shared by every downstream
-    stage. In a production pipeline this artifact is materialized once
-    and read by grouping + application stages; re-deriving the full
-    shingle-index self-join per dependent query tripled the family's
-    sweep cost (VERDICT r05 #5). ``ngram_jaccard_pairs`` itself stays
-    un-memoized so its registered plan (and the shuffle-budget ledger
-    entry) keeps describing the real builder pipeline."""
+def near_dup_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full (id_a, id_b, shared, jaccard) near-dup pair artifact,
+    computed ONCE per session per sf_dir (catalog.memo_frame) and
+    shared by every downstream stage (near_dup_groups,
+    near_dup_dedup_summary, minhash_jaccard_error). In a production
+    pipeline this artifact is materialized once and read by the
+    grouping / application / calibration stages; re-deriving the full
+    shingle-index self-join per dependent query multiplied the
+    family's sweep cost ~3x (VERDICT r05 #5). ``ngram_jaccard_pairs``
+    itself stays un-memoized so its registered plan (and the
+    shuffle-budget ledger entry) keeps describing the real builder
+    pipeline."""
     from parcel_analytics_etl_notebook_spark.plans.catalog import memo_frame
 
     return memo_frame(
         spark,
         sf_dir,
-        "near_dup_pair_ids",
-        lambda: ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b"),
+        "near_dup_pairs",
+        lambda: ngram_jaccard_pairs(spark, sf_dir),
     )
+
+
+def _near_dup_pair_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (id_a, id_b) edge-list view of :func:`near_dup_pairs_frame`."""
+    return near_dup_pairs_frame(spark, sf_dir).select("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------

@@ -479,11 +479,15 @@ def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_minhash,
     )
     from parcel_analytics_etl_notebook_spark.plans.queries_llm import (
-        ngram_jaccard_pairs,
+        near_dup_pairs_frame,
     )
 
     docs = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b", "jaccard")
+    # session-scoped pair artifact — built once per sweep, shared with
+    # near_dup_groups / near_dup_dedup_summary (VERDICT r05 #5)
+    pairs = near_dup_pairs_frame(spark, sf_dir).select(
+        "id_a", "id_b", "jaccard"
+    )
     # persist: BOTH broadcast sides below re-evaluate this frame (the
     # whole tokenize→shingle→explode→16-min pipeline) — cached, the
     # pipeline runs once and each side reads (doc_id, 16 longs).

@@ -496,3 +496,34 @@ def test_catalog_shuffle_budget(spark):
         if got != budget[name]:
             bad.append((name, got, budget[name]))
     assert not bad, f"exchange-count drift: {bad}"
+
+
+def test_memo_frame_shares_and_releases(spark):
+    """catalog.memo_frame: same session + sf + key → the SAME frame
+    object (one build per sweep — VERDICT r05 #5); release_caches
+    drops the memo so the next call rebuilds; the memoized frame
+    survives spark.catalog.clearCache() (it is checkpoint-backed,
+    which is the whole point — the bench clears the SQL cache between
+    queries)."""
+    from parcel_analytics_etl_notebook_spark.plans import catalog
+
+    builds = []
+
+    def builder():
+        builds.append(1)
+        return spark.range(5).withColumnRenamed("id", "v")
+
+    a = catalog.memo_frame(spark, "/tmp/sfX", "t", builder)
+    b = catalog.memo_frame(spark, "/tmp/sfX", "t", builder)
+    assert a is b and len(builds) == 1
+    # different sf_dir → separate artifact
+    c = catalog.memo_frame(spark, "/tmp/sfY", "t", builder)
+    assert c is not a and len(builds) == 2
+    # survives SQL-cache clearing and still evaluates
+    spark.catalog.clearCache()
+    assert catalog.memo_frame(spark, "/tmp/sfX", "t", builder) is a
+    assert a.count() == 5
+    # release_caches drops the memo → rebuild
+    catalog.release_caches(spark)
+    d = catalog.memo_frame(spark, "/tmp/sfX", "t", builder)
+    assert d is not a and len(builds) == 3
