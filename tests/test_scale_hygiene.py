@@ -262,6 +262,7 @@ BOUNDED_WINDOW_OK = {
     "mixture_temperature_rebalance": "window-fold over the source-grain weight frame",
     "mom_revenue_growth": "lag window over month-grain revenue (calendar-bounded)",
     "mutual_information_type_dow": "window-fold over the type×dow contingency cells",
+    "peak_concurrent_orders": "sweep-line cumulative window over day-grain endpoint deltas (calendar-bounded)",
     "psi_acctbal_drift": "window-fold over the 10-bin counts frame",
     "randomization_test_acctbal": "extremity window over the 200 permutation means (bounded by K)",
     "rfm_segmentation": "exact_ntile_bounded value-grain folds: recency is calendar-bounded, frequency order-count-bounded (monetary takes the full distributed exact_ntile)",

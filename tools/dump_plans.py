@@ -159,6 +159,14 @@ SHOWCASE: list[tuple[str, str]] = [
         "the null-aware BroadcastNestedLoopJoin) with the 1-row has-null "
         "scalar gating the bounded brand frame.",
     ),
+    (
+        "fifo_layer_matching",
+        "FIFO queue as relational algebra: two partkey-partitioned window "
+        "cumsums, then the layer match is an EQUI-join on partkey (hash "
+        "join, never an inequality nested loop) with the cumulative-"
+        "quantity interval intersection as a post-join filter; per-key "
+        "fan-out is bounded by TPC-H's ~30 lines/part at every SF.",
+    ),
 ]
 
 
