@@ -245,7 +245,7 @@ SELECT s2.user_id,
        CAST(sum(CASE WHEN h.sid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS sessions_hit,
        CAST(coalesce(sum(h.n_inc), 0) AS BIGINT) AS incident_overlaps,
-       round(coalesce(sum(h.ov_us), 0) / 1000000.0, 4) AS overlap_seconds
+       ((coalesce(sum(h.ov_us), 0) + 50) // 100) / 10000.0 AS overlap_seconds
 FROM sess s2 LEFT JOIN hit h ON s2.user_id = h.user_id AND s2.sid = h.sid
 GROUP BY 1 ORDER BY s2.user_id
 """,
@@ -334,8 +334,14 @@ def session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n_inc"), F.lit(0))
             .cast("bigint")
             .alias("incident_overlaps"),
-            F.round(
-                F.coalesce(F.sum("ov_us"), F.lit(0)) / 1_000_000.0, 4
+            # HALF_UP to 4dp in exact BIGINT micros BEFORE the float
+            # division: Spark round() (BigDecimal HALF_UP on the
+            # shortest decimal repr) and DuckDB round() (scaled
+            # nearbyint) disagree when ov_us/1e6 lands exactly on a 5
+            # at the 5th decimal (hit once at sf0.1); integer
+            # (x+50) div 100 is tie-free and identical on both engines
+            (
+                F.expr("(coalesce(sum(ov_us), 0L) + 50) div 100") / 10_000.0
             ).alias("overlap_seconds"),
         )
         .orderBy("user_id")
