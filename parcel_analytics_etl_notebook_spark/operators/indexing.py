@@ -77,7 +77,19 @@ def _string_boundaries(df: DataFrame, col_name: str, n: int) -> list[str]:
     cuts are frozen literals and the bucket stays a pure function of
     the row's own value — deterministic across jobs, retries, and
     executor loss, which is the invariant the checkpoint existed to
-    fake."""
+    fake.
+
+    Large-``n`` degradation (ADVICE r06): the sample is sized
+    ``max(25_600, 4·n)`` capped at 200k rows, so for ``n`` near the
+    65 536 two-level ceiling only ~3 sampled rows back each requested
+    cut and the deduplicated quantile set comes back with FAR fewer
+    than ``n-1`` distinct cut points — the index silently runs with
+    coarser (and therefore larger) buckets. This degrades BALANCE
+    only, never correctness: every row still buckets deterministically
+    and the offsets pass counts whatever buckets exist. String keys
+    needing >~50k well-balanced buckets should pass precomputed
+    ``boundaries`` (e.g. from a dedicated quantile job sized to the
+    corpus) rather than relying on this bounded sample."""
     cnt = df.count()
     if cnt == 0:
         return []

@@ -36,7 +36,11 @@ from parcel_analytics_etl_notebook_spark.operators.textqa import (
     predict_lang,
     quality_features,
 )
-from parcel_analytics_etl_notebook_spark.plans.catalog import register, table
+from parcel_analytics_etl_notebook_spark.plans.catalog import (
+    MEMO_BUILDERS,
+    register,
+    table,
+)
 
 # Shared SQL fragments for the oracles -------------------------------------
 
@@ -821,6 +825,11 @@ def near_dup_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "near_dup_pairs",
         lambda: ngram_jaccard_pairs(spark, sf_dir),
     )
+
+
+# bench.py pre-materializes each shared artifact as its own timed
+# ledger line so per-query walls are marginal + order-independent
+MEMO_BUILDERS["near_dup_pairs"] = near_dup_pairs_frame
 
 
 def _near_dup_pair_ids(spark: SparkSession, sf_dir: str) -> DataFrame:

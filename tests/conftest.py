@@ -36,9 +36,13 @@ def spark():
     # session created earlier in the process would silently ignore it
     # and reopen the UNABLE_TO_ACQUIRE_MEMORY failure this fixes
     # (ADVICE r05). Fail loudly instead of degrading.
-    assert s.sparkContext.getConf().get("spark.driver.memory") == "6g", (
-        "driver memory conf was ignored — a SparkSession existed before "
-        "the test fixture built one"
+    # `.get(key, default)`: with no default a missing key raises an
+    # opaque Py4J NoSuchElementException — exactly in the pre-existing-
+    # session case this assert exists to explain (ADVICE r06).
+    got = s.sparkContext.getConf().get("spark.driver.memory", "<unset>")
+    assert got == "6g", (
+        f"driver memory conf was ignored (got {got!r}) — a SparkSession "
+        "existed before the test fixture built one"
     )
     yield s
     s.stop()

@@ -527,3 +527,48 @@ def test_memo_frame_shares_and_releases(spark):
     catalog.release_caches(spark)
     d = catalog.memo_frame(spark, "/tmp/sfX", "t", builder)
     assert d is not a and len(builds) == 3
+
+
+def test_cc_star_matches_label_propagation(spark):
+    """connected_components_star's bounded 3-pair star alternation has
+    CONVERGED on the shipped co-purchase graph: per-vertex labels equal
+    the min-label-propagation fixpoint (operators/graph.py), so the
+    fixed round budget (the price of an exactly-unrollable oracle) is
+    not truncating any component. If the data ever grows a component
+    this budget can't flatten, this fails and _CC_PAIRS must be raised
+    in BOTH the query and its oracle (they share the constant)."""
+    from pyspark.sql import functions as F
+
+    from parcel_analytics_etl_notebook_spark.operators.graph import (
+        connected_components,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.queries_relational17 import (
+        copurchase_edges_frame,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.queries_relational19 import (
+        _CC_PAIRS,
+        _star_round,
+    )
+
+    edges = copurchase_edges_frame(spark, SF)
+    cur = edges
+    for _ in range(_CC_PAIRS):
+        cur = _star_round(cur, "large").localCheckpoint()
+        cur = _star_round(cur, "small").localCheckpoint()
+    fin = cur.groupBy("a").agg(F.min("b").alias("root"))
+    verts = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    star = {
+        r["v"]: r["c"]
+        for r in verts.join(fin, verts["v"] == fin["a"], "left")
+        .select("v", F.coalesce("root", "v").alias("c"))
+        .collect()
+    }
+    ref = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges, src="a", dst="b").collect()
+    }
+    assert star == ref

@@ -526,3 +526,117 @@ def test_exact_ntile_bounded_matches_window_ntile(spark, vals, nbuckets):
         for r in df.withColumn("b", F.ntile(nbuckets).over(w)).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Funnel tie-handling convention (queries_relational17 module docstring,
+# VERDICT r06 #8): strict step ordering, inclusive deadline, min-per-step
+# --------------------------------------------------------------------------
+_T0_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00 UTC
+_H6_US = 6 * 3600 * 1_000_000
+
+
+def _write_events_parquet(path, rows):
+    """rows: (user_id, t_us, event_type) — written with the driver
+    tables' exact physical schema (TIMESTAMP_NANOS ts) so the fixture
+    exercises the same nanos→micros truncation path on both engines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([t * 1000 for (_, t, _) in rows], pa.timestamp("ns")),
+            "user_id": pa.array([u for (u, _, _) in rows], pa.int64()),
+            "event_type": pa.array([e for (_, _, e) in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(path))
+
+
+def test_funnel_equal_timestamp_ties(spark, tmp_path):
+    """Pins the tie-handling convention on hand-computed fixtures:
+    an equal-timestamp click never advances past its view (strict >),
+    an equal-timestamp purchase never advances past its click, an
+    event exactly ON the 6h deadline counts (inclusive <=), duplicate
+    equal-timestamp step events collapse via min(t) — and Spark and
+    the DuckDB oracle agree with the hand-computed histogram."""
+    from parcel_analytics_etl_notebook_spark.plans import catalog
+
+    rows = [
+        # u1: click ties the view -> never advances -> max_step 1
+        (1, _T0_US, "view"),
+        (1, _T0_US, "click"),
+        (1, _T0_US + 3_600_000_000, "purchase"),
+        # u2: purchase ties the click -> stops at 2
+        (2, _T0_US, "view"),
+        (2, _T0_US + 1_000_000, "click"),
+        (2, _T0_US + 1_000_000, "purchase"),
+        # u3: clean chain, duplicate equal-ts click collapses -> 3
+        (3, _T0_US, "view"),
+        (3, _T0_US + 1_000_000, "click"),
+        (3, _T0_US + 1_000_000, "click"),
+        (3, _T0_US + 2_000_000, "purchase"),
+        # u4: click exactly ON the deadline counts (inclusive);
+        # purchase 1us past it cannot -> 2
+        (4, _T0_US, "view"),
+        (4, _T0_US + _H6_US, "click"),
+        (4, _T0_US + _H6_US + 1, "purchase"),
+        # u5: no view -> 0
+        (5, _T0_US, "click"),
+    ]
+    _write_events_parquet(tmp_path / "events.parquet", rows)
+    expected = {(0, 1), (1, 1), (2, 2), (3, 1)}
+
+    e = catalog.registry()["window_funnel_max_step"]
+    got = {
+        (r["max_step"], r["n_users"])
+        for r in e.fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expected, f"Spark funnel broke the tie convention: {got}"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    oracle = {tuple(r) for r in con.execute(e.oracle).fetchall()}
+    assert oracle == expected, f"oracle broke the tie convention: {oracle}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 4),  # user
+            st.integers(0, 14),  # 30-min slot -> dense exact ties
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_funnel_tie_grid_cross_engine(spark, tmp_path_factory, events):
+    """Cross-engine property: for arbitrary tie-dense event streams
+    (all timestamps on a 30-minute grid, guaranteeing equal-timestamp
+    collisions within and across steps, some past the 6h deadline),
+    the Spark funnel and its DuckDB oracle produce the identical
+    histogram — i.e. neither engine's answer depends on how it orders
+    equal timestamps."""
+    from parcel_analytics_etl_notebook_spark.plans import catalog
+
+    rows = [
+        (u, _T0_US + slot * 1_800_000_000, et) for (u, slot, et) in events
+    ]
+    d = tmp_path_factory.mktemp("funnel_grid")
+    _write_events_parquet(d / "events.parquet", rows)
+
+    e = catalog.registry()["window_funnel_max_step"]
+    got = {
+        (r["max_step"], r["n_users"]) for r in e.fn(spark, str(d)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    oracle = {tuple(r) for r in con.execute(e.oracle).fetchall()}
+    assert got == oracle

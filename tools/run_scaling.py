@@ -1,0 +1,72 @@
+"""Measured scaling curve for the heavy pair family (VERDICT r06 #3):
+run each query at sf0.1 and at the 10× corpus (scaledata/x10, built by
+tools/gen_scaledata.py), record wall ratios vs the 10× data ratio.
+
+Each query pays its FULL cost at each scale (release_caches before
+every run — no memo sharing), best-of-2 runs. Results go into
+SCALING.md's measured-curve table.
+
+Run: ``python tools/gen_scaledata.py && python tools/run_scaling.py``
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEAVY = [
+    "ngram_jaccard_pairs",
+    "lsh_near_dup_pairs",
+    "winnowing_fingerprint_pairs",
+    "minhash_jaccard_error",
+    "kcore_bounded_peel",
+]
+BASE = "/root/testdata/sf0.1"
+X10 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "scaledata", "x10",
+)
+RUNS = 2
+
+
+def main() -> None:
+    from parcel_analytics_etl_notebook_spark.plans import catalog
+    from parcel_analytics_etl_notebook_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scaling-run",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = catalog.queries()
+    # warmup: codegen + parquet footers at both scales
+    qs["exact_dedup_documents"](spark, BASE).collect()
+    qs["exact_dedup_documents"](spark, X10).collect()
+
+    out = {}
+    for name in HEAVY:
+        walls = {}
+        for tag, sf_dir in (("sf0.1", BASE), ("x10", X10)):
+            ws = []
+            for _ in range(RUNS):
+                catalog.release_caches(spark)
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                ws.append(time.perf_counter() - t0)
+            walls[tag] = round(min(ws), 2)
+        ratio = round(walls["x10"] / walls["sf0.1"], 2)
+        out[name] = {**walls, "wall_ratio": ratio}
+        print(f"{name:32s} sf0.1={walls['sf0.1']:7.2f}s "
+              f"x10={walls['x10']:7.2f}s ratio={ratio}", flush=True)
+    print(json.dumps({"data_ratio": 10.0, "queries": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
