@@ -39,7 +39,11 @@ def main() -> None:
         app_name="scaling-run",
         master="local[32]",
         shuffle_partitions=32,
-        extra_conf={"spark.ui.enabled": "false"},
+        # local mode: one JVM holds all 32 executor threads — at the 10x
+        # corpus the default heap OOMs in the pair joins; size it like a
+        # real executor fleet would be (32 cores x ~1 GiB task headroom)
+        extra_conf={"spark.ui.enabled": "false",
+                    "spark.driver.memory": "32g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = catalog.queries()
