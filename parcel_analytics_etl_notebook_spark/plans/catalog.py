@@ -257,6 +257,7 @@ def _ensure_loaded() -> None:
             queries_llm8,
             queries_llm9,
             queries_llm10,
+            queries_llm11,
         )
     except ImportError:
         pass

@@ -915,6 +915,83 @@ def near_dup_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cross-source duplicate flow (which sources copy from which)
+# --------------------------------------------------------------------------
+@register(
+    "cross_source_dup_flow",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+hh AS (SELECT doc_id, list_transform(l, tok -> {_SQL_POLY.format('tok')}) AS th FROM t),
+sh0 AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(th)-1),
+               i -> ((th[i]*1000003 + th[i+1]) % 1000000007 * 1000003 + th[i+2]) % 1000000007))) AS shingle
+    FROM hh
+),
+sh AS (SELECT * FROM sh0 QUALIFY count(*) OVER (PARTITION BY shingle) <= {MAX_SHINGLE_DF}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pj AS (
+    SELECT id_a, id_b, round(shared / (sa.n + sb.n - shared), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE shared / (sa.n + sb.n - shared) >= 0.2
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(jaccard), 4) AS avg_jaccard
+FROM pj
+JOIN documents da ON pj.id_a = da.doc_id
+JOIN documents db ON pj.id_b = db.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def cross_source_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-flow matrix between sources: every near-dup pair
+    (shared artifact — :func:`near_dup_pairs_frame`) attributed to its
+    unordered (source, source) cell with pair count and mean Jaccard.
+    The curation diagnostic that tells you WHICH crawls/feeds copy from
+    each other (off-diagonal mass) vs re-serve themselves (diagonal) —
+    what a pipeline consults before deciding per-source dedup order and
+    survivorship priorities.
+
+    Scale shape: the expensive stage is the pair build, paid ONCE per
+    sweep by the memo (bench ledger line memo:near_dup_pairs); this
+    query adds two doc-grain equi-joins to attach sources (pairs are
+    linear in corpus size — measured in SCALING.md — and the doc side
+    is key-grain, so both joins shuffle only pair-scale rows under AQE)
+    and a (source × source)-grain aggregate with map-side partials.
+    Averages are over the 4dp-rounded pair Jaccards on both engines."""
+    pairs = near_dup_pairs_frame(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    da, db = docs.alias("da"), docs.alias("db")
+    j = (
+        pairs.join(da, pairs["id_a"] == F.col("da.doc_id"))
+        .join(db, pairs["id_b"] == F.col("db.doc_id"))
+        .select(
+            F.least("da.source", "db.source").alias("source_a"),
+            F.greatest("da.source", "db.source").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return (
+        j.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# --------------------------------------------------------------------------
 # Grouped-map applyInPandas: per-label z-score normalization
 # --------------------------------------------------------------------------
 @register(

@@ -360,6 +360,8 @@ NESTED_LOOP_ALLOWED = {
     "dormant_high_balance_customers": "1-row avg-balance threshold (Q22)",
     "important_part_value": "1-row global avg threshold (Q11/Q17 shape)",
     "market_basket_lift": "1-row total-orders scalar for lift denominator",
+    "context_window_pmi": "1-row corpus totals (token count, pair count) "
+    "for the PMI independence baseline",
     "heavy_hitter_words": "1-row token total for the exact threshold",
     "parts_never_ordered_notin": "1-row NOT-IN null-flag scalar gating "
     "the bounded brand frame (the scalable null-aware-anti rewrite)",
