@@ -315,7 +315,9 @@ def training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parcel_analytics_etl_notebook_spark.operators.graph import (
         dup_groups_from_pairs,
     )
-    from parcel_analytics_etl_notebook_spark.plans.catalog import queries as _qs
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm import (
+        near_dup_pairs_frame,
+    )
 
     docs = table(spark, sf_dir, "documents")
     toks = tokens("text")
@@ -336,7 +338,11 @@ def training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("uniq"),
         F.min("doc_id").over(w).alias("ex_canon"),
     )
-    pairs = _qs()["ngram_jaccard_pairs"](spark, sf_dir).select("id_a", "id_b")
+    # the near-dup map reads the SHARED pair memo (bench ledger line
+    # memo:near_dup_pairs) — same artifact handoff as near_dup_groups /
+    # minhash_jaccard_error; re-deriving the shingle-index self-join
+    # here re-paid the family's most expensive build per sweep
+    pairs = near_dup_pairs_frame(spark, sf_dir).select("id_a", "id_b")
     groups = dup_groups_from_pairs(pairs)
     kept = (
         (F.col("n_tokens") >= 20)

@@ -58,6 +58,26 @@ COPY (
 """)
 
 
+def gen_orders(con: duckdb.DuckDBPyConnection) -> None:
+    """Orders replicas with o_orderkey shifted by the SAME offset as
+    lineitem's, so dated-edge queries (temporal_reachability_khop)
+    join consistently; o_custkey shifts into disjoint universes too."""
+    off = con.execute(
+        f"SELECT max(l_orderkey) + 1 FROM '{SRC}/lineitem.parquet'"
+    ).fetchone()[0]
+    ckoff = con.execute(
+        f"SELECT max(o_custkey) + 1 FROM '{SRC}/orders.parquet'"
+    ).fetchone()[0]
+    con.execute(f"""
+COPY (
+  SELECT o_orderkey + r * {off} AS o_orderkey,
+         o_custkey + r * {ckoff} AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM '{SRC}/orders.parquet', range({REPLICAS}) t(r)
+) TO '{OUT}/orders.parquet' (FORMAT PARQUET)
+""")
+
+
 def gen_documents(con: duckdb.DuckDBPyConnection) -> None:
     rows = con.execute(
         f"SELECT doc_id, text, lang, source FROM '{SRC}/documents.parquet' "
@@ -124,6 +144,7 @@ def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
     gen_lineitem(con)
+    gen_orders(con)
     gen_documents(con)
     gen_embeddings(con)
     for f in sorted(os.listdir(OUT)):
