@@ -936,7 +936,9 @@ pairs AS (
     GROUP BY 1, 2
 ),
 pj AS (
-    SELECT id_a, id_b, round(shared / (sa.n + sb.n - shared), 4) AS jaccard
+    SELECT id_a, id_b,
+           CAST(round(round(shared / (sa.n + sb.n - shared), 4) * 10000)
+                AS BIGINT) AS j4
     FROM pairs
     JOIN sizes sa ON id_a = sa.doc_id
     JOIN sizes sb ON id_b = sb.doc_id
@@ -945,7 +947,8 @@ pj AS (
 SELECT least(da.source, db.source) AS source_a,
        greatest(da.source, db.source) AS source_b,
        CAST(count(*) AS BIGINT) AS n_pairs,
-       round(avg(jaccard), 4) AS avg_jaccard
+       ((2 * sum(j4) + count(*)) // (2 * count(*)))
+           / CAST(10000 AS DOUBLE) AS avg_jaccard
 FROM pj
 JOIN documents da ON pj.id_a = da.doc_id
 JOIN documents db ON pj.id_b = db.doc_id
@@ -968,7 +971,14 @@ def cross_source_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in corpus size — measured in SCALING.md — and the doc side
     is key-grain, so both joins shuffle only pair-scale rows under AQE)
     and a (source × source)-grain aggregate with map-side partials.
-    Averages are over the 4dp-rounded pair Jaccards on both engines."""
+
+    Tie convention (queries_relational17 module docstring): the pair
+    Jaccards are already 4dp decimals, so the mean is computed in
+    EXACT integer ten-thousandths — sum the BIGINT j4 values and
+    round-half-up with integer division ((2·Σ + n) div 2n) — never
+    avg-of-doubles, whose accumulation order can flip a half-way 4dp
+    tie between engines (caught by the sf0.1 re-proof, the same class
+    as the r06 session_incident_overlap bug)."""
     pairs = near_dup_pairs_frame(spark, sf_dir)
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
     da, db = docs.alias("da"), docs.alias("db")
@@ -978,17 +988,23 @@ def cross_source_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.least("da.source", "db.source").alias("source_a"),
             F.greatest("da.source", "db.source").alias("source_b"),
-            "jaccard",
+            F.round(F.col("jaccard") * 10000, 0).cast("bigint").alias("j4"),
         )
     )
-    return (
-        j.groupBy("source_a", "source_b")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
-        )
-        .orderBy("source_a", "source_b")
+    g = j.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("j4").alias("__s4"),
     )
+    return g.selectExpr(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        # exact BIGINT half-up: (2s + n) div 2n, then scale back to 4dp
+        # (divisor cast to DOUBLE: a bare 10000.0 literal is DECIMAL in
+        # Spark SQL and the quotient would come back DECIMAL(…,7))
+        "((2 * __s4 + n_pairs) div (2 * n_pairs)) / CAST(10000 AS DOUBLE)"
+        " AS avg_jaccard",
+    ).orderBy("source_a", "source_b")
 
 
 # --------------------------------------------------------------------------
