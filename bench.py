@@ -11,12 +11,40 @@ well under the driver's stdout-tail capture limit — round 1's full
 92-query line was truncated to unparseable (BENCH_r01.json
 "parsed": null). The full per-query map for all catalog queries is
 written to BENCH_DETAIL.json beside this file.
+
+Measurement design (evolved r04→r08; the r08 changes close VERDICT r07
+findings #1/#2/#6 and ADVICE r07 #2/#4):
+
+- **Randomized sweep order** (seeded by round number): r07's driver
+  host degraded late in the sweep (driver/builder wall ratio by
+  alphabetical fifth 0.93/0.96/0.94/1.10/1.58), so the alphabetical
+  s–u tail absorbed the slowdown every round. A per-round
+  deterministic shuffle spreads any late-sweep drift across different
+  names each round, and per-run sweep offsets (below) make the drift
+  directly measurable.
+- **Per-run sweep offsets + 3-point overhead calibration**: every
+  run records its offset from sweep start (`query_run_offsets`), and
+  per-action scheduling overhead is sampled at sweep start, middle,
+  and end (`overhead_points`). Corrected walls interpolate overhead
+  at each run's offset — r07's single sweep-median correction
+  understated the tail's ~1.6× effective overhead.
+- **Per-run job counts** (ADVICE r07 #2): each run's wall is
+  corrected with ITS OWN job count (a warm memo can remove jobs on
+  repeats), then the min of per-run corrected walls is recorded —
+  never min-wall paired with max-jobs.
+- **Split repeat pools** (VERDICT r07 #1): short-wall noise repeats
+  draw from NOISE_BUDGET inline during the sweep; regression-triggered
+  and forced adjudication repeats run in a SECOND pass, severity-
+  ordered, from a reserved ADJUDICATION_BUDGET — r07's single
+  alphabetical pool hit 158.9/160s before the simhash names arrived,
+  leaving a 7.5× single-sample regression unadjudicated.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import random
 import sys
 import time
 
@@ -65,14 +93,21 @@ def main() -> None:
     from parcel_analytics_etl_notebook_spark.plans import catalog
     from parcel_analytics_etl_notebook_spark.session import get_spark
 
+    # Status-store retention must exceed any plausible per-group job
+    # count or getJobIdsForGroup silently undercounts n_jobs (ADVICE
+    # r07 #4; default spark.ui.retainedJobs=1000). 20k >> the ~40-job
+    # max any catalog query has ever issued; a guard below still flags
+    # a query that approaches the limit.
+    RETAINED_JOBS = 20000
     spark = get_spark(
         app_name="engine-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
         extra_conf={
-            # bench hygiene: no UI/listener bookkeeping across ~55 jobs
+            # bench hygiene: no UI rendering/listener bookkeeping
             "spark.ui.enabled": "false",
             "spark.sql.ui.retainedExecutions": "10",
+            "spark.ui.retainedJobs": str(RETAINED_JOBS),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -86,45 +121,59 @@ def main() -> None:
     for t in TESTDATA_TABLES:
         catalog.table(spark, sf_dir, t).count()
 
-    # Host calibration: per-action scheduling overhead (median of 20
-    # trivial jobs). Short-query walls at small SF are dominated by this
-    # fixed cost, and it varies SEVERALFOLD across rounds on shared
-    # hosts — cross-round per-query comparisons should normalize by it
-    # before calling a ratio a regression.
-    cal = []
-    for _ in range(20):
-        c0 = time.perf_counter()
-        spark.range(1).count()
-        cal.append(time.perf_counter() - c0)
-    action_overhead_ms = round(sorted(cal)[len(cal) // 2] * 1000, 1)
+    def _calibrate(n: int) -> list[float]:
+        """Per-action scheduling overhead: n trivial-job walls (sec).
+        Short-query walls at small SF are dominated by this fixed cost,
+        and it varies SEVERALFOLD across rounds (and WITHIN a sweep —
+        VERDICT r07 #2) on shared hosts."""
+        out = []
+        for _ in range(n):
+            c0 = time.perf_counter()
+            spark.range(1).count()
+            out.append(time.perf_counter() - c0)
+        return out
 
-    # Repeat policy (VERDICT r04 #5, widened r06 per VERDICT r05 #4):
+    def _median(xs: list[float]) -> float:
+        return sorted(xs)[len(xs) // 2]
+
+    # Repeat policy (VERDICT r04 #5, r05 #4, r06 #1, r07 #1):
     # short-query walls are dominated by per-job scheduling overhead that
     # drifts severalfold across rounds on shared hosts, so sub-second
     # "regressions" were pure noise. Each query runs once; it gets extra
     # runs when (a) its first wall is under REPEAT_T1 (second run; third
-    # under REPEAT_T2), (b) it is in the always-repeat adjudication set,
-    # or (c) — the r06 addition, closing the >1s blind spot that left
-    # ngram_jaccard_pairs' 2.07× drift a single sample — its first wall
-    # exceeds REGRESS_RATIO × its prior-round recorded wall (read from
-    # the previous BENCH_DETAIL_r*.json). The recorded wall is the MIN
-    # of its runs — scheduling noise is strictly additive, so min is the
-    # best estimator of true plan cost — and every run is kept in
+    # under REPEAT_T2) — drawn inline from NOISE_BUDGET_S, or (b) it is
+    # in the FORCE_3RUNS adjudication set, is NEW this round (its
+    # first-ever recorded wall should not be a single cold sample), or
+    # its first wall exceeds REGRESS_RATIO × its prior-round recorded
+    # wall — those run in a severity-ordered SECOND pass drawing from a
+    # reserved ADJUDICATION_BUDGET_S, so an expensive early-alphabet
+    # noise repeat can never starve a late-sweep regression of its
+    # adjudication runs (exactly how r07 left simhash_fingerprints' 7.5×
+    # single sample unadjudicated). The recorded wall is the MIN of a
+    # query's runs — scheduling noise is strictly additive, so min is
+    # the best estimator of true plan cost — and every run is kept in
     # BENCH_DETAIL's "query_runs" so a reader can reconstruct variance.
-    # Forced repeats are skipped above REPEAT_CEIL_S (a 10s+ wall is not
-    # noise) and each repeat is launched only if the first-run wall fits
-    # the remaining budget, so the cap cannot overshoot by a full run.
-    REPEAT_T1, REPEAT_T2, REPEAT_BUDGET_S = 1.0, 0.4, 160.0
+    # Noise repeats are skipped above REPEAT_CEIL_S (a 10s+ wall is not
+    # noise) — adjudication repeats are NOT (a 10s+ wall that is also a
+    # >1.5× mover is precisely what needs repeat evidence) — and each
+    # repeat is launched only if the first-run wall fits the remaining
+    # budget, so a cap cannot overshoot by a full run.
+    REPEAT_T1, REPEAT_T2 = 1.0, 0.4
+    NOISE_BUDGET_S, ADJUDICATION_BUDGET_S = 100.0, 90.0
     REGRESS_RATIO, REPEAT_CEIL_S = 1.5, 10.0
     FORCE_3RUNS = {
-        # cross-round adjudication set (VERDICT r04 #3/#8, r05 #4, r06 #1:
-        # winnowing rode the prior-round lookup blind spot at 6.34s single-
-        # sample — adjudicate it with forced repeats this round)
+        # cross-round adjudication set (VERDICT r04 #3/#8, r05 #4, r06 #1,
+        # r07 #1/#3: the four r07 "weak pending adjudication" names — tail
+        # walls 2–7.5× prior on the degraded driver host while the
+        # builder's same-tree walls were normal — get forced 3-run
+        # evidence this round)
         "token_counts_salted", "approx_token_percentiles",
         "ewma_value_bands", "pareto_customers",
         "multimodal_features", "expression_key_join",
         "ngram_jaccard_pairs", "near_dup_groups", "near_dup_dedup_summary",
         "winnowing_fingerprint_pairs",
+        "simhash_fingerprints", "simhash_near_dup_pairs",
+        "similar_customer_names", "session_incident_overlap",
     }
 
     import glob
@@ -146,8 +195,7 @@ def main() -> None:
     # newest BENCH_DETAIL_r*.json with round STRICTLY BELOW the round
     # being written (VERDICT r06 #1 — the old "latest file on disk" rule
     # picked the builder's own same-round snapshot during driver runs,
-    # so the trigger compared a round to itself and never fired; that is
-    # exactly how winnowing's 1.55x drift got zero repeat runs). Glob
+    # so the trigger compared a round to itself and never fired). Glob
     # hits are regex-filtered before sorting so a stray non-numeric
     # BENCH_DETAIL_r*.json can never crash the sort (ADVICE r06).
     prior: dict[str, float] = {}
@@ -167,23 +215,28 @@ def main() -> None:
             prior = {}
 
     sc = spark.sparkContext
-    n_jobs: dict[str, int] = {}
+    n_jobs: dict[str, int] = {}      # max across runs (cross-round compat)
+    jobs_capped = False
 
-    def _timed_noop(df_factory, group: str) -> float:
-        """Run one noop-sink action under a unique job group, record the
-        group's job count (deterministic per plan — the noise-free cost
-        signal walls can't give; see tools/job_profile.py), return wall."""
+    def _timed_noop(df_factory, group: str) -> tuple[float, int]:
+        """Run one noop-sink action under a unique job group; return
+        (wall, this run's job count). Job counts are deterministic per
+        plan — the noise-free cost signal walls can't give (see
+        tools/job_profile.py)."""
+        nonlocal jobs_capped
         sc.setJobGroup(group, group)
         t0 = time.perf_counter()
         df_factory().write.format("noop").mode("overwrite").save()
         w = time.perf_counter() - t0
         sc.setJobGroup("", "")
         jids = sc.statusTracker().getJobIdsForGroup(group)
+        if len(jids) >= int(0.8 * RETAINED_JOBS):
+            jobs_capped = True  # status store near retention — undercount risk
         base = group.split("#", 1)[0]
-        # job count is per-plan deterministic; keep the max across runs
-        # (a memoized artifact being warm can only REMOVE jobs)
+        # keep the cross-round n_jobs map at the max across runs (a warm
+        # memo can only REMOVE jobs); per-run counts recorded separately
         n_jobs[base] = max(n_jobs.get(base, 0), len(jids))
-        return w
+        return w, len(jids)
 
     _memo_block_ids: set[int] = set()
 
@@ -201,45 +254,61 @@ def main() -> None:
         except Exception:
             pass
 
-    def run_once(name: str, run_idx: int) -> float:
-        w = _timed_noop(
-            lambda: qs[name](spark, sf_dir), f"{name}#{run_idx}"
+    runs: dict[str, list[float]] = {}
+    run_jobs: dict[str, list[int]] = {}
+    run_offsets: dict[str, list[float]] = {}
+    sweep_t0 = time.perf_counter()
+
+    def run_once(name: str) -> float:
+        off = time.perf_counter() - sweep_t0
+        w, nj = _timed_noop(
+            lambda: qs[name](spark, sf_dir), f"{name}#{len(runs.get(name, []))}"
         )
+        runs.setdefault(name, []).append(w)
+        run_jobs.setdefault(name, []).append(nj)
+        run_offsets.setdefault(name, []).append(round(off, 2))
         # queries that persist intermediates would otherwise hold executor
         # memory into later timings — isolate each measurement
         spark.catalog.clearCache()
         _drop_stray_checkpoints()
         return w
 
-    runs: dict[str, list[float]] = {}
-    extra_spent = 0.0
+    # ---- overhead calibration point 1: sweep start ----
+    cal_start = _calibrate(20)
+    action_overhead_ms = round(_median(cal_start) * 1000, 1)
+    overhead_points: list[tuple[float, float]] = [
+        (0.0, round(_median(cal_start) * 1000, 2))
+    ]
+
+    noise_spent = 0.0
+    adj_spent = 0.0
 
     # ---- memo ledger phase (VERDICT r06 #5 / ADVICE r06) ----
     # Shared sweep artifacts (near-dup pair table, co-purchase edge list)
     # are materialized and timed as their OWN ledger lines (memo:<key>)
     # BEFORE the query sweep, so every query's recorded wall is its
     # MARGINAL cost and per-query walls are order-independent — the r06
-    # numbers charged the full build to whichever query ran first
-    # (kcore_bounded_peel paid the edge build local_clustering_coefficient
-    # free-rode). Each repeat drops the memo reference first so the
-    # rebuild runs the full job; stale checkpoint blocks from dropped
-    # repeats are reclaimed by release_caches below, after which every
-    # memo is rebuilt once (untimed) so the sweep starts warm.
+    # numbers charged the full build to whichever query ran first.
+    # Each repeat drops the memo reference first so the rebuild runs the
+    # full job; stale checkpoint blocks from dropped repeats are
+    # reclaimed by release_caches below, after which every memo is
+    # rebuilt once (untimed) so the sweep starts warm. Memo repeats are
+    # funded outside both query pools (fixed 3 runs each).
     memo_built_by: dict[str, str] = {}
     for key, builder in sorted(catalog.MEMO_BUILDERS.items()):
         line = f"memo:{key}"
         memo_built_by[key] = line
-
-        def memo_once(run_idx: int, *, _k=key, _b=builder, _l=line) -> float:
-            catalog.drop_memo(spark, sf_dir, _k)
-            w = _timed_noop(
-                lambda: _b(spark, sf_dir), f"{_l}#{run_idx}"
+        for _ in range(3):
+            catalog.drop_memo(spark, sf_dir, key)
+            off = time.perf_counter() - sweep_t0
+            w, nj = _timed_noop(
+                lambda _b=builder: _b(spark, sf_dir),
+                f"{line}#{len(runs.get(line, []))}",
             )
+            runs.setdefault(line, []).append(w)
+            run_jobs.setdefault(line, []).append(nj)
+            run_offsets.setdefault(line, []).append(round(off, 2))
             spark.catalog.clearCache()
-            return w
-
-        runs[line] = [memo_once(i) for i in range(3)]
-        extra_spent += sum(runs[line][1:])
     catalog.release_caches(spark)
     for key, builder in sorted(catalog.MEMO_BUILDERS.items()):
         builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -252,49 +321,92 @@ def main() -> None:
     except Exception:
         pass
 
-    for name in sorted(qs):
-        w = run_once(name, 0)
-        runs[name] = [w]
-        want = 1
-        # needs adjudication when this round's wall jumped >1.5x the
-        # prior round — or when the query is NEW this round (no prior
-        # entry): its first-ever recorded wall should not be a single
-        # cold sample (r06: kcore_bounded_peel read 8.4s cold, ~3s warm)
-        regressed = (
-            bool(prior)
-            and (name not in prior or w > REGRESS_RATIO * prior[name])
+    # ---- pass 1: one run per query, randomized order ----
+    # Seeded by round number: deterministic within a round (reruns
+    # comparable) but a DIFFERENT tail each round, so host drift that
+    # accumulates across the sweep (VERDICT r07 #2) can never pin the
+    # same names' records round after round.
+    sweep_names = sorted(qs)
+    random.Random(rnd).shuffle(sweep_names)
+    adjudicate: dict[str, float] = {}  # name -> severity (w / prior wall)
+    mid_at = len(sweep_names) // 2
+    for i, name in enumerate(sweep_names):
+        if i == mid_at:
+            # calibration point 2 + a JVM GC nudge: if the late-sweep
+            # degradation is heap/GC accumulation, the forced GC resets
+            # it; either way the mid-point overhead sample localizes it
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            overhead_points.append(
+                (round(time.perf_counter() - sweep_t0, 2),
+                 round(_median(_calibrate(10)) * 1000, 2)),
+            )
+        w = run_once(name)
+        regressed = bool(prior) and (
+            name not in prior or w > REGRESS_RATIO * prior[name]
         )
-        if name in FORCE_3RUNS:
-            want = 3
-        elif w < REPEAT_T2:
-            want = 3
-        elif w < REPEAT_T1 or regressed:
-            want = 2
-        if w > REPEAT_CEIL_S and not regressed:
-            # multi-second walls are not scheduling noise — EXCEPT when
-            # this round's wall jumped >1.5x the prior round: that is
-            # exactly the case the repeat exists to adjudicate (r06:
-            # kmeans_centroids read 10.97s cold, 4.3/3.7 on repeats)
+        if name in FORCE_3RUNS or regressed:
+            # defer to the severity-ordered adjudication pass; new names
+            # (no prior entry) adjudicate at a nominal 2.0 severity
+            sev = (w / prior[name]) if name in prior else 2.0
+            if name in FORCE_3RUNS:
+                sev += 100.0  # mandated adjudications always serviced first
+            adjudicate[name] = sev
+            continue
+        want = 3 if w < REPEAT_T2 else (2 if w < REPEAT_T1 else 1)
+        if w > REPEAT_CEIL_S:
             want = 1
-        while (
-            len(runs[name]) < want
-            and extra_spent + w < REPEAT_BUDGET_S
-        ):
-            w2 = run_once(name, len(runs[name]))
-            runs[name].append(w2)
-            extra_spent += w2
+        while len(runs[name]) < want and noise_spent + w < NOISE_BUDGET_S:
+            noise_spent += run_once(name)
+
+    # ---- pass 2: severity-ordered adjudication repeats ----
+    for name in sorted(adjudicate, key=lambda n: -adjudicate[n]):
+        want = 3 if name in FORCE_3RUNS else 2
+        w0 = runs[name][0]
+        while len(runs[name]) < want and adj_spent + w0 < ADJUDICATION_BUDGET_S:
+            adj_spent += run_once(name)
+
+    # ---- overhead calibration point 3: sweep end ----
+    overhead_points.append(
+        (round(time.perf_counter() - sweep_t0, 2),
+         round(_median(_calibrate(10)) * 1000, 2)),
+    )
+
     timings = {n: round(min(ws), 4) for n, ws in runs.items()}
     first_runs = {n: ws[0] for n, ws in runs.items()}
-    # Overhead-corrected walls (VERDICT r06 #4): wall − n_jobs × the
-    # round's median per-action overhead. Job counts are per-plan
-    # deterministic, so cross-round ratios of wall_corrected measure the
-    # PLAN — r06's entire "regression" cloud (token_stats_by_source
-    # +129%, zipf +147%, each ~8 short jobs under 2.1× host overhead)
-    # self-resolves to ~1.0× under this correction.
-    _oh_s = action_overhead_ms / 1000.0
+
+    def _oh_at(off: float) -> float:
+        """Overhead (sec) at a sweep offset: piecewise-linear between
+        the start/mid/end calibration points (VERDICT r07 #6 — a single
+        sweep-median correction understates the tail when overhead
+        drifts across the sweep)."""
+        pts = overhead_points
+        if off <= pts[0][0]:
+            return pts[0][1] / 1000.0
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+            if off <= x1:
+                f = (off - x0) / (x1 - x0) if x1 > x0 else 0.0
+                return (y0 + f * (y1 - y0)) / 1000.0
+        return pts[-1][1] / 1000.0
+
+    # Overhead-corrected walls (VERDICT r06 #4, r07 #6 / ADVICE r07 #2):
+    # EACH run's wall minus ITS OWN job count × the overhead interpolated
+    # at ITS OWN sweep offset; recorded value = min of per-run corrected
+    # walls. Compare THESE across rounds — they measure the PLAN.
     corrected = {
-        n: round(max(0.0, t - n_jobs.get(n, 0) * _oh_s), 4)
-        for n, t in timings.items()
+        n: round(
+            max(
+                0.0,
+                min(
+                    w - nj * _oh_at(off)
+                    for w, nj, off in zip(runs[n], run_jobs[n], run_offsets[n])
+                ),
+            ),
+            4,
+        )
+        for n in runs
     }
 
     total = round(sum(timings.values()), 4)
@@ -309,26 +421,37 @@ def main() -> None:
               "queries": timings, "sf": sf, "n_queries": len(qs),
               "n_memo_lines": len(catalog.MEMO_BUILDERS),
               "action_overhead_ms": action_overhead_ms,
-              # full calibration series (VERDICT r05 #8): lets cross-round
-              # ratio analysis subtract jobs × overhead per query instead
-              # of eyeballing the median
-              "overhead_samples_ms": [round(c * 1000, 2) for c in cal],
-              # per-plan deterministic job counts + overhead-corrected
-              # walls (VERDICT r06 #4) — compare THESE across rounds
+              # full start-of-sweep calibration series (VERDICT r05 #8)
+              "overhead_samples_ms": [round(c * 1000, 2) for c in cal_start],
+              # (sweep_offset_s, median_overhead_ms) at start/mid/end —
+              # the drift curve VERDICT r07 #2 asked for
+              "overhead_points": overhead_points,
+              # per-plan deterministic job counts (max across runs) +
+              # per-run counts + per-run sweep offsets
               "n_jobs": dict(sorted(n_jobs.items())),
+              "n_jobs_runs": {n: js for n, js in sorted(run_jobs.items())
+                              if len(js) > 1},
+              "query_run_offsets": dict(sorted(run_offsets.items())),
+              "n_jobs_near_retention": jobs_capped,
               "queries_corrected": corrected,
               # which ledger line paid each shared-artifact build
               # (ADVICE r06): always the memo's own line since the
               # memo-timing phase runs before the sweep
               "memo_built_by": memo_built_by,
               "first_run_total": first_run_total,
-              "bench_policy": "best-of-n (min of runs); repeats under "
-              f"{REPEAT_T1}s walls or >{REGRESS_RATIO}x prior-round wall "
-              f"(prior = newest BENCH_DETAIL round < r{rnd:02d}), "
-              f"skipped above {REPEAT_CEIL_S}s, "
-              f"capped at {REPEAT_BUDGET_S}s extra; memo:<key> lines are "
-              "3-run timed builds of shared artifacts, queries pay "
-              "marginal cost",
+              "sweep_order_seed": rnd,
+              "adjudicated": sorted(adjudicate),
+              "bench_policy": "best-of-n (min of runs); randomized sweep "
+              f"order seeded by round; noise repeats under {REPEAT_T1}s "
+              f"walls (inline, {NOISE_BUDGET_S}s pool, skipped above "
+              f"{REPEAT_CEIL_S}s); >={REGRESS_RATIO}x-prior / new-name / "
+              "forced adjudication repeats in a severity-ordered second "
+              f"pass (reserved {ADJUDICATION_BUDGET_S}s pool, no ceiling; "
+              f"prior = newest BENCH_DETAIL round < r{rnd:02d}); "
+              "memo:<key> lines are 3-run timed builds of shared "
+              "artifacts, queries pay marginal cost; corrected walls = "
+              "min over runs of wall - run_jobs x overhead interpolated "
+              "at the run's sweep offset",
               "query_runs": {n: [round(w, 4) for w in ws]
                              for n, ws in runs.items() if len(ws) > 1}}
     # stable name (latest) PLUS a per-round snapshot so per-query

@@ -74,3 +74,76 @@ def asof_join_backward(
     for c in carry:
         out = out.withColumn(f"{c}{suffix}", F.col("__r").getField(c))
     return out.drop("__side", "__ts", "__r")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    suffixes: tuple[str, str] = ("_before", "_after"),
+) -> DataFrame:
+    """For each left row, attach BOTH the latest right ``right_ts`` at
+    or before ``left_ts`` (inclusive backward match, ``<ts><suffixes[
+    0]>``) and the earliest right ``right_ts`` strictly after it
+    (forward match, ``<ts><suffixes[1]>``) within the same ``on`` key;
+    the caller picks the nearer one (left-join semantics — either side
+    may be NULL).
+
+    Same union-and-window trick as :func:`asof_join_backward`, still
+    ONE shuffle on the key: the backward fill is ``last(...,
+    ignorenulls)`` over the preceding frame and the forward fill is
+    ``first(..., ignorenulls)`` over the following frame of the SAME
+    sorted partition — Spark plans both windows over one Exchange +
+    one Sort (identical partitioning and ordering), so the second
+    direction is free of shuffle cost. An inequality join would plan a
+    nested loop; at 100 TB this shape is the difference between a
+    sort and a cartesian.
+
+    Tie conventions: a right row at exactly ``left_ts`` is a BACKWARD
+    match (gap 0) and never a forward match — right rows sort before
+    left rows at equal timestamps, placing them in the preceding frame
+    only. Only the timestamp is carried; carrying right-side VALUE
+    columns would need an explicit right-row tiebreak at duplicate
+    timestamps to stay deterministic (see asof_join_backward's struct
+    carry)."""
+    l_tag = left.select(
+        "*",
+        F.lit(1).alias("__side"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__rts"),
+    )
+    r_tag = right.select(
+        F.col(on),
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__ts"),
+        F.col(right_ts).alias("__rts"),
+    )
+    for c in l_tag.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(l_tag.dtypes)[c]))
+    unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
+    # right rows (side 0) sort before left rows at equal ts: inclusive
+    # <= for the backward fill, strictly-after for the forward fill
+    order = [F.col("__ts"), F.col("__side")]
+    w_back = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        "*",
+        F.last(F.col("__rts"), ignorenulls=True).over(w_back).alias(
+            f"{right_ts}{suffixes[0]}"
+        ),
+        F.first(F.col("__rts"), ignorenulls=True).over(w_fwd).alias(
+            f"{right_ts}{suffixes[1]}"
+        ),
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side", "__ts", "__rts")

@@ -137,7 +137,7 @@ def drop_hot_shingles(
     return sh.join(hot, on=shingle_col, how="left_anti")
 
 
-def lsh_candidate_pairs(
+def lsh_banded(
     sig_df: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "minhash",
@@ -145,19 +145,21 @@ def lsh_candidate_pairs(
     sig_len: int = 16,
     max_bucket: int | None = 10_000,
 ) -> DataFrame:
-    """LSH banding: split each signature into ``bands`` equal bands,
-    bucket docs by (band_idx, band_values), emit intra-bucket pairs.
-    One explode + one shuffle on the bucket key; pair blow-up is bounded
-    by bucket sizes, not n².
+    """LSH banding bucket rows: split each signature into ``bands``
+    equal bands and emit one ``(id, band, sig_band)`` row per band —
+    the bucket index both the full self-join (:func:`lsh_candidate_
+    pairs`) and the incremental batch-vs-corpus candidate join build
+    on. One explode; the frame is persisted because every consumer
+    references it at least twice (join sides, hot-bucket count).
 
-    ``max_bucket`` drops buckets holding more than that many docs before
-    pairing (same rationale as :func:`drop_hot_shingles`: one
-    boilerplate-signature bucket with d docs is d²/2 pairs — on a web
-    corpus a single hot bucket is the whole job's runtime). Docs sharing
-    a dropped bucket still pair through their other ``bands-1`` bands
-    unless they're boilerplate-identical in every band — exactly the
-    mass-duplicate case handled by exact dedup upstream. ``None``
-    disables the cap.
+    ``max_bucket`` drops buckets holding more than that many docs
+    before any pairing (same rationale as :func:`drop_hot_shingles`:
+    one boilerplate-signature bucket with d docs is d²/2 pairs — on a
+    web corpus a single hot bucket is the whole job's runtime). Docs
+    sharing a dropped bucket still pair through their other
+    ``bands-1`` bands unless they're boilerplate-identical in every
+    band — exactly the mass-duplicate case handled by exact dedup
+    upstream. ``None`` disables the cap.
 
     ``sig_len`` must be divisible by ``bands`` — otherwise the trailing
     ``sig_len % bands`` signature positions would silently never
@@ -192,11 +194,11 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", F.col("bb.sig_band").cast("array<string>").alias("sig_band"))
-    # the self-join would otherwise recompute the full signature
-    # pipeline once per side — persist the (small) banded frame.
-    # Deliberately NOT unpersisted here: the result is lazy, so the
-    # cache must outlive this function; long-lived sessions reclaim via
-    # spark.catalog.clearCache() (bench.py does so between queries).
+    # joins over this frame would otherwise recompute the full
+    # signature pipeline once per side — persist the (small) banded
+    # frame. Deliberately NOT unpersisted here: the result is lazy, so
+    # the cache must outlive this function; long-lived sessions reclaim
+    # via spark.catalog.clearCache() (bench.py does so between queries).
     banded = banded.persist()
     if max_bucket is not None:
         hot = (
@@ -208,6 +210,25 @@ def lsh_candidate_pairs(
         banded = banded.join(
             hot, on=["band", "sig_band"], how="left_anti"
         ).persist()
+    return banded
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 4,
+    sig_len: int = 16,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """LSH banding self-join: bucket docs by (band_idx, band_values)
+    via :func:`lsh_banded`, emit intra-bucket pairs. One explode + one
+    shuffle on the bucket key; pair blow-up is bounded by bucket sizes
+    (``max_bucket``), not n²."""
+    banded = lsh_banded(
+        sig_df, id_col=id_col, sig_col=sig_col, bands=bands,
+        sig_len=sig_len, max_bucket=max_bucket,
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

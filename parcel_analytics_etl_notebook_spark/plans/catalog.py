@@ -71,27 +71,41 @@ def oracle_sql() -> dict[str, str]:
 
 
 def release_caches(spark: SparkSession) -> None:
-    """Drop every frame the catalog's queries have ``persist()``-ed,
-    and every cross-query sweep memo (:func:`memo_frame`).
+    """Release ALL persistent state in the session: every SQL-cached
+    frame and **every persistent RDD in the SparkContext** — the
+    catalog's sweep memos (:func:`memo_frame`) included, but also any
+    checkpoint-backed frame a CALLER created outside the catalog.
 
-    Several queries cache model-sized intermediates (fingerprint
-    indexes, rank boundaries, centroids) for intra-query reuse; the
-    frames are session-scoped, so a long-lived service sweeping many
-    catalog queries must call this between sweeps or the storage pool
-    gradually squeezes execution memory (observed as
+    **Contract (session-wide, ADVICE r07 #1):** this is a whole-session
+    reset between sweeps, not a catalog-scoped cleanup. Because
+    ``localCheckpoint`` truncates lineage, a checkpoint-backed
+    DataFrame held by the caller across this call loses its blocks
+    irrecoverably — subsequent actions on it FAIL rather than
+    recompute. Do not hold localCheckpoint-backed frames across a
+    ``release_caches`` call; re-derive them (memo frames re-build
+    transparently on next :func:`memo_frame` access, which is why the
+    catalog's own queries are safe). Plain ``persist()``-backed frames
+    are unaffected beyond a recompute on next use.
+
+    Why it exists: several queries cache model-sized intermediates
+    (fingerprint indexes, rank boundaries, centroids) for intra-query
+    reuse; the frames are session-scoped, so a long-lived service
+    sweeping many catalog queries must call this between sweeps or the
+    storage pool gradually squeezes execution memory (observed as
     UNABLE_TO_ACQUIRE_MEMORY in round 4's full test run). Tests apply
     the same hygiene per module via an autouse fixture
-    (``tests/conftest.py``).
+    (``tests/conftest.py``), which re-creates — never re-uses — any
+    checkpoint-backed fixture afterwards.
 
-    Memo frames are checkpoint-backed (RDD blocks outside the SQL
-    cache manager), so ``clearCache()`` never touches them and
-    dropping the Python reference only releases blocks EVENTUALLY
-    (JVM GC → ContextCleaner) — under the exact memory pressure this
-    hygiene exists for, "eventually" is too late (ADVICE r06). So:
-    unpersist every still-persistent RDD explicitly. Safe here by
-    construction — this function's contract is "drop EVERYTHING the
-    catalog holds", and every catalog persist site is either the SQL
-    cache (cleared above) or a memo/checkpoint block (dropped here).
+    Why blanket ``getPersistentRDDs``: memo frames are
+    checkpoint-backed (RDD blocks outside the SQL cache manager), so
+    ``clearCache()`` never touches them, dropping the Python reference
+    only releases blocks EVENTUALLY (JVM GC → ContextCleaner), and no
+    per-DataFrame handle can unpersist a localCheckpoint's blocks
+    (verified — see :func:`drop_memo`). A scoped variant (tracking RDD
+    ids at checkpoint time) would spare caller-held checkpoints, but
+    the bench and tests want the whole-session reset; hence the
+    explicit session-wide contract above instead.
     """
     _SWEEP_MEMO.clear()
     spark.catalog.clearCache()
@@ -243,6 +257,7 @@ def _ensure_loaded() -> None:
         queries_relational17,
         queries_relational18,
         queries_relational19,
+        queries_relational20,
     )
 
     try:
@@ -258,6 +273,7 @@ def _ensure_loaded() -> None:
             queries_llm9,
             queries_llm10,
             queries_llm11,
+            queries_llm12,
         )
     except ImportError:
         pass

@@ -159,15 +159,19 @@ def context_window_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Group-aware train/val/test split with leakage accounting
 # --------------------------------------------------------------------------
 def _split_case_sql(col: str) -> str:
+    # id is reduced mod p BEFORE the multiply so the intermediate stays
+    # below 2^63 for any BIGINT id (ADVICE r07 #3: the unreduced form
+    # overflows at id ≳ 9.2e12 — Spark non-ANSI wraps silently, DuckDB
+    # raises, so the engines would diverge on large ids)
     return (
-        f"CASE WHEN ({col} * 1000003) % 1000000007 % 10 < 8 THEN 'train' "
-        f"WHEN ({col} * 1000003) % 1000000007 % 10 = 8 THEN 'val' "
+        f"CASE WHEN ({col} % 1000000007 * 1000003) % 1000000007 % 10 < 8 THEN 'train' "
+        f"WHEN ({col} % 1000000007 * 1000003) % 1000000007 % 10 = 8 THEN 'val' "
         "ELSE 'test' END"
     )
 
 
 def _split_case(col: Column) -> Column:
-    b = (col * F.lit(1000003)) % F.lit(1000000007) % F.lit(10)
+    b = (col % F.lit(1000000007) * F.lit(1000003)) % F.lit(1000000007) % F.lit(10)
     return (
         F.when(b < 8, F.lit("train"))
         .when(b == 8, F.lit("val"))
@@ -234,10 +238,11 @@ def group_aware_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative min-label propagation as near_dup_groups; everything
     else is doc-grain hashes (exact BIGINT arithmetic, identical on
     both engines), two pair-grain joins, and split-grain aggregates
-    joined onto a 3-row spine. The split hash ((id·1000003) mod p mod
-    10) is a pure function of the id — reproducible across engines,
-    restarts, and backfills, which is the operational requirement for
-    split assignment."""
+    joined onto a 3-row spine. The split hash ((id mod p · 1000003)
+    mod p mod 10, p = 1000000007; the inner reduction keeps the
+    intermediate under 2^63 for any BIGINT id) is a pure function of
+    the id — reproducible across engines, restarts, and backfills,
+    which is the operational requirement for split assignment."""
     pairs = near_dup_pairs_frame(spark, sf_dir).select("id_a", "id_b")
     groups = dup_groups_from_pairs(pairs)
     docs = table(spark, sf_dir, "documents").select("doc_id")

@@ -23,6 +23,11 @@ HEAVY = [
     "minhash_jaccard_error",
     "kcore_bounded_peel",
 ]
+# any names on the command line override HEAVY (used to extend the
+# SCALING.md table without re-running already-measured rows):
+#   python tools/run_scaling.py simhash_fingerprints semdedup_cluster_pairs
+if len(sys.argv) > 1:
+    HEAVY = sys.argv[1:]
 BASE = "/root/testdata/sf0.1"
 X10 = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
