@@ -258,6 +258,7 @@ def _ensure_loaded() -> None:
         queries_relational18,
         queries_relational19,
         queries_relational20,
+        queries_relational21,
     )
 
     try:
@@ -274,6 +275,7 @@ def _ensure_loaded() -> None:
             queries_llm10,
             queries_llm11,
             queries_llm12,
+            queries_llm13,
         )
     except ImportError:
         pass

@@ -787,11 +787,10 @@ _SIMHASH_SQL_CTE = None  # built lazily below to reuse queries_llm fragments
 def _simhash_pairs_oracle() -> str:
     from parcel_analytics_etl_notebook_spark.plans.queries_llm import _SQL_POLY
 
-    ham = (
-        "CAST(list_sum(list_transform(range(0, 16), "
-        "j -> CASE WHEN ((a.simhash >> j) & 1) <> ((b.simhash >> j) & 1) "
-        "THEN 1 ELSE 0 END)) AS BIGINT)"
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm import (
+        MAX_LSH_BUCKET,
     )
+
     return f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
 h AS (SELECT doc_id, list_transform(l, tok -> {_SQL_POLY.format('tok')}) AS hh FROM t),
@@ -804,12 +803,14 @@ f AS (
     FROM h
 ),
 bands AS (SELECT doc_id, simhash, simhash % 256 AS lo, simhash // 256 AS hi FROM f),
+blo AS (SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY lo) <= {MAX_LSH_BUCKET}),
+bhi AS (SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY hi) <= {MAX_LSH_BUCKET}),
 cand AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
-    FROM bands a JOIN bands b ON a.lo = b.lo AND a.doc_id < b.doc_id
+    FROM blo a JOIN blo b ON a.lo = b.lo AND a.doc_id < b.doc_id
     UNION
     SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-    FROM bands a JOIN bands b ON a.hi = b.hi AND a.doc_id < b.doc_id
+    FROM bhi a JOIN bhi b ON a.hi = b.hi AND a.doc_id < b.doc_id
 )
 SELECT * FROM (
     SELECT a.id_a AS id_a, a.id_b AS id_b,
@@ -829,10 +830,25 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop), then keep hamming ≤ 3. Pigeonhole guarantees recall for
     hamming ≤ 1 with 2 bands; wider radii trade recall for join size
     (add bands to widen). Completes the SimHash family:
-    simhash_fingerprints → candidates → verified near-dup pairs."""
+    simhash_fingerprints → candidates → verified near-dup pairs.
+
+    Band buckets are capped at MAX_LSH_BUCKET docs (same discipline
+    and same constant as the MinHash-LSH path, restated in the oracle
+    via QUALIFY): an 8-bit band has only 256 values, so bucket
+    occupancy grows as n/256 and intra-bucket pairs as n²/256 — the
+    r08 10× scale run measured the UNCAPPED join at 20.8× wall for
+    10× data (SCALING.md). The cap bounds any bucket's contribution at
+    cap²/2 pairs; no bucket reaches it at sf ≤ 0.1, so results are
+    unchanged where the oracle checks. The structural fix at corpus
+    scale is a wider fingerprint (64-bit SimHash, 4×16-bit bands —
+    bucket space 65536, the production shape); the cap is the
+    guard-rail that keeps the 16-bit demo from going quadratic."""
     from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
         hamming_distance,
         with_simhash,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm import (
+        MAX_LSH_BUCKET,
     )
 
     f = with_simhash(table(spark, sf_dir, "documents"), bits=16)
@@ -844,7 +860,14 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
 
     def half_join(key: str) -> DataFrame:
-        a, b = bands.alias("a"), bands.alias("b")
+        hot = (
+            bands.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > MAX_LSH_BUCKET)
+            .select(key)
+        )
+        capped = bands.join(hot, on=key, how="left_anti")
+        a, b = capped.alias("a"), capped.alias("b")
         return a.join(
             b,
             (F.col(f"a.{key}") == F.col(f"b.{key}"))

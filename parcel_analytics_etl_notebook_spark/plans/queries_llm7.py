@@ -116,15 +116,29 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.filter(
         F.col("r")
         <= F.col("n") - F.floor((3 * F.col("n") + 4) / 5) + 1
-    ).select("doc_id", "shingle", "n")
+    ).select("doc_id", "shingle", "n", "r")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin positional filter (Xiao et al. 2008), added after the r08
+    # 10x scale run measured the plain AllPairs candidate join at 34x
+    # wall for 10x data on the vocab-limited corpus: at a pair's FIRST
+    # common prefix shingle (positions ra, rb under the shared global
+    # order) no common shingle precedes it in either list, so overlap
+    # <= 1 + min(na-ra, nb-rb); J>=3/5 needs overlap >= ceil(3(na+nb)/8)
+    # i.e. 8*(1+min(na-ra, nb-rb)) >= 3*(na+nb), all-integer. Pairs
+    # whose every match fails cannot qualify; qualifying pairs always
+    # survive through their first common shingle. Exactness untouched —
+    # every survivor is still verified against its true intersection.
+    ubound = 1 + F.least(
+        F.col("a.n") - F.col("a.r"), F.col("b.n") - F.col("b.r")
+    )
     cands = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # size-compat: J>=3/5 forces 5*min(n) >= 3*max(n), exactly
-            & (5 * F.least("a.n", "b.n") >= 3 * F.greatest("a.n", "b.n")),
+            & (5 * F.least("a.n", "b.n") >= 3 * F.greatest("a.n", "b.n"))
+            & (8 * ubound >= 3 * (F.col("a.n") + F.col("b.n"))),
         )
         .select(
             F.col("a.doc_id").alias("id_a"),

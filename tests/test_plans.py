@@ -401,6 +401,10 @@ NESTED_LOOP_ALLOWED = {
     "per-round stat combine (both already-materialized aggregates)",
     "priority_sample_orders": "1-row threshold tau (min priority of "
     "the k+1 frame) broadcast back over the k-row sample",
+    "pq_adc_recall": "single broadcast query vector (exact-L2 eval "
+    "baseline side; the ADC side is code-grain equi-joins)",
+    "morton_zorder_buckets": "1-row global min/max bounds for grid "
+    "normalization (scalar-subquery pattern)",
 }
 
 
