@@ -259,6 +259,7 @@ def _ensure_loaded() -> None:
         queries_relational19,
         queries_relational20,
         queries_relational21,
+        queries_relational22,
     )
 
     try:
@@ -276,6 +277,7 @@ def _ensure_loaded() -> None:
             queries_llm11,
             queries_llm12,
             queries_llm13,
+            queries_llm14,
         )
     except ImportError:
         pass

@@ -405,6 +405,9 @@ NESTED_LOOP_ALLOWED = {
     "baseline side; the ADC side is code-grain equi-joins)",
     "morton_zorder_buckets": "1-row global min/max bounds for grid "
     "normalization (scalar-subquery pattern)",
+    "zone_map_skip_rates": "12 predicate rows non-equi-probed against "
+    "the manifest-sized zone-map frame (one row per file, never "
+    "data-sized) + the 2-row totals x 12-predicate spine cross join",
 }
 
 
