@@ -260,6 +260,8 @@ def _ensure_loaded() -> None:
         queries_relational20,
         queries_relational21,
         queries_relational22,
+        queries_relational23,
+        queries_relational24,
     )
 
     try:
@@ -278,6 +280,8 @@ def _ensure_loaded() -> None:
             queries_llm12,
             queries_llm13,
             queries_llm14,
+            queries_llm15,
+            queries_llm16,
         )
     except ImportError:
         pass

@@ -408,6 +408,17 @@ NESTED_LOOP_ALLOWED = {
     "zone_map_skip_rates": "12 predicate rows non-equi-probed against "
     "the manifest-sized zone-map frame (one row per file, never "
     "data-sized) + the 2-row totals x 12-predicate spine cross join",
+    "blocking_quality_eval": "four 1-row scalar counts (docs, truth, "
+    "candidates, found) combined by cross join — the scalar-subquery "
+    "pattern; all pair-grain work happens in equi-joins upstream",
+    "ivf_nprobe_recall_curve": "single broadcast query vector + "
+    "broadcast 8-row centroid frames (assignment, rank) — one "
+    "assignment pass serves all four sweep points",
+    "ivf_list_balance": "broadcast 8-row centroid frame for the "
+    "coarse assignment (model-sized)",
+    "join_cardinality_estimator_audit": "per join, two 1-row stat "
+    "aggregates x one 1-row true count combined by scalar cross "
+    "join; the only data-scale stage is the equi-join being audited",
 }
 
 
