@@ -262,6 +262,7 @@ def _ensure_loaded() -> None:
         queries_relational22,
         queries_relational23,
         queries_relational24,
+        queries_relational25,
     )
 
     try:
