@@ -283,6 +283,7 @@ def _ensure_loaded() -> None:
             queries_llm14,
             queries_llm15,
             queries_llm16,
+            queries_llm17,
         )
     except ImportError:
         pass
