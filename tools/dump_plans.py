@@ -167,6 +167,24 @@ SHOWCASE: list[tuple[str, str]] = [
         "quantity interval intersection as a post-join filter; per-key "
         "fan-out is bounded by TPC-H's ~30 lines/part at every SF.",
     ),
+    (
+        "phrase_match_positional",
+        "Positional phrase search: the postings index meets the 20-phrase "
+        "probe in a BroadcastHashJoin, the p2/p3 index sides are "
+        "broadcast-SEMI-pruned to the probed terms BEFORE any exchange "
+        "(only the phrases' own postings lists ever shuffle), and the "
+        "phrase selection itself is TakeOrderedAndProject — no "
+        "one-partition window, no unpruned self-join.",
+    ),
+    (
+        "zone_map_skip_rates",
+        "Lakehouse zone-map pruning as a query: both synthetic layouts "
+        "aggregate to a manifest-sized min/max frame (one row per FILE) "
+        "in a single map-combined pass over one scan; the non-equi "
+        "predicate-overlap probe is the allowlisted "
+        "BroadcastNestedLoopJoin of 12 predicate rows against that "
+        "manifest frame — nothing data-sized crosses anything.",
+    ),
 ]
 
 
