@@ -269,6 +269,10 @@ BOUNDED_WINDOW_OK = {
     "roc_auc_embedding_dim": "cumulative window over 6dp-rounded distinct scores (≤2M values)",
     "session_entry_exit_stats": "window-fold over the event-type-grain rollup",
     "weighted_sliding_regression": "sliding RANGE window over the day-grain order partials (calendar-bounded)",
+    "compaction_task_plan": "cumulative window over the file-manifest frame (one row per FILE — manifest-grain, like real table-maintenance planners)",
+    "ivf_list_balance": "unbounded-window total over the 8-row centroid-list frame (model-sized)",
+    "ivf_nprobe_recall_curve": "centroid query-rank window over the 8-row centroid frame (model-sized)",
+    "vocab_size_oov_sweep": "rank window over the TYPE-grain vocabulary frame; docstring names the per-partition top-V merge as the wider-vocab path",
 }
 
 
