@@ -263,6 +263,7 @@ def _ensure_loaded() -> None:
         queries_relational23,
         queries_relational24,
         queries_relational25,
+        queries_relational26,
     )
 
     try:
@@ -284,6 +285,7 @@ def _ensure_loaded() -> None:
             queries_llm15,
             queries_llm16,
             queries_llm17,
+            queries_llm18,
         )
     except ImportError:
         pass

@@ -431,6 +431,9 @@ PYTHON_EVAL_ALLOWED = {
     "embedding_zscore_by_label": "applyInPandas grouped-map surface",
     "image_meta_profile": "mapInPandas binary header decode",
     "multimodal_features": "mapInPandas feature extraction over payloads",
+    "clamped_running_balance": "applyInPandas per-key sequential loop — "
+    "the clamp makes prefix sums non-associative (no window form "
+    "exists); oracle-checked against a recursive-CTE fixpoint",
 }
 
 

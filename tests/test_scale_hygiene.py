@@ -273,6 +273,7 @@ BOUNDED_WINDOW_OK = {
     "ivf_list_balance": "unbounded-window total over the 8-row centroid-list frame (model-sized)",
     "ivf_nprobe_recall_curve": "centroid query-rank window over the 8-row centroid frame (model-sized)",
     "vocab_size_oov_sweep": "rank window over the TYPE-grain vocabulary frame; docstring names the per-partition top-V merge as the wider-vocab path",
+    "token_budget_waterfill": "sorted-prefix and water-level windows over the SOURCE-grain demand frame (tens of rows — a catalog constant, never data volume)",
 }
 
 
