@@ -140,6 +140,33 @@ def gen_embeddings(con: duckdb.DuckDBPyConnection) -> None:
     pq.write_table(tbl, f"{OUT}/embeddings.parquet")
 
 
+def gen_events(con: duckdb.DuckDBPyConnection) -> None:
+    """Events replicas with user_id and event_id shifted into disjoint
+    universes; ts, type, value, props unchanged — each user's ordered
+    event SEQUENCE is preserved verbatim, so per-key sequential work
+    (clamped_running_balance's token-bucket walk, sessionization, lag
+    windows) scales to exactly 10x the keys with identical per-key
+    state, which is the honest scale-up for keyed-state operators.
+    ts stays TIMESTAMP through the copy (DuckDB writes microseconds;
+    the engine's table() reader handles both nanos-as-long and plain
+    timestamp parquet encodings)."""
+    uoff = con.execute(
+        f"SELECT max(user_id) + 1 FROM '{SRC}/events.parquet'"
+    ).fetchone()[0]
+    eoff = con.execute(
+        f"SELECT max(event_id) + 1 FROM '{SRC}/events.parquet'"
+    ).fetchone()[0]
+    con.execute(f"""
+COPY (
+  SELECT event_id + r * {eoff} AS event_id,
+         ts,
+         user_id + r * {uoff} AS user_id,
+         event_type, value, props
+  FROM '{SRC}/events.parquet', range({REPLICAS}) t(r)
+) TO '{OUT}/events.parquet' (FORMAT PARQUET)
+""")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
@@ -147,6 +174,7 @@ def main() -> None:
     gen_orders(con)
     gen_documents(con)
     gen_embeddings(con)
+    gen_events(con)
     for f in sorted(os.listdir(OUT)):
         p = os.path.join(OUT, f)
         print(f, f"{os.path.getsize(p) / 1e6:.1f} MB")
