@@ -84,3 +84,45 @@ def test_waterfill_invariants(spark, tmp_path):
     capped_min = min(a for _, a, c in rows.values() if c)
     uncapped_max = max(a for _, a, c in rows.values() if not c)
     assert capped_min >= uncapped_max
+
+
+# ---------------------------------------------------------------------------
+# The documented window identity for the ONE-sided floor walk
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _floor_walk(deltas):
+    bal, hits = 0, 0
+    for d in deltas:
+        s = bal + d
+        if s < 0:
+            hits += 1
+            bal = 0
+        else:
+            bal = s
+    return bal, hits
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(-10_000, 10_000), min_size=1, max_size=200))
+def test_one_sided_floor_has_window_form(deltas):
+    """Pins the identity the clamped_running_balance docstring cites as
+    the reason a ONE-sided floor needs no Python loop:
+    final = S_n − min(0, min_i S_i) (prefix sum minus zero-capped
+    running prefix-min), and floor_hits = number of strict decreases of
+    that running min. The TWO-sided clamp the operator actually ships
+    has no such identity — which is exactly why it is the honest
+    Pandas-UDF case."""
+    bal, hits = _floor_walk(deltas)
+    s, m, win_hits = 0, 0, 0
+    mins = []
+    for d in deltas:
+        s += d
+        if s < m:
+            win_hits += 1
+            m = s
+        mins.append(m)
+    assert bal == s - m
+    assert hits == win_hits

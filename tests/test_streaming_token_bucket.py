@@ -119,3 +119,97 @@ def test_streaming_bucket_two_ordered_micro_batches(spark, tmp_path):
         spark.table("tbuck2").filter(F.col("user_id") == 1).count()
     )
     assert n_rows_user1 == 2
+
+
+def _write_event_file(path, rows, mtime_bump):
+    tbl = pa.table(
+        {
+            "event_id": pa.array([e for e, _, _, _ in rows], pa.int64()),
+            "ts": pa.array(
+                [t for _, _, t, _ in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([u for _, u, _, _ in rows], pa.int64()),
+            "value": pa.array([v for _, _, _, v in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(path))
+    os.utime(path, (time.time() + mtime_bump, time.time() + mtime_bump))
+
+
+def test_ordered_bucket_fixes_cross_batch_disorder(spark, tmp_path):
+    """User 1's LATER events arrive in the EARLIER micro-batch. The
+    watermark-ordered transformWithState bucket still matches the batch
+    walk exactly; the plain applyInPandasWithState twin — which walks
+    in arrival order — provably does not (its stated caveat, made
+    visible). A far-future sentinel event advances the global watermark
+    past all real data so every buffered event becomes walkable."""
+    from tests.conftest import PROTOBUF_OK
+
+    if not PROTOBUF_OK:
+        import pytest
+
+        pytest.skip("protobuf runtime unavailable for transformWithState")
+    from parcel_analytics_etl_notebook_spark.streaming.stateful_tws import (
+        rocksdb_state_conf,
+    )
+    from parcel_analytics_etl_notebook_spark.streaming.token_bucket import (
+        token_bucket_ordered,
+    )
+
+    us = 1_000_000
+    # true event-time order for user 1: +30, -50 (floor), +6000 (cap), -1
+    late_file = [(2, 1, 3 * us, 6000.0), (3, 1, 4 * us, -1.0)]
+    early_file = [(0, 1, 1 * us, 30.0), (1, 1, 2 * us, -50.0)]
+    sentinel = [(9, 999, 10**9 * us, 1.0)]  # pushes the watermark
+    d = tmp_path / "ev"
+    os.makedirs(d)
+    _write_event_file(d / "part-000.parquet", late_file, 0)
+    _write_event_file(d / "part-001.parquet", early_file, 1)
+    _write_event_file(d / "part-002.parquet", sentinel, 2)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    rocksdb_state_conf(spark)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        token_bucket_ordered(stream, watermark="10 seconds")
+        .writeStream.format("memory")
+        .queryName("tbuck3")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = _final_rows(spark, "tbuck3")
+    want = _batch_rows(
+        clamped_balance_per_key(
+            spark.read.schema(schema).parquet(str(d))
+        ).filter("user_id = 1")
+    )
+    assert got[1] == want[1]  # ordered stream == batch, despite disorder
+    assert got[1][1] == 1 and got[1][2] == 1  # floor AND cap each fired
+
+    # contrast: the arrival-order twin walks +6000,-1,+30,-50 -> cap
+    # twice, floor never — the caveat the ordered variant exists to fix
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q2 = (
+        token_bucket_updates(stream2)
+        .writeStream.format("memory")
+        .queryName("tbuck4")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got_unordered = _final_rows(spark, "tbuck4")
+    assert got_unordered[1] != want[1]
+    assert got_unordered[1][1] == 0 and got_unordered[1][2] == 2
