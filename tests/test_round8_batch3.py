@@ -142,3 +142,54 @@ def test_cluster_density_chain_vs_clique(spark):
         .collect()
     }
     assert got == {1: 6666, 10: 10000}
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning safety: no false skips on randomized layouts
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2405), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_zone_map_never_false_skips(rows):
+    """Pruning-safety invariant, pure-python twin of the query's
+    arithmetic: under BOTH layouts, every row whose order date falls in
+    a month predicate must belong to a file the zone-map probe marks
+    scanned — a false skip is silent data loss, the one failure mode a
+    pruning layer must never have. (False SCANS are allowed — they only
+    cost I/O; the skip-rate columns price them.)"""
+    import datetime as dt
+
+    base = dt.date(1992, 1, 1)
+    P, M = 1_000_000_007, 1_000_003
+    files: dict[tuple[str, int], list[dt.date]] = {}
+    for day, key in rows:
+        d = base + dt.timedelta(days=day)
+        files.setdefault(("date_clustered", day // 32), []).append(d)
+        files.setdefault(
+            ("key_hashed", (key % P) * M % P % 64), []
+        ).append(d)
+    zone = {
+        fk: (min(ds), max(ds)) for fk, ds in files.items()
+    }
+    for m in range(1, 13):
+        lo = dt.date(1995, m, 1)
+        hi = dt.date(1996, 1, 1) if m == 12 else dt.date(1995, m + 1, 1)
+        scanned = {
+            fk for fk, (fmin, fmax) in zone.items()
+            if fmin < hi and fmax >= lo
+        }
+        for fk, ds in files.items():
+            for d in ds:
+                if lo <= d < hi:
+                    assert fk in scanned, (
+                        f"false skip: row {d} in unscanned file {fk}"
+                    )
