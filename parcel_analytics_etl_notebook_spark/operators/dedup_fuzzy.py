@@ -308,3 +308,65 @@ def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:
     return sum(
         F.shiftright(x, j).bitwiseAND(F.lit(1)) for j in range(bits)
     ).cast("bigint")
+
+
+#: per-band remix multipliers for the wide (4×16-bit) SimHash: band k
+#: hashes the token stream through h_k = (h · SIMHASH_MIXERS[k]) mod
+#: FP_MOD before taking sign-bits, so the four 16-bit sub-fingerprints
+#: are decorrelated. Band 0's mixer is 1, i.e. band 0 IS the classic
+#: 16-bit SimHash of :func:`with_simhash` — the recall comparison
+#: between the two paths is a column comparison, not a re-run. All
+#: multipliers keep h·C < 2^63 (h < FP_MOD ≈ 2^30), exact on both
+#: engines.
+SIMHASH_MIXERS = (1, 1_000_003, 998_244_353, 69_069)
+
+
+def with_simhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+) -> DataFrame:
+    """id + the four 16-bit bands of a 64-bit SimHash (columns
+    ``band_0..band_3``, each BIGINT in [0, 2^band_bits)).
+
+    This is the structural fix the 16-bit path's band-bucket cap only
+    approximates (SCALING.md round-8: an 8-bit band has 256 values, so
+    intra-bucket pairs grow n²/256 and the cap silently DROPS pairs in
+    hot buckets at corpus scale). A 16-bit band has 65,536 values —
+    bucket occupancy n/65,536 — so banding the wide fingerprint keeps
+    the candidate join linear WITHOUT sacrificing recall to a cap, and
+    pigeonhole over 4 bands guarantees every pair at 64-bit hamming ≤ 3
+    shares at least one intact band.
+
+    Shape: same as :func:`with_simhash` — explode token hashes once,
+    then ONE hash aggregate carrying 4×band_bits conditional sums
+    (map-side combined, fully codegen'd; a single shuffle on the doc
+    id). The bands stay separate BIGINT columns rather than one packed
+    64-bit value: bit 63 would need an unsigned literal (1<<63
+    overflows signed int64 on both engines), and the band columns are
+    exactly the join keys the candidate query needs anyway."""
+    tok_hashes = F.transform(tokens(text_col), lambda t: poly_hash(t))
+    exploded = df.select(id_col, F.explode_outer(tok_hashes).alias("__h"))
+    sums = []
+    for k, mix in enumerate(SIMHASH_MIXERS):
+        hk = (F.col("__h") * F.lit(mix)) % F.lit(FP_MOD)
+        for j in range(band_bits):
+            sums.append(
+                F.sum(
+                    F.when(
+                        F.shiftright(hk, j).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(-1)
+                ).alias(f"__b{k}_{j}")
+            )
+    agg = exploded.groupBy(id_col).agg(*sums)
+    bands = []
+    for k in range(len(SIMHASH_MIXERS)):
+        fp: Column = F.lit(0).cast("long")
+        for j in range(band_bits):
+            fp = fp + F.when(
+                F.col(f"__b{k}_{j}") > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0))
+        bands.append(fp.alias(f"band_{k}"))
+    return agg.select(id_col, *bands)

@@ -286,6 +286,7 @@ def _ensure_loaded() -> None:
             queries_llm16,
             queries_llm17,
             queries_llm18,
+            queries_llm19,
         )
     except ImportError:
         pass
