@@ -87,18 +87,116 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionBy(doc_id) window (no global sort); the df frame joins on
     the uniformly-hashed shingle key; the verify join fans candidates
     by one doc-set size (model-bounded per pair). All joins are on
-    shingle hashes or doc ids — uniform int64 keys, no skew."""
-    docs = table(spark, sf_dir, "documents")
-    tok_hashes = F.transform(tokens("text"), lambda t: poly_hash(t))
-    th = docs.select("doc_id", tok_hashes.alias("__th")).repartition(
-        spark.sparkContext.defaultParallelism
+    shingle hashes or doc ids — uniform int64 keys, no skew.
+
+    Guardrail (VERDICT r08 #6): the candidate volume is an OUTPUT
+    complexity term — on a boilerplate-heavy corpus (shared vocabulary,
+    near-constant shingle space) even prefix shingles collide across
+    documents and the exact join goes quadratic by corpus construction,
+    as the r08 10× run measured (candidates 134× for 10× data,
+    SCALING.md). That failure mode is now enforced, not documented:
+    before the join, Σ_s c_s·(c_s−1)/2 over prefix-shingle counts (an
+    exact upper bound on candidate rows, one cheap aggregate on the
+    already-built prefix frame) is checked against a candidate budget —
+    over budget the query FAILS FAST with the scale-safe alternatives
+    named (or degrades to the df-capped exact join when the caller opts
+    in; see :func:`prefix_filter_pairs`). The default budget (2e6) is
+    ~6× the sf0.1 volume (312,489), so every recorded hash is
+    unchanged, while the adversarial 10× corpus (36,071,508) trips it —
+    tests/test_round9_ops.py pins both behaviors on a fixture."""
+    return prefix_filter_pairs(
+        table(spark, sf_dir, "documents"),
+        nparts=spark.sparkContext.defaultParallelism,
+        candidate_budget=PREFIX_CANDIDATE_BUDGET,
     )
+
+
+class CandidateBudgetExceeded(RuntimeError):
+    """The exact AllPairs/PPJoin prefix join would generate more
+    candidate pairs than the caller budgeted — the corpus is in the
+    boilerplate-dense regime where exact set-similarity is quadratic by
+    output complexity. Scale-safe alternatives: the df-capped inverted
+    index (ngram_jaccard_pairs semantics; pass on_over_budget='cap') or
+    LSH banding (lsh_near_dup_pairs), both measured ~linear at 10× in
+    SCALING.md."""
+
+
+#: default candidate budget for the registered catalog query: ~6× the
+#: measured sf0.1 prefix-candidate volume (312,489), well under the
+#: adversarial 10× corpus's 36M (SCALING.md r08) — sf ≤ 0.1 results are
+#: byte-identical, the quadratic regime fails fast.
+PREFIX_CANDIDATE_BUDGET = 2_000_000
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    nparts: int = 32,
+    candidate_budget: int | None = None,
+    on_over_budget: str = "error",
+    cap_df: int = 256,
+) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard ≥ 3/5 pairs via AllPairs prefix
+    filter + PPJoin positional filter (see the registered query's
+    docstring for the algorithm and theorems).
+
+    ``candidate_budget``: if set, Σ_s c_s·(c_s−1)/2 over prefix-shingle
+    occupancy — an exact upper bound on candidate-join rows, computed
+    BEFORE the join as one aggregate over the prefix frame — must stay
+    within it. Over budget: ``on_over_budget='error'`` (default) raises
+    :class:`CandidateBudgetExceeded`; ``'cap'`` degrades to the
+    df-capped EXACT join (shingles with df > ``cap_df`` dropped before
+    pairing — ngram_jaccard_pairs semantics: exact over the capped
+    sets, boilerplate shingles carry no similarity signal). The budget
+    probe costs one extra job on the already-persisted inverted index.
+    """
+    tok_hashes = F.transform(tokens("text"), lambda t: poly_hash(t))
+    th = docs.select("doc_id", tok_hashes.alias("__th")).repartition(nparts)
     sh = th.select(
         "doc_id",
         F.explode(
             F.array_distinct(shingle_hashes_from_tokens(F.col("__th"), 3))
         ).alias("shingle"),
     ).persist()  # inverted index: referenced by df, prefix, and verify
+    if candidate_budget is not None:
+        est = _prefix_candidate_bound(sh)
+        if est > candidate_budget:
+            if on_over_budget == "cap":
+                from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (  # noqa: E501
+                    drop_hot_shingles,
+                )
+
+                sh = drop_hot_shingles(sh, max_df=cap_df).persist()
+            else:
+                raise CandidateBudgetExceeded(
+                    f"prefix-filter candidate bound {est:,} exceeds budget "
+                    f"{candidate_budget:,}: corpus is in the "
+                    "boilerplate-dense regime where the exact join is "
+                    "quadratic by output complexity. Use the df-capped "
+                    "exact join (on_over_budget='cap' / "
+                    "ngram_jaccard_pairs) or LSH banding "
+                    "(lsh_near_dup_pairs) — both measured ~linear at 10x "
+                    "(SCALING.md)."
+                )
+    return _prefix_filter_join(sh)
+
+
+def _prefix_candidate_bound(sh: DataFrame) -> int:
+    """Σ_s c_s·(c_s−1)/2 over PREFIX-shingle occupancy: every candidate
+    pair shares ≥ 1 prefix shingle, so this sum (all-integer, computed
+    before any pairing) bounds the candidate join's output from above."""
+    counts = _prefix_frame(sh).groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    row = counts.agg(
+        F.sum((F.col("c") * (F.col("c") - 1)).cast("bigint") / 2).alias("b")
+    ).collect()[0]
+    return int(row["b"] or 0)
+
+
+def _prefix_frame(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingle, n, r) rows for each document's p = n − ⌈3n/5⌉
+    + 1 globally-rarest shingles under the corpus-wide (df, shingle)
+    total order — the AllPairs prefix."""
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id")
     ranked = (
@@ -113,10 +211,17 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # prefix length p = n - ceil(3n/5) + 1, all-integer
-    prefix = ranked.filter(
+    return ranked.filter(
         F.col("r")
         <= F.col("n") - F.floor((3 * F.col("n") + 4) / 5) + 1
     ).select("doc_id", "shingle", "n", "r")
+
+
+def _prefix_filter_join(sh: DataFrame) -> DataFrame:
+    """Candidate join + exact verification over a (doc_id, shingle)
+    inverted index: AllPairs size filter, PPJoin positional filter,
+    then true-intersection Jaccard ≥ 3/5."""
+    prefix = _prefix_frame(sh)
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin positional filter (Xiao et al. 2008), added after the r08
     # 10x scale run measured the plain AllPairs candidate join at 34x
