@@ -128,6 +128,10 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).over(wall),
         )
+        # degenerate all-zero-demand corpus: no row has lam_i < demand,
+        # istar/lambda are NULL, and the oracle's lam CTE is empty — drop
+        # the undefined rows so BOTH engines return empty (ADVICE r08)
+        .filter(F.col("lambda").isNotNull())
         .select(
             "source",
             "demand",

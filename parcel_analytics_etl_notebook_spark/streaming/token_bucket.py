@@ -232,11 +232,20 @@ def token_bucket_ordered(
 
 
 def token_bucket_updates(events: DataFrame) -> DataFrame:
-    """Per-user running token-bucket totals, one row per user per
-    micro-batch that saw them (output mode: update). Column names and
-    clamp semantics match operators/sequential.clamped_balance_per_key
-    exactly — the tests assert row-for-row agreement when batch
-    boundaries respect event-time order."""
+    """ARRIVAL-ORDER token bucket: walks events in (event-time,
+    event_id) order only WITHIN each micro-batch — cross-batch disorder
+    silently produces wrong clamp counts, so for event-time data whose
+    arrival order is not guaranteed use :func:`token_bucket_ordered`
+    (the watermark-buffered twin) instead; this variant is for
+    pre-ordered feeds where its lower latency is safe (ADVICE r08 —
+    this caveat is the contract, hence line one).
+
+    Per-user running totals, one row per user per micro-batch that saw
+    them (output mode: update). Column names and clamp semantics match
+    operators/sequential.clamped_balance_per_key exactly — the tests
+    assert row-for-row agreement when batch boundaries respect
+    event-time order, and demonstrate the wrong-counts failure mode
+    when they don't."""
     base = events.select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("__us"),

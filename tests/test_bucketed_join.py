@@ -43,6 +43,11 @@ def test_bucketed_join_no_exchange_and_result_parity(spark, tmp_path):
         bl = spark.table("b_lineitem")
         # AQE would replace the SMJ with a broadcast join at this tiny SF,
         # hiding the property under test; disable it for the plan probe.
+        # Capture the session's CURRENT values and restore those — a
+        # hard-coded restore would silently rewrite the shared fixture's
+        # config for every later test (ADVICE r08).
+        saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        saved_abjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", "-1"
@@ -61,9 +66,9 @@ def test_bucketed_join_no_exchange_and_result_parity(spark, tmp_path):
             n_bucketed = joined.count()
             n_plain = plain.count()
         finally:
-            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
             spark.conf.set(
-                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+                "spark.sql.autoBroadcastJoinThreshold", saved_abjt
             )
         assert n_bucketed == n_plain > 0
     finally:
