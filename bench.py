@@ -38,6 +38,14 @@ findings #1/#2/#6 and ADVICE r07 #2/#4):
   ordered, from a reserved ADJUDICATION_BUDGET — r07's single
   alphabetical pool hit 158.9/160s before the simhash names arrived,
   leaving a 7.5× single-sample regression unadjudicated.
+- **Corrected-wall severity + corrected-wall skip** (VERDICT r08 #1):
+  the adjudication pass ranks names by corrected-wall ratio vs the
+  prior round's CORRECTED wall (raw-wall severity prioritized
+  multi-job overhead noise over real plan regressions), and names
+  whose first-run corrected wall is already within SKIP_RATIO of
+  prior corrected are skipped with a recorded reason
+  (`adjudication_skips`) — in r08, 29 of 82 flagged names starved
+  because overhead-noise movers drained the 90s pool first.
 """
 
 from __future__ import annotations
@@ -161,19 +169,25 @@ def main() -> None:
     REPEAT_T1, REPEAT_T2 = 1.0, 0.4
     NOISE_BUDGET_S, ADJUDICATION_BUDGET_S = 100.0, 90.0
     REGRESS_RATIO, REPEAT_CEIL_S = 1.5, 10.0
+    #: adjudication-pass skip threshold (VERDICT r08 #1): a flagged
+    #: name whose first-run CORRECTED wall is within SKIP_RATIO of its
+    #: prior-round corrected wall is overhead noise, not a plan change —
+    #: skip its repeats (reason recorded) so the pool reaches real
+    #: movers. SKIP_EPS_S absorbs near-zero priors (a 0.01s->0.04s
+    #: corrected move is not a 4x regression).
+    SKIP_RATIO, SKIP_EPS_S = 1.5, 0.05
     FORCE_3RUNS = {
-        # cross-round adjudication set (VERDICT r04 #3/#8, r05 #4, r06 #1,
-        # r07 #1/#3: the four r07 "weak pending adjudication" names — tail
-        # walls 2–7.5× prior on the degraded driver host while the
-        # builder's same-tree walls were normal — get forced 3-run
-        # evidence this round)
-        "token_counts_salted", "approx_token_percentiles",
-        "ewma_value_bands", "pareto_customers",
-        "multimodal_features", "expression_key_join",
-        "ngram_jaccard_pairs", "near_dup_groups", "near_dup_dedup_summary",
-        "winnowing_fingerprint_pairs",
-        "simhash_fingerprints", "simhash_near_dup_pairs",
-        "similar_customer_names", "session_incident_overlap",
+        # cross-round adjudication set, ROTATED each round: r08's 14
+        # names all adjudicated back to normal (VERDICT r08 scorecard),
+        # so they age out. r09 entries: lsh_near_dup_pairs (VERDICT r08
+        # what's-wrong #2 — 1.45x raw mover shipped unadjudicated twice)
+        # and the three names whose PLAN changed this round (candidate
+        # budget probe; two debuts get their first-ever walls as
+        # 3-run evidence, not single cold samples).
+        "lsh_near_dup_pairs",
+        "prefix_filter_jaccard_pairs",
+        "simhash64_near_dup_pairs",
+        "incremental_lsh_apply_delta",
     }
 
     import glob
@@ -207,12 +221,16 @@ def main() -> None:
         ),
     )
     prior_files = [p for (k, p) in prior_files if k < rnd]
+    prior_corrected: dict[str, float] = {}
     if prior_files:
         try:
             with open(prior_files[-1]) as f:
-                prior = json.load(f).get("queries", {})
+                _pd = json.load(f)
+            prior = _pd.get("queries", {})
+            prior_corrected = _pd.get("queries_corrected", {})
         except (OSError, ValueError):
             prior = {}
+            prior_corrected = {}
 
     sc = spark.sparkContext
     n_jobs: dict[str, int] = {}      # max across runs (cross-round compat)
@@ -321,6 +339,30 @@ def main() -> None:
     except Exception:
         pass
 
+    def _oh_at(off: float) -> float:
+        """Overhead (sec) at a sweep offset: piecewise-linear between
+        the calibration points recorded SO FAR (start/mid/end; VERDICT
+        r07 #6 — a single sweep-median correction understates the tail
+        when overhead drifts across the sweep). Used both for the final
+        corrected walls and for pass-2 skip decisions mid-sweep."""
+        pts = overhead_points
+        if off <= pts[0][0]:
+            return pts[0][1] / 1000.0
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+            if off <= x1:
+                f = (off - x0) / (x1 - x0) if x1 > x0 else 0.0
+                return (y0 + f * (y1 - y0)) / 1000.0
+        return pts[-1][1] / 1000.0
+
+    def _cest(name: str, i: int = 0) -> float:
+        """Run i's overhead-corrected wall estimate: wall minus its own
+        job count × the overhead interpolated at its own offset."""
+        return max(
+            0.0,
+            runs[name][i]
+            - run_jobs[name][i] * _oh_at(run_offsets[name][i]),
+        )
+
     # ---- pass 1: one run per query, randomized order ----
     # Seeded by round number: deterministic within a round (reruns
     # comparable) but a DIFFERENT tail each round, so host drift that
@@ -328,7 +370,7 @@ def main() -> None:
     # same names' records round after round.
     sweep_names = sorted(qs)
     random.Random(rnd).shuffle(sweep_names)
-    adjudicate: dict[str, float] = {}  # name -> severity (w / prior wall)
+    adjudicate: dict[str, float] = {}  # name -> severity (corrected ratio)
     mid_at = len(sweep_names) // 2
     for i, name in enumerate(sweep_names):
         if i == mid_at:
@@ -348,9 +390,15 @@ def main() -> None:
             name not in prior or w > REGRESS_RATIO * prior[name]
         )
         if name in FORCE_3RUNS or regressed:
-            # defer to the severity-ordered adjudication pass; new names
-            # (no prior entry) adjudicate at a nominal 2.0 severity
-            sev = (w / prior[name]) if name in prior else 2.0
+            # defer to the severity-ordered adjudication pass. Severity
+            # is the CORRECTED-wall ratio vs prior corrected (VERDICT
+            # r08 #1: raw-wall severity ranked multi-job overhead noise
+            # above real plan regressions); new names (no prior entry)
+            # adjudicate at a nominal 2.0 severity.
+            if name in prior_corrected:
+                sev = _cest(name) / max(prior_corrected[name], SKIP_EPS_S)
+            else:
+                sev = 2.0
             if name in FORCE_3RUNS:
                 sev += 100.0  # mandated adjudications always serviced first
             adjudicate[name] = sev
@@ -362,11 +410,50 @@ def main() -> None:
             noise_spent += run_once(name)
 
     # ---- pass 2: severity-ordered adjudication repeats ----
+    # Names whose first-run CORRECTED wall already sits within
+    # SKIP_RATIO of prior corrected are recorded-and-skipped (VERDICT
+    # r08 #1): their raw move was job-count × overhead drift, and
+    # repeating them is what starved 29 real candidates of the pool in
+    # r08. FORCE_3RUNS names are never skipped — they are the mandated
+    # evidence set.
+    adjudication_skips: dict[str, str] = {}
     for name in sorted(adjudicate, key=lambda n: -adjudicate[n]):
         want = 3 if name in FORCE_3RUNS else 2
         w0 = runs[name][0]
+        if name not in FORCE_3RUNS and name in prior_corrected:
+            c0, pc = _cest(name), prior_corrected[name]
+            if c0 <= SKIP_RATIO * pc + SKIP_EPS_S:
+                adjudication_skips[name] = (
+                    f"first-run corrected {c0:.2f}s within {SKIP_RATIO}x "
+                    f"of prior corrected {pc:.2f}s — raw move is "
+                    "overhead, repeats not spent"
+                )
+                continue
         while len(runs[name]) < want and adj_spent + w0 < ADJUDICATION_BUDGET_S:
             adj_spent += run_once(name)
+
+    # ---- pass 2b: cheap-fill from the unspent noise pool ----
+    # The severity order can drain the adjudication pool before cheap
+    # low-severity names get ANY repeat (r09 first run: three sub-1.2s
+    # names starved behind four forced heavies). Flagged names still
+    # unserviced draw their repeats from whatever the inline noise pool
+    # left unspent; a name that STILL can't run records an explicit
+    # pool-exhausted reason so every flagged name ends with >=2 runs or
+    # a ledger entry (VERDICT r08 #1 done-criterion).
+    for name in sorted(adjudicate, key=lambda n: -adjudicate[n]):
+        if name in adjudication_skips:
+            continue
+        want = 3 if name in FORCE_3RUNS else 2
+        w0 = runs[name][0]
+        while len(runs[name]) < want and noise_spent + w0 < NOISE_BUDGET_S:
+            noise_spent += run_once(name)
+    for name in sorted(adjudicate):
+        if len(runs[name]) < 2 and name not in adjudication_skips:
+            adjudication_skips[name] = (
+                f"pool exhausted before service (severity "
+                f"{adjudicate[name]:.2f}, first wall {runs[name][0]:.2f}s; "
+                "both pools drained)"
+            )
 
     # ---- overhead calibration point 3: sweep end ----
     overhead_points.append(
@@ -376,20 +463,6 @@ def main() -> None:
 
     timings = {n: round(min(ws), 4) for n, ws in runs.items()}
     first_runs = {n: ws[0] for n, ws in runs.items()}
-
-    def _oh_at(off: float) -> float:
-        """Overhead (sec) at a sweep offset: piecewise-linear between
-        the start/mid/end calibration points (VERDICT r07 #6 — a single
-        sweep-median correction understates the tail when overhead
-        drifts across the sweep)."""
-        pts = overhead_points
-        if off <= pts[0][0]:
-            return pts[0][1] / 1000.0
-        for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
-            if off <= x1:
-                f = (off - x0) / (x1 - x0) if x1 > x0 else 0.0
-                return (y0 + f * (y1 - y0)) / 1000.0
-        return pts[-1][1] / 1000.0
 
     # Overhead-corrected walls (VERDICT r06 #4, r07 #6 / ADVICE r07 #2):
     # EACH run's wall minus ITS OWN job count × the overhead interpolated
@@ -441,12 +514,27 @@ def main() -> None:
               "first_run_total": first_run_total,
               "sweep_order_seed": rnd,
               "adjudicated": sorted(adjudicate),
+              # names flagged but not repeated, with the recorded reason
+              # (VERDICT r08 #1: every flagged name either has >=2 runs
+              # or a corrected-within-SKIP_RATIO skip reason)
+              "adjudication_skips": adjudication_skips,
+              # VERDICT r08 what's-wrong #3: corrected walls are only
+              # comparable within a methodology version. v1 (r07) =
+              # min-wall - max-jobs x sweep-median overhead
+              # (over-subtracts); v2 (r08+) = min over runs of
+              # per-run wall - per-run jobs x offset-interpolated
+              # overhead. Compare v2 rounds against v2 rounds.
+              "correction_methodology": "v2-per-run-jobs-offset-interp",
               "bench_policy": "best-of-n (min of runs); randomized sweep "
               f"order seeded by round; noise repeats under {REPEAT_T1}s "
               f"walls (inline, {NOISE_BUDGET_S}s pool, skipped above "
               f"{REPEAT_CEIL_S}s); >={REGRESS_RATIO}x-prior / new-name / "
               "forced adjudication repeats in a severity-ordered second "
               f"pass (reserved {ADJUDICATION_BUDGET_S}s pool, no ceiling; "
+              "severity = corrected-wall ratio vs prior corrected; "
+              f"non-forced names skipped when first-run corrected <= "
+              f"{SKIP_RATIO}x prior corrected + {SKIP_EPS_S}s, reason in "
+              "adjudication_skips; "
               f"prior = newest BENCH_DETAIL round < r{rnd:02d}); "
               "memo:<key> lines are 3-run timed builds of shared "
               "artifacts, queries pay marginal cost; corrected walls = "
