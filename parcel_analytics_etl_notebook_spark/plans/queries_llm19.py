@@ -389,3 +389,178 @@ def incremental_lsh_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Banded hyperplane LSH embedding pairs (the 54.5x fix, round-9 scaling)
+# --------------------------------------------------------------------------
+#: 4 bands x 12 hyperplanes: bucket space 4096 per band (vs the single
+#: 8-plane query's 256) and OR-over-bands recall. Plane j of band k is
+#: the pinned LCG plane index k*12 + j, shared with the oracle.
+_EMB_BANDS, _EMB_PLANES = 4, 12
+
+
+def _emb_band_signs(k: int) -> list[list[int]]:
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm2 import (
+        _LSH_DIM,
+        _plane_sign,
+    )
+
+    return [
+        [_plane_sign(k * _EMB_PLANES + j, d) for d in range(_LSH_DIM)]
+        for j in range(_EMB_PLANES)
+    ]
+
+
+def _emb_band_col(vec_col: str, k: int):
+    from parcel_analytics_etl_notebook_spark.functions.vectors import (
+        dot_literal,
+    )
+
+    bucket = F.lit(0).cast("bigint")
+    for j, signs in enumerate(_emb_band_signs(k)):
+        dot = dot_literal(vec_col, [float(s) for s in signs])
+        bucket = bucket + F.when(
+            dot > 0, F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return bucket
+
+
+def _emb_band_sql(vec_col: str, k: int) -> str:
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm2 import (
+        _LSH_DIM,
+    )
+
+    terms = []
+    for j, signs in enumerate(_emb_band_signs(k)):
+        lst = "[" + ", ".join(f"{s}.0" for s in signs) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {_LSH_DIM + 1}), "
+            f"d -> CAST({vec_col}[d] AS DOUBLE) * ({lst})[d]))"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _emb_banded_oracle() -> str:
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm import (
+        _SQL_COS,
+    )
+
+    bands = ",\n           ".join(
+        f"{_emb_band_sql('embedding', k)} AS band_{k}"
+        for k in range(_EMB_BANDS)
+    )
+    melt = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, {k} AS band, band_{k} AS bucket FROM bk"
+        for k in range(_EMB_BANDS)
+    )
+    cos = _SQL_COS.format("x.embedding", "y.embedding")
+    return f"""
+WITH bk AS (
+    SELECT vec_id, embedding,
+           {bands}
+    FROM embeddings
+),
+long AS (
+    {melt}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM long a JOIN long b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, round({cos}, 6) AS cosine
+FROM cand c
+JOIN embeddings x ON x.vec_id = c.id_a
+JOIN embeddings y ON y.vec_id = c.id_b
+WHERE round({cos}, 6) >= 0.4
+ORDER BY c.id_a, c.id_b
+"""
+
+
+@register("embedding_lsh_banded_pairs", oracle=_emb_banded_oracle())
+def embedding_lsh_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.4) via BANDED hyperplane
+    LSH — the structural fix for the single-bucket query's measured
+    54.5× wall at 10× data (SCALING.md round-9): 8 planes give a FIXED
+    256-value bucket space, so occupancy grows n/256 and intra-bucket
+    scoring n²/256 — quadratic in corpus size by construction, the
+    embedding twin of the 8-bit SimHash band story. Here each of 4
+    bands hashes 12 planes (4096 buckets per band, and the production
+    move is simply MORE planes as the corpus grows — bucket space
+    scales exponentially in planes while cost stays one pass per band),
+    with OR-over-bands candidate union restoring the recall that a
+    single wide bucket would lose. Candidates are scored ONCE per pair
+    (distinct before the embedding join), exact cosine ≥ 0.4 verified
+    on both engines.
+
+    Shape: one linear bucketing pass (4×12 codegen'd ±1 dots), melt to
+    (vec, band, bucket), ONE self-join on the (band, bucket) key,
+    pair-grain cosine verification with per-side precomputed norms.
+    Uniform int keys; never an OR-join."""
+    from parcel_analytics_etl_notebook_spark.functions.vectors import (
+        cosine_prenormed,
+        norm_literal_sq,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm2 import (
+        _LSH_DIM,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    # persist the (tiny: one row per vector, 5 columns) fingerprint
+    # frame: the 4x12-plane bucket expression is a ~3,000-term codegen
+    # unit (~2.5s of janino compile per STAGE that re-derives it), and
+    # without the barrier the self-join's two sides and the melt each
+    # recompile and re-evaluate it — measured 13s -> ~4s at sf0.1
+    bk = emb.select(
+        "vec_id",
+        *[
+            _emb_band_col("embedding", k).alias(f"band_{k}")
+            for k in range(_EMB_BANDS)
+        ],
+    ).persist()
+    long = bk.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.col(f"band_{k}").alias("bucket"),
+                    )
+                    for k in range(_EMB_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("vec_id", "bv.band", "bv.bucket")
+    a, b = long.alias("a"), long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .dropDuplicates()
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")
+    ).withColumn("__na", F.sqrt(norm_literal_sq("__va", _LSH_DIM)))
+    eb = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb")
+    ).withColumn("__nb", F.sqrt(norm_literal_sq("__vb", _LSH_DIM)))
+    cos = F.round(
+        cosine_prenormed("__va", "__vb", "__na", "__nb", _LSH_DIM), 6
+    )
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )

@@ -431,6 +431,13 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", _lsh_bucket_col("embedding").alias("bucket"))
 
 
+#: candidate budget for the 8-plane bucket join: ~9× the measured
+#: sf0.1 bound (55,317 pairs), well under the 10× corpus's ~100×-grown
+#: bound — sf ≤ 0.1 results are byte-identical, the quadratic regime
+#: fails fast (see docstring).
+EMB_LSH_CANDIDATE_BUDGET = 500_000
+
+
 @register(
     "embedding_lsh_dedup_pairs",
     oracle=f"""
@@ -446,18 +453,51 @@ WHERE round({_SQL_COS.format('x.embedding', 'y.embedding')}, 6) >= 0.4
 )
 def embedding_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.4) blocked by the LSH
-    bucket instead of a label: the full scale path — linear bucketing
-    pass, one shuffle on the (uniform-ish) bucket key, quadratic
-    scoring bounded per bucket. Composes operators/similarity.
-    cosine_pairs_blocked with embedding_lsh_buckets' key; recall is
-    tunable by planes count (8 → 256 buckets here)."""
+    bucket instead of a label: linear bucketing pass, one shuffle on
+    the bucket key, quadratic scoring bounded per bucket. Composes
+    operators/similarity.cosine_pairs_blocked with
+    embedding_lsh_buckets' key.
+
+    Guardrail (round 9): 8 planes give a FIXED 256-value bucket space,
+    so occupancy grows n/256 and intra-bucket scoring n²/256 —
+    quadratic in corpus size by construction, the embedding twin of
+    the 8-bit SimHash band story; the round-9 10× run measured 54.5×
+    wall for 10× data (SCALING.md). As with the prefix-filter join,
+    the tradeoff is now enforced, not documented: Σ c·(c−1)/2 over
+    bucket occupancy (one cheap aggregate BEFORE the join) must stay
+    within EMB_LSH_CANDIDATE_BUDGET, else the query fails fast naming
+    the scale path — ``embedding_lsh_banded_pairs`` (4×12-plane bands:
+    bucket space grows exponentially with planes, recall preserved by
+    OR-over-bands)."""
     from parcel_analytics_etl_notebook_spark.operators.similarity import (
         cosine_pairs_blocked,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm7 import (
+        CandidateBudgetExceeded,
     )
 
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", _lsh_bucket_col("embedding").alias("bucket")
+    ).persist()
+    row = (
+        emb.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(
+                (F.col("c") * (F.col("c") - 1)).cast("bigint") / 2
+            ).alias("b")
+        )
+        .collect()[0]
     )
+    bound = int(row["b"] or 0)
+    if bound > EMB_LSH_CANDIDATE_BUDGET:
+        raise CandidateBudgetExceeded(
+            f"embedding-LSH bucket-pair bound {bound:,} exceeds budget "
+            f"{EMB_LSH_CANDIDATE_BUDGET:,}: a fixed 256-bucket space is "
+            "quadratic in corpus size. Use embedding_lsh_banded_pairs "
+            "(banded, bucket space scales with planes) — measured at 10x "
+            "in SCALING.md."
+        )
     # _LSH_DIM, not the k-means quantizer dim: the two are unrelated
     # concepts that merely both equal 64 today
     return cosine_pairs_blocked(emb, block_col="bucket", threshold=0.4, dim=_LSH_DIM)

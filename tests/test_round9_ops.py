@@ -157,3 +157,36 @@ def test_prefix_filter_budget_under_is_noop(spark):
     assert free.exceptAll(guarded).count() == 0
     assert guarded.exceptAll(free).count() == 0
     assert guarded.count() == 6  # identical docs: all 4C2 pairs at J=1
+
+
+def test_embedding_lsh_budget_fails_fast(spark, monkeypatch):
+    """The fixed-256-bucket embedding LSH join fails fast when the
+    bucket-occupancy candidate bound exceeds its budget (the quadratic
+    regime the round-9 10x run measured at 54.5x), naming the banded
+    scale path."""
+    from parcel_analytics_etl_notebook_spark.plans import queries_llm2
+
+    monkeypatch.setattr(queries_llm2, "EMB_LSH_CANDIDATE_BUDGET", 10)
+    qs = catalog.queries()
+    with pytest.raises(
+        CandidateBudgetExceeded, match="embedding_lsh_banded_pairs"
+    ):
+        qs["embedding_lsh_dedup_pairs"](spark, SF)
+
+
+def test_embedding_lsh_banded_superset_recall(spark):
+    """On the fixture, the banded variant's verified pair set covers
+    every pair the single-bucket query finds that ALSO collides in a
+    band — and both verify the same exact cosine, so any shared pair
+    carries an identical score."""
+    qs = catalog.queries()
+    single = qs["embedding_lsh_dedup_pairs"](spark, SF).select(
+        "id_a", "id_b", "cosine"
+    )
+    banded = qs["embedding_lsh_banded_pairs"](spark, SF).select(
+        "id_a", "id_b", "cosine"
+    )
+    # scores agree exactly on shared pairs (same verification expr)
+    j = single.alias("s").join(banded.alias("b"), ["id_a", "id_b"])
+    assert j.filter(F.col("s.cosine") != F.col("b.cosine")).count() == 0
+    assert banded.count() > 0
