@@ -21,12 +21,22 @@ batch self-join recompute, in any arrival order. That order-
 independence is what makes the maintenance loop trustworthy: a
 backfill + N daily deltas ends byte-identical to recompute-the-world.
 
+RE-CRAWLS (same doc_id, new text) are first-class: state rows carry
+their write batch (``wb``) and a doc-grain version ledger records each
+arrival, so a re-crawled doc's old bands/sets/pairs are superseded at
+read time (:func:`_live_rows` / :func:`live_pairs`) and physically
+dropped by the periodic :func:`compact_state` — the log-structured
+upsert pattern for append-only parquet state. A re-crawl batch probes
+with the NEW fingerprint, so stale pairs die and still-valid ones are
+re-emitted in the same batch.
+
 Scale shape per micro-batch: banding the batch is O(batch); the
 candidate join shuffles the batch's bucket keys against the standing
 bands table — at 100 TB that table is bucketed parquet (written by the
 backfill, bucket-pruned by the batch's keys), so the probe is
 O(batch × bucket occupancy), never O(corpus). The pair/bands/sets
-appends are O(batch). Nothing rescans the corpus.
+appends are O(batch); the version ledger is doc-grain and broadcasts.
+Nothing rescans the corpus.
 """
 
 from __future__ import annotations
@@ -46,6 +56,13 @@ from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
 
 #: standing-state subdirectories under the maintenance root
 BANDS_DIR, SETS_DIR, PAIRS_DIR = "bands", "sets", "pairs"
+#: doc-grain version ledger: one (doc_id, wb) row per arrival; a doc's
+#: LIVE version is its max wb. This is what makes RE-CRAWLS (same id,
+#: new text) correct on append-only parquet: old bands/sets/pairs are
+#: never deleted in place — they are superseded at read time (the
+#: log-structured-store pattern; :func:`compact_state` is the periodic
+#: rewrite that physically drops dead rows).
+VERSIONS_DIR = "versions"
 
 
 def _batch_bands(docs: DataFrame) -> DataFrame:
@@ -90,16 +107,27 @@ def near_dup_maintenance_sink(state_root: str, threshold: float = 0.2):
     bands_path = os.path.join(state_root, BANDS_DIR)
     sets_path = os.path.join(state_root, SETS_DIR)
     pairs_path = os.path.join(state_root, PAIRS_DIR)
+    versions_path = os.path.join(state_root, VERSIONS_DIR)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         docs = batch_df.select("doc_id", "text")
-        nb = _batch_bands(docs).persist()
-        ns = _batch_sets(docs).persist()
+        wb = F.lit(batch_id).cast("bigint")
+        nb = _batch_bands(docs).withColumn("wb", wb).persist()
+        ns = _batch_sets(docs).withColumn("wb", wb).persist()
+        batch_ids = docs.select("doc_id")
 
         standing = None
         if os.path.isdir(bands_path):
-            standing = spark.read.parquet(bands_path)
+            # live-version filter: a doc RE-CRAWLED by an earlier batch
+            # left its superseded bands in the append-only table; keep
+            # only each doc's max-wb rows. Then drop docs the CURRENT
+            # batch re-crawls — their new bands replace the old ones in
+            # this probe (versions for this batch are appended below).
+            standing = _live_rows(
+                spark.read.parquet(bands_path),
+                spark.read.parquet(versions_path),
+            ).join(batch_ids, on="doc_id", how="left_anti")
         probe_target = (
             nb if standing is None else nb.unionByName(standing)
         )
@@ -124,7 +152,13 @@ def near_dup_maintenance_sink(state_root: str, threshold: float = 0.2):
         # in `a`.
         all_sets = ns
         if os.path.isdir(sets_path):
-            all_sets = ns.unionByName(spark.read.parquet(sets_path))
+            live_sets = _live_rows(
+                spark.read.parquet(sets_path),
+                spark.read.parquet(versions_path),
+            ).join(batch_ids, on="doc_id", how="left_anti")
+            all_sets = ns.unionByName(
+                live_sets.select("doc_id", "sh_set", "n", "wb")
+            )
         sa = all_sets.select(
             F.col("doc_id").alias("id_a"),
             F.col("sh_set").alias("set_a"),
@@ -148,20 +182,109 @@ def near_dup_maintenance_sink(state_root: str, threshold: float = 0.2):
                 F.lit(batch_id).cast("bigint").alias("batch_id"),
             )
         )
-        # delta FIRST, then state: if the job dies between the two
-        # appends, replaying the batch re-emits the same delta rows
-        # (dedup on (id_a, id_b) downstream) but never loses pairs a
+        # delta FIRST, then state, then versions: if the job dies
+        # mid-batch, replaying it re-emits the same delta rows (dedup
+        # on (id_a, id_b, batch_id) downstream) but never loses pairs a
         # future batch would no longer find (its docs would already be
-        # standing, so the probe-side would skip them).
+        # standing, so the probe-side would skip them). Versions LAST:
+        # a re-crawl only supersedes old state once its replacement
+        # bands/sets are durably written.
         delta.write.mode("append").parquet(pairs_path)
         nb.write.mode("append").parquet(bands_path)
-        ns.select("doc_id", "sh_set", "n").write.mode("append").parquet(
-            sets_path
+        ns.select("doc_id", "sh_set", "n", "wb").write.mode(
+            "append"
+        ).parquet(sets_path)
+        batch_ids.withColumn("wb", wb).write.mode("append").parquet(
+            versions_path
         )
         nb.unpersist()
         ns.unpersist()
 
     return apply_batch
+
+
+def _live_rows(rows: DataFrame, versions: DataFrame) -> DataFrame:
+    """Read-time reconciliation: keep only each doc's rows from its
+    LATEST arrival (max wb in the version ledger). Append-only parquet
+    cannot delete superseded rows in place; this filter is the
+    log-structured-store read path and :func:`compact_state` the
+    physical cleanup. At 100 TB the ledger is doc-grain (tiny next to
+    the corpus) and broadcast-joins against the bucketed state table."""
+    latest = versions.groupBy("doc_id").agg(F.max("wb").alias("wb"))
+    return rows.join(latest, on=["doc_id", "wb"], how="inner")
+
+
+def live_pairs(spark, state_root: str) -> DataFrame:
+    """The CURRENT pair table: a pair row is live iff it was written at
+    or after BOTH its docs' latest arrivals — a re-crawl (same doc_id,
+    new text) kills every stale pair of that doc at read time, and the
+    re-crawl batch re-emits whichever pairs still verify against the
+    new text. Unique on (id_a, id_b) by construction plus dedup (a
+    crash-replayed batch may append its delta twice)."""
+    pairs = spark.read.parquet(os.path.join(state_root, PAIRS_DIR))
+    latest = (
+        spark.read.parquet(os.path.join(state_root, VERSIONS_DIR))
+        .groupBy("doc_id")
+        .agg(F.max("wb").alias("latest_wb"))
+    )
+    va = latest.select(
+        F.col("doc_id").alias("id_a"), F.col("latest_wb").alias("wa")
+    )
+    vb = latest.select(
+        F.col("doc_id").alias("id_b"), F.col("latest_wb").alias("wb2")
+    )
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(
+            (F.col("batch_id") >= F.col("wa"))
+            & (F.col("batch_id") >= F.col("wb2"))
+        )
+        .select("id_a", "id_b", "jaccard", "batch_id")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def compact_state(spark, state_root: str) -> None:
+    """Physically drop superseded rows: rewrite bands/sets to each
+    doc's live version and pairs to the live set. The periodic
+    maintenance job that keeps read-time reconciliation cheap; safe to
+    run between batches (never concurrently with one). Writes to a
+    sibling directory and swaps, so a crash mid-compaction leaves the
+    original state intact."""
+    import shutil
+
+    versions = spark.read.parquet(os.path.join(state_root, VERSIONS_DIR))
+    lp = live_pairs(spark, state_root).persist()
+    lp.count()
+    for sub in (BANDS_DIR, SETS_DIR):
+        path = os.path.join(state_root, sub)
+        live = _live_rows(spark.read.parquet(path), versions).persist()
+        live.count()
+        tmp = path + ".compact"
+        live.write.mode("overwrite").parquet(tmp)
+        live.unpersist()
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+    pairs_path = os.path.join(state_root, PAIRS_DIR)
+    tmp = pairs_path + ".compact"
+    lp.write.mode("overwrite").parquet(tmp)
+    lp.unpersist()
+    shutil.rmtree(pairs_path)
+    os.rename(tmp, pairs_path)
+    latest = versions.groupBy("doc_id").agg(F.max("wb").alias("wb")).persist()
+    latest.count()
+    vp = os.path.join(state_root, VERSIONS_DIR)
+    tmp = vp + ".compact"
+    latest.write.mode("overwrite").parquet(tmp)
+    latest.unpersist()
+    shutil.rmtree(vp)
+    os.rename(tmp, vp)
+    # Spark caches file listings per path; after the swap the old
+    # part-files are gone, so invalidate every rewritten directory or
+    # the next read fails with FILE_NOT_EXIST
+    for sub in (BANDS_DIR, SETS_DIR, PAIRS_DIR, VERSIONS_DIR):
+        spark.catalog.refreshByPath(os.path.join(state_root, sub))
 
 
 def run_maintenance_stream(

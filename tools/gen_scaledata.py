@@ -78,6 +78,24 @@ COPY (
 """)
 
 
+def gen_part(con: duckdb.DuckDBPyConnection) -> None:
+    """Part replicas with p_partkey shifted by the SAME offset as
+    lineitem's l_partkey, so part-lineitem joins stay consistent:
+    every replica's fact rows join exactly their own replica's parts —
+    brand/type/size distributions (and so per-brand medians, skylines)
+    are preserved verbatim per replica."""
+    pkoff = con.execute(
+        f"SELECT max(l_partkey) + 1 FROM '{SRC}/lineitem.parquet'"
+    ).fetchone()[0]
+    con.execute(f"""
+COPY (
+  SELECT p_partkey + r * {pkoff} AS p_partkey,
+         p_name, p_brand, p_type, p_size, p_retailprice
+  FROM '{SRC}/part.parquet', range({REPLICAS}) t(r)
+) TO '{OUT}/part.parquet' (FORMAT PARQUET)
+""")
+
+
 def gen_documents(con: duckdb.DuckDBPyConnection) -> None:
     rows = con.execute(
         f"SELECT doc_id, text, lang, source FROM '{SRC}/documents.parquet' "
@@ -172,6 +190,7 @@ def main() -> None:
     con = duckdb.connect()
     gen_lineitem(con)
     gen_orders(con)
+    gen_part(con)
     gen_documents(con)
     gen_embeddings(con)
     gen_events(con)
