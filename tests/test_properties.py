@@ -640,3 +640,81 @@ def test_funnel_tie_grid_cross_engine(spark, tmp_path_factory, events):
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
     oracle = {tuple(r) for r in con.execute(e.oracle).fetchall()}
     assert got == oracle
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+            min_size=3,
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_prefix_candidate_bound_is_upper_bound(spark, docs_tokens):
+    """The budget probe's Σ c·(c−1)/2 over prefix-shingle occupancy
+    bounds the ACTUAL candidate-join output from above on arbitrary
+    corpora — every candidate pair shares ≥ 1 prefix shingle, so the
+    per-shingle pair sum can only overcount (multi-shingle pairs, pairs
+    the size/positional filters later drop), never undercount. A bound
+    that could undercount would let a quadratic join through the
+    guardrail."""
+    from parcel_analytics_etl_notebook_spark.functions.textfns import tokens
+    from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (
+        poly_hash,
+        shingle_hashes_from_tokens,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm7 import (
+        _prefix_candidate_bound,
+        _prefix_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ts)) for i, ts in enumerate(docs_tokens)],
+        "doc_id long, text string",
+    )
+    tok_hashes = F.transform(tokens("text"), lambda t: poly_hash(t))
+    sh = docs.select("doc_id", tok_hashes.alias("__th")).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingle_hashes_from_tokens(F.col("__th"), 3))
+        ).alias("shingle"),
+    )
+    bound = _prefix_candidate_bound(sh)
+    prefix = _prefix_frame(sh)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    actual = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert bound >= actual
+
+
+def test_correctness_window_front_is_valid(spark):
+    """The external-harness front list must stay coherent: exactly 50
+    names, no duplicates, every name registered in the catalog — a
+    typo here would silently burn an external verification slot."""
+    import json
+
+    from parcel_analytics_etl_notebook_spark.plans import catalog
+
+    with open("tools/correctness_window.json") as f:
+        d = json.load(f)
+    front = d["front"]
+    assert len(front) == 50
+    assert len(set(front)) == 50
+    registered = set(catalog.queries())
+    missing = [n for n in front if n not in registered]
+    assert not missing, f"front names not in catalog: {missing}"
+    # and the file keeps its POSIX trailing newline (ADVICE r08)
+    with open("tools/correctness_window.json", "rb") as f:
+        assert f.read().endswith(b"\n")
