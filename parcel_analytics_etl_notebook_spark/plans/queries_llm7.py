@@ -439,7 +439,8 @@ SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
        CAST(n_edges AS BIGINT) AS n_edges,
        CAST(n_tri AS BIGINT) AS n_triangles,
        CAST(wedges AS BIGINT) AS n_wedges,
-       round(3.0 * n_tri / wedges, 6) AS global_clustering
+       CASE WHEN wedges > 0 THEN round(3.0 * n_tri / wedges, 6) END
+           AS global_clustering
 FROM w CROSS JOIN tri
 """,
 )
@@ -535,9 +536,15 @@ def copurchase_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_edges").cast("bigint").alias("n_edges"),
         F.max("n_tri").cast("bigint").alias("n_triangles"),
         F.max("wedges").cast("bigint").alias("n_wedges"),
-        F.round(3.0 * F.max("n_tri") / F.max("wedges"), 6).alias(
-            "global_clustering"
-        ),
+        # wedge-free core (possible on degenerate corpora — the r09 10x
+        # run hit it: the global top-200 spreads ~20 parts per replica
+        # and loses every intra-core co-occurrence): clustering is
+        # undefined -> NULL on BOTH engines (DuckDB float-div-by-zero
+        # yields NULL; Spark ANSI would throw)
+        F.when(
+            F.max("wedges") > 0,
+            F.round(3.0 * F.max("n_tri") / F.max("wedges"), 6),
+        ).alias("global_clustering"),
     )
 
 

@@ -251,6 +251,11 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: balance agreement = same floor(acctbal/500) band
 _FS_W = {"name": (25, -15), "segment": (10, -5), "balance": (15, -5)}
 _FS_THRESHOLD = 35
+#: nation-block candidate budget: ~4.4× the measured sf0.1 bound
+#: (~4.5M pairs over 25 nation blocks), well under the 10× corpus's
+#: ~100×-grown bound — sf ≤ 0.1 results byte-identical, the quadratic
+#: regime fails fast (see docstring).
+FS_CANDIDATE_BUDGET = 20_000_000
 
 
 @register(
@@ -293,9 +298,41 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     early-exits the DP. At 100 TB, blocks come from cheap canonical
     keys (phonetic codes, sorted-neighborhood windows) and weights from
     the EM-estimated m/u probabilities — same plan, learned constants.
-    """
+
+    Guardrail (round 9): 25 nations is a CONSTANT block count, so
+    candidate pairs grow n²/25 — quadratic in corpus size by
+    construction; the r09 10× run measured 38.8× wall for 10× data
+    (SCALING.md). As with the prefix-filter and embedding-LSH joins
+    the tradeoff is enforced: Σ c·(c−1)/2 over block occupancy (one
+    25-row aggregate BEFORE the join) must stay within
+    FS_CANDIDATE_BUDGET, else the query fails fast naming the finer
+    blocking keys production linkage uses."""
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm7 import (
+        CandidateBudgetExceeded,
+    )
+
     customer = table(spark, sf_dir, "customer")
     nparts = spark.sparkContext.defaultParallelism
+    row = (
+        customer.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(
+                (F.col("c") * (F.col("c") - 1)).cast("bigint") / 2
+            ).alias("b")
+        )
+        .collect()[0]
+    )
+    bound = int(row["b"] or 0)
+    if bound > FS_CANDIDATE_BUDGET:
+        raise CandidateBudgetExceeded(
+            f"nation-block pair bound {bound:,} exceeds budget "
+            f"{FS_CANDIDATE_BUDGET:,}: a constant block count is "
+            "quadratic in corpus size. Block on finer canonical keys "
+            "(phonetic code, sorted-neighborhood window, name prefix + "
+            "segment) before scoring — same Fellegi-Sunter weights, "
+            "bounded blocks."
+        )
     band = lambda c: F.floor(F.col(c) / 500)  # noqa: E731
     a = customer.select(
         F.col("c_nationkey").alias("nk"),

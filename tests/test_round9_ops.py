@@ -190,3 +190,17 @@ def test_embedding_lsh_banded_superset_recall(spark):
     j = single.alias("s").join(banded.alias("b"), ["id_a", "id_b"])
     assert j.filter(F.col("s.cosine") != F.col("b.cosine")).count() == 0
     assert banded.count() > 0
+
+
+def test_fellegi_block_budget_fails_fast(spark, monkeypatch):
+    """The constant-block-count (25 nations) linkage join fails fast
+    when the block-occupancy pair bound exceeds its budget (the r09
+    10x run measured 38.8x), naming the finer blocking keys."""
+    from parcel_analytics_etl_notebook_spark.plans import (
+        queries_relational20,
+    )
+
+    monkeypatch.setattr(queries_relational20, "FS_CANDIDATE_BUDGET", 10)
+    qs = catalog.queries()
+    with pytest.raises(CandidateBudgetExceeded, match="finer canonical"):
+        qs["fellegi_sunter_linkage"](spark, SF)

@@ -96,6 +96,51 @@ COPY (
 """)
 
 
+def gen_customer(con: duckdb.DuckDBPyConnection) -> None:
+    """Customer replicas with c_custkey shifted by the SAME offset
+    gen_orders used for o_custkey (max(o_custkey)+1 == max(c_custkey)+1
+    on this data, verified), so each replica's orders join exactly its
+    own replica's customers. Names/segments repeat verbatim per
+    replica — for record-linkage queries that IS the workload (the
+    same identities appearing in 10 sources)."""
+    ckoff = con.execute(
+        f"SELECT max(o_custkey) + 1 FROM '{SRC}/orders.parquet'"
+    ).fetchone()[0]
+    con.execute(f"""
+COPY (
+  SELECT c_custkey + r * {ckoff} AS c_custkey,
+         c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM '{SRC}/customer.parquet', range({REPLICAS}) t(r)
+) TO '{OUT}/customer.parquet' (FORMAT PARQUET)
+""")
+
+
+def gen_supplier(con: duckdb.DuckDBPyConnection) -> None:
+    """Supplier replicas on lineitem's l_suppkey offset (aligned the
+    same way as customer/orders)."""
+    skoff = con.execute(
+        f"SELECT max(l_suppkey) + 1 FROM '{SRC}/lineitem.parquet'"
+    ).fetchone()[0]
+    con.execute(f"""
+COPY (
+  SELECT s_suppkey + r * {skoff} AS s_suppkey,
+         s_name, s_nationkey, s_acctbal
+  FROM '{SRC}/supplier.parquet', range({REPLICAS}) t(r)
+) TO '{OUT}/supplier.parquet' (FORMAT PARQUET)
+""")
+
+
+def gen_dims(con: duckdb.DuckDBPyConnection) -> None:
+    """nation/region are copied VERBATIM: they are fixed dimensions
+    (25 nations, 5 regions) that every replica's foreign keys point
+    into — replicating them would change join semantics, not scale."""
+    for t in ("nation", "region"):
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
+            f"TO '{OUT}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
 def gen_documents(con: duckdb.DuckDBPyConnection) -> None:
     rows = con.execute(
         f"SELECT doc_id, text, lang, source FROM '{SRC}/documents.parquet' "
@@ -191,6 +236,9 @@ def main() -> None:
     gen_lineitem(con)
     gen_orders(con)
     gen_part(con)
+    gen_customer(con)
+    gen_supplier(con)
+    gen_dims(con)
     gen_documents(con)
     gen_embeddings(con)
     gen_events(con)
