@@ -33,3 +33,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for each (SQL-expressible) query."""
     return _catalog.oracle_sql()
+
+
+def scale_guards() -> dict[str, dict]:
+    """OPTIONAL extension (ADVICE r09 #4): per-query candidate-budget
+    contract for the few queries whose Spark plan FAILS FAST (raising
+    ``CandidateBudgetExceeded``) on corpora larger than their verified
+    scale window, while their DuckDB oracle would still answer. A
+    harness running above a query's ``max_verified_sf`` should record
+    that exception as a skip (and run the named ``scale_path`` query
+    instead), never score it as an engine-vs-oracle mismatch. At every
+    sf ≤ ``max_verified_sf`` the guard never trips and engine == oracle
+    byte-identically."""
+    return _catalog.scale_guards()

@@ -144,6 +144,7 @@ def lsh_banded(
     bands: int = 4,
     sig_len: int = 16,
     max_bucket: int | None = 10_000,
+    persist: bool = True,
 ) -> DataFrame:
     """LSH banding bucket rows: split each signature into ``bands``
     equal bands and emit one ``(id, band, sig_band)`` row per band —
@@ -199,7 +200,12 @@ def lsh_banded(
     # frame. Deliberately NOT unpersisted here: the result is lazy, so
     # the cache must outlive this function; long-lived sessions reclaim
     # via spark.catalog.clearCache() (bench.py does so between queries).
-    banded = banded.persist()
+    # ``persist=False`` is for callers that cache the result themselves
+    # and CANNOT rely on a between-queries clearCache — a continuously
+    # running foreachBatch stream would otherwise leak one cached frame
+    # per micro-batch for its lifetime (ADVICE r09 #3).
+    if persist:
+        banded = banded.persist()
     if max_bucket is not None:
         hot = (
             banded.groupBy("band", "sig_band")
@@ -207,9 +213,9 @@ def lsh_banded(
             .filter(F.col("__n") > max_bucket)
             .select("band", "sig_band")
         )
-        banded = banded.join(
-            hot, on=["band", "sig_band"], how="left_anti"
-        ).persist()
+        banded = banded.join(hot, on=["band", "sig_band"], how="left_anti")
+        if persist:
+            banded = banded.persist()
     return banded
 
 

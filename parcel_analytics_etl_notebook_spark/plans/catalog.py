@@ -34,12 +34,25 @@ class CatalogEntry:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # None → non-SQL-expressible, rows-only check
     doc: str
+    #: candidate-budget guard metadata (ADVICE r09 #4). Queries whose
+    #: Spark plan enforces a candidate budget FAIL FAST above a data
+    #: scale their DuckDB oracle would still answer — a deliberate
+    #: engine-side guard, not a wrong answer. This field makes that
+    #: part of the contract a harness can read: ``max_verified_sf`` is
+    #: the largest scale factor where engine and oracle were verified
+    #: hash-identical (the budget is sized with headroom above it);
+    #: above that, a raised ``CandidateBudgetExceeded`` (``raises``)
+    #: means SKIP-and-report, not mismatch, and ``scale_path`` names
+    #: the registered query to run instead. ``None`` → unguarded.
+    scale_guard: dict | None = None
 
 
 _REGISTRY: dict[str, CatalogEntry] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(
+    name: str, oracle: str | None = None, scale_guard: dict | None = None
+):
     """Decorator: add a (spark, sf_dir) -> DataFrame query + oracle."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
@@ -49,7 +62,9 @@ def register(name: str, oracle: str | None = None):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
-        _REGISTRY[name] = CatalogEntry(name, wrapped, oracle, fn.__doc__ or "")
+        _REGISTRY[name] = CatalogEntry(
+            name, wrapped, oracle, fn.__doc__ or "", scale_guard
+        )
         return wrapped
 
     return deco
@@ -68,6 +83,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     _ensure_loaded()
     return {n: e.oracle for n, e in _REGISTRY.items() if e.oracle is not None}
+
+
+def scale_guards() -> dict[str, dict]:
+    """Per-query candidate-budget contract (ADVICE r09 #4): for each
+    budget-guarded query, the scale window where engine == oracle was
+    verified, the exception an over-budget run raises, and the
+    registered scale-path query to use beyond the window. A harness
+    running above ``max_verified_sf`` should treat that exception as a
+    recorded skip, never a correctness mismatch."""
+    _ensure_loaded()
+    return {
+        n: e.scale_guard
+        for n, e in _REGISTRY.items()
+        if e.scale_guard is not None
+    }
 
 
 def release_caches(spark: SparkSession) -> None:
@@ -264,6 +294,7 @@ def _ensure_loaded() -> None:
         queries_relational24,
         queries_relational25,
         queries_relational26,
+        queries_relational27,
     )
 
     try:

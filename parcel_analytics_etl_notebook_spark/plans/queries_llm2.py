@@ -440,6 +440,12 @@ EMB_LSH_CANDIDATE_BUDGET = 500_000
 
 @register(
     "embedding_lsh_dedup_pairs",
+    scale_guard={
+        "budget": "EMB_LSH_CANDIDATE_BUDGET = 500,000 bucket-candidate pairs",
+        "max_verified_sf": 0.1,
+        "raises": "CandidateBudgetExceeded",
+        "scale_path": "embedding_lsh_banded_pairs",
+    },
     oracle=f"""
 WITH bk AS (
     SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket

@@ -41,6 +41,12 @@ from parcel_analytics_etl_notebook_spark.plans.queries_llm import (
 # --------------------------------------------------------------------------
 @register(
     "prefix_filter_jaccard_pairs",
+    scale_guard={
+        "budget": "PREFIX_CANDIDATE_BUDGET = 2,000,000 prefix-candidate pairs",
+        "max_verified_sf": 0.1,
+        "raises": "CandidateBudgetExceeded",
+        "scale_path": "lsh_near_dup_pairs (or on_over_budget='cap')",
+    },
     oracle=f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
 hh AS (SELECT doc_id, list_transform(l, tok -> {_SQL_POLY.format('tok')}) AS th FROM t),

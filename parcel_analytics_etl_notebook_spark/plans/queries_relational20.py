@@ -260,6 +260,12 @@ FS_CANDIDATE_BUDGET = 20_000_000
 
 @register(
     "fellegi_sunter_linkage",
+    scale_guard={
+        "budget": "FS_CANDIDATE_BUDGET = 20,000,000 nation-block pairs",
+        "max_verified_sf": 0.1,
+        "raises": "CandidateBudgetExceeded",
+        "scale_path": "fellegi_sunter_snb_linkage",
+    },
     oracle=f"""
 WITH p AS (
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
@@ -295,9 +301,13 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same blocking scale shape as similar_customer_names: the nation
     block bounds the quadratic term, the probe side round-robins across
     all cores, the build side broadcasts; the bounded levenshtein(,2)
-    early-exits the DP. At 100 TB, blocks come from cheap canonical
-    keys (phonetic codes, sorted-neighborhood windows) and weights from
-    the EM-estimated m/u probabilities — same plan, learned constants.
+    early-exits the DP. At 100 TB, blocking must be linear — that path
+    is IMPLEMENTED as ``fellegi_sunter_snb_linkage``
+    (queries_relational27.py: sorted-neighborhood window, (w−1)·n
+    candidates, identical weights/threshold), with
+    ``snb_window_recall`` measuring its pairs-completeness against
+    this query's links; production weights come from the EM-estimated
+    m/u probabilities — same plan, learned constants.
 
     Guardrail (round 9): 25 nations is a CONSTANT block count, so
     candidate pairs grow n²/25 — quadratic in corpus size by
@@ -305,8 +315,8 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SCALING.md). As with the prefix-filter and embedding-LSH joins
     the tradeoff is enforced: Σ c·(c−1)/2 over block occupancy (one
     25-row aggregate BEFORE the join) must stay within
-    FS_CANDIDATE_BUDGET, else the query fails fast naming the finer
-    blocking keys production linkage uses."""
+    FS_CANDIDATE_BUDGET, else the query fails fast naming the
+    implemented linear scale path (``fellegi_sunter_snb_linkage``)."""
     from parcel_analytics_etl_notebook_spark.plans.queries_llm7 import (
         CandidateBudgetExceeded,
     )
@@ -328,10 +338,10 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise CandidateBudgetExceeded(
             f"nation-block pair bound {bound:,} exceeds budget "
             f"{FS_CANDIDATE_BUDGET:,}: a constant block count is "
-            "quadratic in corpus size. Block on finer canonical keys "
-            "(phonetic code, sorted-neighborhood window, name prefix + "
-            "segment) before scoring — same Fellegi-Sunter weights, "
-            "bounded blocks."
+            "quadratic in corpus size. Use fellegi_sunter_snb_linkage "
+            "(sorted-neighborhood blocking, queries_relational27.py): "
+            "linear (w-1)*n candidates, same Fellegi-Sunter weights and "
+            "threshold; snb_window_recall measures the blocking recall."
         )
     band = lambda c: F.floor(F.col(c) / 500)  # noqa: E731
     a = customer.select(

@@ -70,11 +70,39 @@ def _batch_bands(docs: DataFrame) -> DataFrame:
     batch probes and then contributes to the standing table. No
     hot-bucket cap here: capping is a per-PROBE cost decision (see
     apply-delta's per-population recount); the maintenance default
-    keeps recall exact so the convergence property holds."""
+    keeps recall exact so the convergence property holds.
+
+    ``persist=False``: the caller persists the (wb-stamped) result
+    itself, and a continuously-running stream must not leak one
+    internally-cached banded frame per micro-batch (ADVICE r09 #3 —
+    ``lsh_banded``'s default persist is for batch callers that rely on
+    bench-style ``clearCache`` between queries)."""
     sig = with_minhash(docs, num_hashes=16)
-    return lsh_banded(sig, bands=4, sig_len=16, max_bucket=None).select(
-        "doc_id", "band", "sig_band"
-    )
+    return lsh_banded(
+        sig, bands=4, sig_len=16, max_bucket=None, persist=False
+    ).select("doc_id", "band", "sig_band")
+
+
+def _versions_or_none(spark, versions_path: str) -> DataFrame | None:
+    """The version ledger, or ``None`` if it does not exist yet.
+
+    Crash-replay guard (ADVICE r09 #1): batch writes go delta → bands →
+    sets → versions, so a crash between the bands append and the
+    versions append leaves state tables WITHOUT a ledger. On checkpoint
+    replay that state is reachable only for the FIRST batch (later
+    batches find the ledger from their predecessors), and with no
+    completed versions append no re-crawl supersede has been recorded —
+    every standing row is live. Treating a missing ledger as
+    "everything live" is therefore exact, and it un-wedges the replay
+    instead of raising AnalysisException forever."""
+    if not os.path.isdir(versions_path):
+        return None
+    return spark.read.parquet(versions_path)
+
+
+def _live_or_all(rows: DataFrame, versions: DataFrame | None) -> DataFrame:
+    """:func:`_live_rows` when a ledger exists, identity when not."""
+    return rows if versions is None else _live_rows(rows, versions)
 
 
 def _batch_sets(docs: DataFrame) -> DataFrame:
@@ -117,6 +145,7 @@ def near_dup_maintenance_sink(state_root: str, threshold: float = 0.2):
         ns = _batch_sets(docs).withColumn("wb", wb).persist()
         batch_ids = docs.select("doc_id")
 
+        versions = _versions_or_none(spark, versions_path)
         standing = None
         if os.path.isdir(bands_path):
             # live-version filter: a doc RE-CRAWLED by an earlier batch
@@ -124,9 +153,10 @@ def near_dup_maintenance_sink(state_root: str, threshold: float = 0.2):
             # only each doc's max-wb rows. Then drop docs the CURRENT
             # batch re-crawls — their new bands replace the old ones in
             # this probe (versions for this batch are appended below).
-            standing = _live_rows(
-                spark.read.parquet(bands_path),
-                spark.read.parquet(versions_path),
+            # A missing ledger (crash before the first versions append)
+            # means all standing rows are live — see _versions_or_none.
+            standing = _live_or_all(
+                spark.read.parquet(bands_path), versions
             ).join(batch_ids, on="doc_id", how="left_anti")
         probe_target = (
             nb if standing is None else nb.unionByName(standing)
@@ -152,9 +182,8 @@ def near_dup_maintenance_sink(state_root: str, threshold: float = 0.2):
         # in `a`.
         all_sets = ns
         if os.path.isdir(sets_path):
-            live_sets = _live_rows(
-                spark.read.parquet(sets_path),
-                spark.read.parquet(versions_path),
+            live_sets = _live_or_all(
+                spark.read.parquet(sets_path), versions
             ).join(batch_ids, on="doc_id", how="left_anti")
             all_sets = ns.unionByName(
                 live_sets.select("doc_id", "sh_set", "n", "wb")
@@ -220,13 +249,18 @@ def live_pairs(spark, state_root: str) -> DataFrame:
     new text) kills every stale pair of that doc at read time, and the
     re-crawl batch re-emits whichever pairs still verify against the
     new text. Unique on (id_a, id_b) by construction plus dedup (a
-    crash-replayed batch may append its delta twice)."""
+    crash-replayed batch may append its delta twice). A missing ledger
+    (crash before the first versions append) means nothing has been
+    superseded — every appended pair is live (see _versions_or_none)."""
     pairs = spark.read.parquet(os.path.join(state_root, PAIRS_DIR))
-    latest = (
-        spark.read.parquet(os.path.join(state_root, VERSIONS_DIR))
-        .groupBy("doc_id")
-        .agg(F.max("wb").alias("latest_wb"))
+    versions = _versions_or_none(
+        spark, os.path.join(state_root, VERSIONS_DIR)
     )
+    if versions is None:
+        return pairs.select(
+            "id_a", "id_b", "jaccard", "batch_id"
+        ).dropDuplicates(["id_a", "id_b"])
+    latest = versions.groupBy("doc_id").agg(F.max("wb").alias("latest_wb"))
     va = latest.select(
         F.col("doc_id").alias("id_a"), F.col("latest_wb").alias("wa")
     )
@@ -245,15 +279,63 @@ def live_pairs(spark, state_root: str) -> DataFrame:
     )
 
 
+def _swap_in(path: str) -> None:
+    """Atomically-enough replace ``path`` with ``path + '.compact'``
+    (ADVICE r09 #2): the live directory is renamed ASIDE (``.old``)
+    before the compacted one is renamed into place, so at no instant is
+    the canonical path missing with the data only in ``.compact`` — a
+    crash between the two renames leaves a recoverable ``.old`` that
+    :func:`recover_state` restores or cleans up on startup. Each
+    ``os.rename`` is atomic on POSIX; only the window BETWEEN them
+    needs the recovery protocol."""
+    import shutil
+
+    old = path + ".old"
+    shutil.rmtree(old, ignore_errors=True)  # stale leftover, data is live
+    os.rename(path, old)
+    os.rename(path + ".compact", path)
+    shutil.rmtree(old)
+
+
+def recover_state(state_root: str) -> None:
+    """Repair a state root after a crash mid-:func:`compact_state`.
+
+    Idempotent; call on startup (``run_maintenance_stream`` does, and
+    ``compact_state`` re-runs it before writing). Cases per subdir:
+
+    - ``path`` exists → live. Any ``.compact`` is an unswapped rewrite
+      of the same live rows (drop it); any ``.old`` is a superseded
+      pre-swap copy (drop it).
+    - ``path`` missing, ``.old`` present → crashed between the two
+      renames. If ``.compact`` survives, finish the swap (it holds the
+      complete compacted table); else restore ``.old``.
+    """
+    import shutil
+
+    for sub in (BANDS_DIR, SETS_DIR, PAIRS_DIR, VERSIONS_DIR):
+        path = os.path.join(state_root, sub)
+        tmp, old = path + ".compact", path + ".old"
+        if os.path.isdir(path):
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.isdir(old):
+            if os.path.isdir(tmp):
+                os.rename(tmp, path)
+                shutil.rmtree(old)
+            else:
+                os.rename(old, path)
+
+
 def compact_state(spark, state_root: str) -> None:
     """Physically drop superseded rows: rewrite bands/sets to each
     doc's live version and pairs to the live set. The periodic
     maintenance job that keeps read-time reconciliation cheap; safe to
-    run between batches (never concurrently with one). Writes to a
-    sibling directory and swaps, so a crash mid-compaction leaves the
-    original state intact."""
-    import shutil
-
+    run between batches (never concurrently with one). Each table is
+    rewritten to a ``.compact`` sibling and swapped in via
+    :func:`_swap_in` (rename-aside, never delete-then-rename), so a
+    crash at ANY point leaves either the original or the compacted
+    table recoverable by :func:`recover_state`."""
+    recover_state(state_root)
     versions = spark.read.parquet(os.path.join(state_root, VERSIONS_DIR))
     lp = live_pairs(spark, state_root).persist()
     lp.count()
@@ -261,25 +343,19 @@ def compact_state(spark, state_root: str) -> None:
         path = os.path.join(state_root, sub)
         live = _live_rows(spark.read.parquet(path), versions).persist()
         live.count()
-        tmp = path + ".compact"
-        live.write.mode("overwrite").parquet(tmp)
+        live.write.mode("overwrite").parquet(path + ".compact")
         live.unpersist()
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+        _swap_in(path)
     pairs_path = os.path.join(state_root, PAIRS_DIR)
-    tmp = pairs_path + ".compact"
-    lp.write.mode("overwrite").parquet(tmp)
+    lp.write.mode("overwrite").parquet(pairs_path + ".compact")
     lp.unpersist()
-    shutil.rmtree(pairs_path)
-    os.rename(tmp, pairs_path)
+    _swap_in(pairs_path)
     latest = versions.groupBy("doc_id").agg(F.max("wb").alias("wb")).persist()
     latest.count()
     vp = os.path.join(state_root, VERSIONS_DIR)
-    tmp = vp + ".compact"
-    latest.write.mode("overwrite").parquet(tmp)
+    latest.write.mode("overwrite").parquet(vp + ".compact")
     latest.unpersist()
-    shutil.rmtree(vp)
-    os.rename(tmp, vp)
+    _swap_in(vp)
     # Spark caches file listings per path; after the swap the old
     # part-files are gone, so invalidate every rewritten directory or
     # the next read fails with FILE_NOT_EXIST
@@ -294,6 +370,7 @@ def run_maintenance_stream(
     """Drive the maintenance loop over a parquet directory of document
     files with Trigger.AvailableNow (tests) — in production the same
     sink hangs off a Kafka/file stream and runs continuously."""
+    recover_state(state_root)
     schema = spark.read.parquet(docs_dir).schema
     stream = (
         spark.readStream.schema(schema)

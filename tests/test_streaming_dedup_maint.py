@@ -182,3 +182,89 @@ def test_recrawl_same_text_is_noop_for_live_pairs(spark, tmp_path):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     assert got.count() == got.distinct().count()
+
+
+def test_replay_after_crash_before_first_versions_append(spark, tmp_path):
+    """ADVICE r09 #1: batch 0 writes delta->bands->sets then dies BEFORE
+    the versions append. The checkpoint replay of batch 0 must not wedge
+    on the missing ledger (treat all standing rows as live), and after
+    the replay + one more batch the live view equals the recompute."""
+    import shutil
+
+    from parcel_analytics_etl_notebook_spark.streaming.dedup_maintenance import (
+        VERSIONS_DIR,
+        live_pairs,
+        near_dup_maintenance_sink,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+        .cache()
+    )
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    state = str(tmp_path / "state")
+    sink = near_dup_maintenance_sink(state, threshold=0.2)
+    sink(b0, 0)
+    # simulate the crash window: bands/sets/pairs landed, versions not
+    shutil.rmtree(os.path.join(state, VERSIONS_DIR))
+    # live_pairs on the ledgerless state must answer, not raise
+    assert live_pairs(spark, state).count() >= 0
+    sink(b0, 0)  # checkpoint replay of the same batch
+    sink(b1, 1)
+    want = _batch_recompute(spark, docs)
+    got = live_pairs(spark, state).select("id_a", "id_b")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert want.count() > 0
+    # replay duplicated appends, never lost pairs; live view dedups
+    assert got.count() == got.distinct().count()
+
+
+def test_recover_state_repairs_interrupted_compaction(spark, tmp_path):
+    """ADVICE r09 #2: a crash between compact_state's two renames
+    leaves the canonical dir missing with data in .old (and possibly
+    .compact). recover_state restores a readable state in both cases
+    and is a no-op on a healthy root."""
+    import shutil
+
+    from parcel_analytics_etl_notebook_spark.streaming.dedup_maintenance import (
+        PAIRS_DIR,
+        live_pairs,
+        recover_state,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(150)
+        .cache()
+    )
+    state = _state_with_batches(spark, tmp_path, [(0, docs)])
+    want = live_pairs(spark, state).select("id_a", "id_b").toPandas()
+
+    pairs = os.path.join(state, PAIRS_DIR)
+    # case 1: crashed after rename-aside, before swap-in (.old + .compact)
+    shutil.copytree(pairs, pairs + ".compact")
+    os.rename(pairs, pairs + ".old")
+    recover_state(state)
+    assert os.path.isdir(pairs) and not os.path.isdir(pairs + ".old")
+    spark.catalog.refreshByPath(pairs)
+    got = live_pairs(spark, state).select("id_a", "id_b").toPandas()
+    assert sorted(map(tuple, got.values)) == sorted(map(tuple, want.values))
+
+    # case 2: crashed after rename-aside with no compacted copy
+    os.rename(pairs, pairs + ".old")
+    recover_state(state)
+    assert os.path.isdir(pairs)
+    # case 3: healthy root with stale leftovers -> leftovers dropped
+    os.makedirs(pairs + ".compact", exist_ok=True)
+    os.makedirs(pairs + ".old", exist_ok=True)
+    recover_state(state)
+    assert not os.path.isdir(pairs + ".compact")
+    assert not os.path.isdir(pairs + ".old")
+    spark.catalog.refreshByPath(pairs)
+    got = live_pairs(spark, state).select("id_a", "id_b").toPandas()
+    assert sorted(map(tuple, got.values)) == sorted(map(tuple, want.values))

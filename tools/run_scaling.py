@@ -56,19 +56,40 @@ def main() -> None:
     qs["exact_dedup_documents"](spark, BASE).collect()
     qs["exact_dedup_documents"](spark, X10).collect()
 
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm7 import (
+        CandidateBudgetExceeded,
+    )
+
+    guards = catalog.scale_guards()
     out = {}
     for name in HEAVY:
         walls = {}
+        tripped = None
         for tag, sf_dir in (("sf0.1", BASE), ("x10", X10)):
             ws = []
             for _ in range(RUNS):
                 catalog.release_caches(spark)
                 t0 = time.perf_counter()
-                qs[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                try:
+                    qs[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except CandidateBudgetExceeded as e:
+                    # contract-recorded skip (scale_guards()), not a
+                    # failure: the guard exists to trip here
+                    tripped = {"at": tag, "msg": str(e).split(":")[0],
+                               "scale_path": (guards.get(name) or {}).get(
+                                   "scale_path")}
+                    break
                 ws.append(time.perf_counter() - t0)
+            if tripped:
+                break
             walls[tag] = round(min(ws), 2)
+        if tripped:
+            out[name] = {**walls, "guard_tripped": tripped}
+            print(f"{name:32s} guard tripped at {tripped['at']} -> "
+                  f"scale path: {tripped['scale_path']}", flush=True)
+            continue
         ratio = round(walls["x10"] / walls["sf0.1"], 2)
         out[name] = {**walls, "wall_ratio": ratio}
         print(f"{name:32s} sf0.1={walls['sf0.1']:7.2f}s "
