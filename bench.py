@@ -39,13 +39,21 @@ findings #1/#2/#6 and ADVICE r07 #2/#4):
   alphabetical pool hit 158.9/160s before the simhash names arrived,
   leaving a 7.5× single-sample regression unadjudicated.
 - **Corrected-wall severity + corrected-wall skip** (VERDICT r08 #1):
-  the adjudication pass ranks names by corrected-wall ratio vs the
-  prior round's CORRECTED wall (raw-wall severity prioritized
-  multi-job overhead noise over real plan regressions), and names
-  whose first-run corrected wall is already within SKIP_RATIO of
-  prior corrected are skipped with a recorded reason
+  the adjudication pass ranks names by corrected-wall ratio (raw-wall
+  severity prioritized multi-job overhead noise over real plan
+  regressions), and names whose first-run corrected wall is already
+  within SKIP_RATIO of the anchor are skipped with a recorded reason
   (`adjudication_skips`) — in r08, 29 of 82 flagged names starved
   because overhead-noise movers drained the 90s pool first.
+- **Best-ever anchoring** (VERDICT r09 #3, r10): severity and skip
+  ratios compare against the BEST corrected wall any prior v2 round
+  recorded, not the prior round's — under prior-round anchoring a
+  query could drift 1.4× EVERY round without ever earning a repeat
+  (clamped_running_balance 4.60→6.21s slid through r09 exactly so).
+  A corrected estimate >REGRESS_RATIO× best-ever also FLAGS the name
+  (walls ≥ DRIFT_FLOOR_S) even when its raw-vs-prior ratio is quiet,
+  and `corrected_total` ships next to the raw total so the
+  cross-round comparable number is first-class.
 """
 
 from __future__ import annotations
@@ -176,18 +184,24 @@ def main() -> None:
     #: movers. SKIP_EPS_S absorbs near-zero priors (a 0.01s->0.04s
     #: corrected move is not a 4x regression).
     SKIP_RATIO, SKIP_EPS_S = 1.5, 0.05
+    #: best-ever drift trigger floor (VERDICT r09 #3): corrected walls
+    #: under this are too overhead-shaped for a cross-round ratio to
+    #: mean anything; the prior-raw REGRESS_RATIO trigger still covers
+    #: them.
+    DRIFT_FLOOR_S = 0.5
     FORCE_3RUNS = {
-        # cross-round adjudication set, ROTATED each round: r08's 14
-        # names all adjudicated back to normal (VERDICT r08 scorecard),
-        # so they age out. r09 entries: lsh_near_dup_pairs (VERDICT r08
-        # what's-wrong #2 — 1.45x raw mover shipped unadjudicated twice)
-        # and the three names whose PLAN changed this round (candidate
-        # budget probe; two debuts get their first-ever walls as
-        # 3-run evidence, not single cold samples).
-        "lsh_near_dup_pairs",
-        "prefix_filter_jaccard_pairs",
-        "simhash64_near_dup_pairs",
-        "incremental_lsh_apply_delta",
+        # cross-round adjudication set, ROTATED each round: r09's four
+        # names all adjudicated (lsh_near_dup_pairs 3x <=3s, debuts
+        # green), so they age out. r10 entries: the two sub-1.5x
+        # drifters VERDICT r09 #3 mandates repeat evidence for
+        # (clamped_running_balance corrected 4.60->6.21s with zero
+        # runs, temporal_reachability_khop 1.95->2.82s unflagged) and
+        # the round's two debuts (first-ever walls as 3-run evidence,
+        # not single cold samples).
+        "clamped_running_balance",
+        "temporal_reachability_khop",
+        "fellegi_sunter_snb_linkage",
+        "snb_window_recall",
     }
 
     import glob
@@ -220,7 +234,8 @@ def main() -> None:
             if (m := _re.search(r"_r(\d+)\.json$", p))
         ),
     )
-    prior_files = [p for (k, p) in prior_files if k < rnd]
+    prior_pairs = [(k, p) for (k, p) in prior_files if k < rnd]
+    prior_files = [p for (_k, p) in prior_pairs]
     prior_corrected: dict[str, float] = {}
     if prior_files:
         try:
@@ -231,6 +246,31 @@ def main() -> None:
         except (OSError, ValueError):
             prior = {}
             prior_corrected = {}
+    # BEST-EVER corrected wall per name across ALL prior rounds
+    # (VERDICT r09 #3): anchoring severity and skip decisions to the
+    # PRIOR round let sub-1.5x drift compound unflagged forever (a name
+    # can regress 1.4x every round and never earn a repeat). The ratchet
+    # now compares against the best corrected wall any round recorded —
+    # only corrected walls, which measure the plan, are cross-round
+    # comparable (and only within methodology v2, so v1 rounds <= r07
+    # are excluded).
+    best_corrected: dict[str, float] = {}
+    for _k, _p in prior_pairs:
+        try:
+            with open(_p) as f:
+                _pd = json.load(f)
+        except (OSError, ValueError):
+            continue
+        _meth = _pd.get("correction_methodology")
+        # r08 ran methodology v2 but predates the stamp (the stamp
+        # itself was the r09 fix); rounds <= r07 are v1 and excluded.
+        if _meth != "v2-per-run-jobs-offset-interp" and not (
+            _meth is None and _k >= 8
+        ):
+            continue
+        for _n, _c in _pd.get("queries_corrected", {}).items():
+            if _n not in best_corrected or _c < best_corrected[_n]:
+                best_corrected[_n] = _c
 
     sc = spark.sparkContext
     n_jobs: dict[str, int] = {}      # max across runs (cross-round compat)
@@ -389,14 +429,28 @@ def main() -> None:
         regressed = bool(prior) and (
             name not in prior or w > REGRESS_RATIO * prior[name]
         )
-        if name in FORCE_3RUNS or regressed:
+        # best-ever drift trigger (VERDICT r09 #3): a name whose raw
+        # wall never moves >1.5x vs the PRIOR round can still compound
+        # 1.4x/round forever; flag when this round's corrected estimate
+        # exceeds REGRESS_RATIO x the best corrected wall ANY round
+        # recorded (material walls only — DRIFT_FLOOR_S keeps centisecond
+        # corrected walls from flooding the pool with ratio noise).
+        drifted = (
+            name in best_corrected
+            and _cest(name) >= DRIFT_FLOOR_S
+            and _cest(name)
+            > REGRESS_RATIO * best_corrected[name] + SKIP_EPS_S
+        )
+        if name in FORCE_3RUNS or regressed or drifted:
             # defer to the severity-ordered adjudication pass. Severity
-            # is the CORRECTED-wall ratio vs prior corrected (VERDICT
-            # r08 #1: raw-wall severity ranked multi-job overhead noise
-            # above real plan regressions); new names (no prior entry)
-            # adjudicate at a nominal 2.0 severity.
-            if name in prior_corrected:
-                sev = _cest(name) / max(prior_corrected[name], SKIP_EPS_S)
+            # is the CORRECTED-wall ratio vs BEST-EVER corrected
+            # (VERDICT r08 #1: raw-wall severity ranked multi-job
+            # overhead noise above real plan regressions; VERDICT r09
+            # #3: prior-round anchoring let drift compound); new names
+            # (no record) adjudicate at a nominal 2.0 severity.
+            anchor = best_corrected.get(name, prior_corrected.get(name))
+            if anchor is not None:
+                sev = _cest(name) / max(anchor, SKIP_EPS_S)
             else:
                 sev = 2.0
             if name in FORCE_3RUNS:
@@ -420,13 +474,14 @@ def main() -> None:
     for name in sorted(adjudicate, key=lambda n: -adjudicate[n]):
         want = 3 if name in FORCE_3RUNS else 2
         w0 = runs[name][0]
-        if name not in FORCE_3RUNS and name in prior_corrected:
-            c0, pc = _cest(name), prior_corrected[name]
-            if c0 <= SKIP_RATIO * pc + SKIP_EPS_S:
+        skip_anchor = best_corrected.get(name, prior_corrected.get(name))
+        if name not in FORCE_3RUNS and skip_anchor is not None:
+            c0 = _cest(name)
+            if c0 <= SKIP_RATIO * skip_anchor + SKIP_EPS_S:
                 adjudication_skips[name] = (
                     f"first-run corrected {c0:.2f}s within {SKIP_RATIO}x "
-                    f"of prior corrected {pc:.2f}s — raw move is "
-                    "overhead, repeats not spent"
+                    f"of best-ever corrected {skip_anchor:.2f}s — raw "
+                    "move is overhead, repeats not spent"
                 )
                 continue
         while len(runs[name]) < want and adj_spent + w0 < ADJUDICATION_BUDGET_S:
@@ -483,6 +538,12 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 4)
+    # corrected_total: the overhead-corrected catalog total — THE
+    # cross-round comparable number (VERDICT r09 what's-wrong #4: raw
+    # totals are overhead-dominated on drifting hosts; r09's +13% raw
+    # was 0.75x corrected). Surfaced next to the raw total in BOTH the
+    # detail file and the stdout line.
+    corrected_total = round(sum(corrected.values()), 4)
     # first_run_total: the sum of every query's FIRST wall — the number
     # that is like-for-like comparable with rounds 1-4's single-run
     # policy (ADVICE r05 #1). `value` stays min-of-runs.
@@ -491,6 +552,7 @@ def main() -> None:
     # (the build seconds moved out of query walls into memo lines, the
     # sum stays round-over-round comparable)
     detail = {"metric": "catalog_total_wall", "value": total, "unit": "sec",
+              "corrected_total": corrected_total,
               "queries": timings, "sf": sf, "n_queries": len(qs),
               "n_memo_lines": len(catalog.MEMO_BUILDERS),
               "action_overhead_ms": action_overhead_ms,
@@ -531,11 +593,15 @@ def main() -> None:
               f"{REPEAT_CEIL_S}s); >={REGRESS_RATIO}x-prior / new-name / "
               "forced adjudication repeats in a severity-ordered second "
               f"pass (reserved {ADJUDICATION_BUDGET_S}s pool, no ceiling; "
-              "severity = corrected-wall ratio vs prior corrected; "
-              f"non-forced names skipped when first-run corrected <= "
-              f"{SKIP_RATIO}x prior corrected + {SKIP_EPS_S}s, reason in "
-              "adjudication_skips; "
-              f"prior = newest BENCH_DETAIL round < r{rnd:02d}); "
+              "severity = corrected-wall ratio vs BEST-EVER corrected "
+              "across all prior v2 rounds, VERDICT r09 #3 — drift can "
+              "no longer compound under the prior-round trigger, and a "
+              f"corrected estimate >{REGRESS_RATIO}x best-ever (walls "
+              f">={DRIFT_FLOOR_S}s) flags even when raw-vs-prior does "
+              "not; non-forced names skipped when first-run corrected "
+              f"<= {SKIP_RATIO}x best-ever corrected + {SKIP_EPS_S}s, "
+              "reason in adjudication_skips; "
+              f"prior raw = newest BENCH_DETAIL round < r{rnd:02d}); "
               "memo:<key> lines are 3-run timed builds of shared "
               "artifacts, queries pay marginal cost; corrected walls = "
               "min over runs of wall - run_jobs x overhead interpolated "
@@ -562,6 +628,7 @@ def main() -> None:
                 "metric": "catalog_total_wall",
                 "value": round(total, 2),
                 "unit": "sec",
+                "corrected_total": round(corrected_total, 2),
                 "queries": headline,
                 "sf": sf,
                 "headline_total_sec": round(sum(headline.values()), 2),

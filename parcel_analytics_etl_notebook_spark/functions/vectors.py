@@ -62,7 +62,17 @@ def dot_literal(vec: str, weights: list[float]) -> Column:
     power-iteration direction, LSH hyperplanes)."""
     expr = "CAST(0.0 AS DOUBLE)"
     for d, wd in enumerate(weights):
-        expr = f"({expr} + CAST({vec}[{d}] AS DOUBLE) * {_f64(wd)})"
+        # ±1 weights (LSH hyperplanes, SimHash) emit `expr ± x` instead
+        # of `expr + x * ±1.0` — IEEE-identical (x*1.0 == x and
+        # a + (-x) == a - x exactly), but the janino source for a
+        # 48-plane fingerprint shrinks ~40%, which is most of its
+        # whole-stage-codegen compile time (VERDICT r09 #5).
+        if wd == 1.0:
+            expr = f"({expr} + CAST({vec}[{d}] AS DOUBLE))"
+        elif wd == -1.0:
+            expr = f"({expr} - CAST({vec}[{d}] AS DOUBLE))"
+        else:
+            expr = f"({expr} + CAST({vec}[{d}] AS DOUBLE) * {_f64(wd)})"
     return F.expr(expr)
 
 

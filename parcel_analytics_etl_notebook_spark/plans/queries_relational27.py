@@ -16,6 +16,13 @@ recall/cost tradeoff, so the companion query measures — exactly, on
 the same corpus — how many of the nation-block links the window
 recovers, per the standard pairs-completeness metric.
 
+``fellegi_sunter_multipass_snb`` is the production variant the
+single-pass docstring names: a record pair that sorts far apart under
+ONE key (a typo in the name's first characters) still lands in a
+window under ANOTHER (balance-band order), so multi-pass SNB unions
+the candidates of several independent sort keys before the identical
+scoring stage — still linear (passes × (w−1) × n).
+
 Oracle-parity conventions as in plans/catalog.py.
 """
 
@@ -54,33 +61,28 @@ _SNB_SCORE = (
 )
 
 
-def _snb_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All sorted-neighborhood candidate pairs with agreement flags and
-    the summed Fellegi-Sunter score (pre-threshold). Shared by the
-    linkage query and the recall evaluation."""
-    customer = table(spark, sf_dir, "customer").select(
+def _fs_score_candidates(cand: DataFrame, customer: DataFrame) -> DataFrame:
+    """Attach agreement flags + the summed Fellegi-Sunter score to a
+    canonical (id_a < id_b) candidate frame: one equi-join per side on
+    c_custkey, then the weighted CASE chain. Candidates are generated
+    NARROW (ids only) and widened here, so the window explode and the
+    rank-key shuffle move 2 longs per row instead of 2 longs + 3
+    attribute columns — and every SNB variant (single-pass, multi-pass,
+    recall eval) scores through this one code path."""
+    attrs = customer.select(
         "c_custkey",
         "c_name",
         "c_mktsegment",
         F.floor(F.col("c_acctbal") / 500).alias("band"),
     )
-    ranked = stable_global_index(
-        customer, ["c_name", "c_custkey"], out_col="rn"
-    )
-    probe = ranked.select(
-        F.col("c_custkey").alias("ck_a"),
+    xa = attrs.select(
+        F.col("c_custkey").alias("id_a"),
         F.col("c_name").alias("name_a"),
         F.col("c_mktsegment").alias("seg_a"),
         F.col("band").alias("band_a"),
-        F.explode(
-            F.sequence(
-                F.col("rn") + 1, F.col("rn") + F.lit(SNB_WINDOW - 1)
-            )
-        ).alias("rn_b"),
     )
-    build = ranked.select(
-        F.col("rn").alias("rn_b"),
-        F.col("c_custkey").alias("ck_b"),
+    xb = attrs.select(
+        F.col("c_custkey").alias("id_b"),
         F.col("c_name").alias("name_b"),
         F.col("c_mktsegment").alias("seg_b"),
         F.col("band").alias("band_b"),
@@ -97,14 +99,29 @@ def _snb_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             _FS_W["balance"][1]
         )
     )
-    return probe.join(build, "rn_b").select(
-        F.least("ck_a", "ck_b").alias("id_a"),
-        F.greatest("ck_a", "ck_b").alias("id_b"),
-        agree_name.alias("agree_name"),
-        agree_segment.alias("agree_segment"),
-        agree_balance.alias("agree_balance"),
-        score.cast("bigint").alias("score"),
+    return (
+        cand.join(xa, "id_a")
+        .join(xb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            agree_name.alias("agree_name"),
+            agree_segment.alias("agree_segment"),
+            agree_balance.alias("agree_balance"),
+            score.cast("bigint").alias("score"),
+        )
     )
+
+
+def _snb_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All sorted-neighborhood candidate pairs with agreement flags and
+    the summed Fellegi-Sunter score (pre-threshold). Shared by the
+    linkage query and the recall evaluation."""
+    customer = table(spark, sf_dir, "customer")
+    cand = _snb_candidate_ids(
+        customer.select("c_custkey", "c_name"), ["c_name", "c_custkey"]
+    )
+    return _fs_score_candidates(cand, customer)
 
 
 @register(
@@ -162,8 +179,111 @@ def fellegi_sunter_snb_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _snb_candidate_ids(
+    customer: DataFrame, order_cols: list[str]
+) -> DataFrame:
+    """Canonical (id_a < id_b) candidate pairs from ONE
+    sorted-neighborhood pass under ``order_cols`` (must end in
+    c_custkey for a total order). Linear: (w−1)·n − O(w²) rows."""
+    ranked = stable_global_index(customer, order_cols, out_col="rn")
+    probe = ranked.select(
+        F.col("c_custkey").alias("ck_a"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + F.lit(SNB_WINDOW - 1))
+        ).alias("rn_b"),
+    )
+    build = ranked.select(
+        F.col("rn").alias("rn_b"), F.col("c_custkey").alias("ck_b")
+    )
+    return probe.join(build, "rn_b").select(
+        F.least("ck_a", "ck_b").alias("id_a"),
+        F.greatest("ck_a", "ck_b").alias("id_b"),
+    )
+
+
+@register(
+    "fellegi_sunter_multipass_snb",
+    oracle=f"""
+WITH r1 AS (
+    SELECT c_custkey, row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+    FROM customer
+),
+r2 AS (
+    SELECT c_custkey, row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+    FROM customer
+),
+cand AS (
+    SELECT DISTINCT id_a, id_b FROM (
+        SELECT least(a.c_custkey, b.c_custkey) AS id_a,
+               greatest(a.c_custkey, b.c_custkey) AS id_b
+        FROM r1 a JOIN r1 b
+          ON b.rn BETWEEN a.rn + 1 AND a.rn + {SNB_WINDOW - 1}
+        UNION ALL
+        SELECT least(a.c_custkey, b.c_custkey) AS id_a,
+               greatest(a.c_custkey, b.c_custkey) AS id_b
+        FROM r2 a JOIN r2 b
+          ON b.rn BETWEEN a.rn + 1 AND a.rn + {SNB_WINDOW - 1}
+    )
+),
+p AS (
+    SELECT c.id_a, c.id_b,
+           (levenshtein(x.c_name, y.c_name) <= 2) AS agree_name,
+           (x.c_mktsegment = y.c_mktsegment) AS agree_segment,
+           (floor(x.c_acctbal / 500) = floor(y.c_acctbal / 500)) AS agree_balance
+    FROM cand c
+    JOIN customer x ON c.id_a = x.c_custkey
+    JOIN customer y ON c.id_b = y.c_custkey
+)
+SELECT id_a, id_b, agree_name, agree_segment, agree_balance,
+       CAST({_SNB_SCORE} AS BIGINT) AS score
+FROM p
+WHERE {_SNB_SCORE} >= {_FS_THRESHOLD}
+ORDER BY id_a, id_b
+""",
+)
+def fellegi_sunter_multipass_snb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PASS sorted-neighborhood Fellegi-Sunter linkage — the
+    production form the single-pass docstring names: one window pass
+    per independent canonical key (here the name order AND the
+    account-balance order, each w=8), candidate sets unioned and
+    deduped BEFORE the one scoring stage. A pair a typo pushes apart
+    under the name sort still lands adjacent under the balance sort
+    (and vice versa), which is how merge/purge systems recover
+    blocking recall without ever leaving the linear-candidate regime:
+    total candidates ≤ passes × (w−1) × n, and each attribute join is
+    an equi-join on c_custkey.
+
+    Scale shape: two independent ranked passes (each the parallel
+    global rank of the single-pass query), union + dropDuplicates on
+    the canonical (id_a, id_b) key (one shuffle at candidate grain,
+    candidates linear), then ONE attribute join per side and the same
+    weighted scoring. Adding a third key (phonetic code, address
+    prefix) is one more union arm — cost grows additively, never
+    multiplicatively."""
+    customer = table(spark, sf_dir, "customer")
+    keyed = customer.select("c_custkey", "c_name", "c_acctbal")
+    cand = (
+        _snb_candidate_ids(keyed, ["c_name", "c_custkey"])
+        .unionByName(_snb_candidate_ids(keyed, ["c_acctbal", "c_custkey"]))
+        .dropDuplicates()
+    )
+    return (
+        _fs_score_candidates(cand, customer)
+        .filter(F.col("score") >= _FS_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
 @register(
     "snb_window_recall",
+    scale_guard={
+        "budget": "FS_CANDIDATE_BUDGET = 20,000,000 nation-block pairs "
+                  "(the ground-truth denominator side)",
+        "max_verified_sf": 0.1,
+        "raises": "CandidateBudgetExceeded",
+        "scale_path": "evaluate on a stratified block sample — the "
+                      "exhaustive denominator is the metric's definition",
+    },
     oracle=f"""
 WITH r AS ({_SNB_RANKED}),
 snb AS (
@@ -204,12 +324,44 @@ def snb_window_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the SNB side is the linear candidate generator above
     (dedup-free by construction — one orientation per ranked pair); the
     ground-truth side reuses the nation-block join, so the metric query
-    inherits that side's n²/25 term and is itself an OFFLINE evaluation
-    run on a sample in production (the denominator needs the exhaustive
-    answer by definition). One left join on the canonical pair key +
-    one global aggregate."""
-    snb = _snb_scored_pairs(spark, sf_dir).select("id_a", "id_b")
+    inherits that side's n²/25 term BY DEFINITION (the denominator is
+    the exhaustive answer). The round-10 10× run measured exactly that
+    — 94× wall — so the tradeoff is enforced like its ground-truth
+    twin's: the same FS_CANDIDATE_BUDGET probe runs BEFORE the blocked
+    join, and over budget the metric fails fast naming the production
+    move (evaluate pairs-completeness on a stratified sample of
+    blocks). One left join on the canonical pair key + one global
+    aggregate after the probe."""
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm7 import (
+        CandidateBudgetExceeded,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.queries_relational20 import (
+        FS_CANDIDATE_BUDGET,
+    )
+
     customer = table(spark, sf_dir, "customer")
+    row = (
+        customer.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(
+                (F.col("c") * (F.col("c") - 1)).cast("bigint") / 2
+            ).alias("b")
+        )
+        .collect()[0]
+    )
+    bound = int(row["b"] or 0)
+    if bound > FS_CANDIDATE_BUDGET:
+        raise CandidateBudgetExceeded(
+            f"snb_window_recall ground-truth bound {bound:,} exceeds "
+            f"budget {FS_CANDIDATE_BUDGET:,}: the pairs-completeness "
+            "denominator is the exhaustive nation-block join by "
+            "definition (n^2/25). Evaluate blocking recall on a "
+            "stratified sample of blocks at corpus scale; the SNB "
+            "candidate side itself is linear "
+            "(fellegi_sunter_snb_linkage)."
+        )
+    snb = _snb_scored_pairs(spark, sf_dir).select("id_a", "id_b")
     band = lambda c: F.floor(F.col(c) / 500)  # noqa: E731
     a = customer.select(
         F.col("c_nationkey").alias("nk"),
