@@ -653,6 +653,14 @@ def order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similar_customer_names",
+    scale_guard={
+        "budget": "FS_CANDIDATE_BUDGET = 20,000,000 nation-block pairs "
+                  "(shared with fellegi_sunter_linkage)",
+        "max_verified_sf": 0.1,
+        "raises": "CandidateBudgetExceeded",
+        "scale_path": "fellegi_sunter_snb_linkage (sorted-neighborhood "
+                      "name windows — linear)",
+    },
     oracle="""
 SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
        CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
@@ -671,9 +679,44 @@ def similar_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-robin repartitioning the probe side spreads the quadratic
     pair generation over every core. (At 100 TB with a build side too
     big to broadcast, salt the block key instead — same effect.)
-    """
+
+    Guardrail (round 10): a constant block count is still quadratic in
+    corpus size — the round-10 10× run measured 19.4× wall — so the
+    same candidate-budget probe as ``fellegi_sunter_linkage`` now runs
+    BEFORE the join (Σ c·(c−1)/2 over nation occupancy vs the shared
+    FS_CANDIDATE_BUDGET): sf ≤ 0.1 results byte-identical, over-budget
+    corpora fail fast naming the linear name-window scale path
+    (``fellegi_sunter_snb_linkage``, whose candidates sort by exactly
+    this query's key)."""
+    from parcel_analytics_etl_notebook_spark.plans.queries_llm7 import (
+        CandidateBudgetExceeded,
+    )
+    from parcel_analytics_etl_notebook_spark.plans.queries_relational20 import (
+        FS_CANDIDATE_BUDGET,
+    )
+
     customer = table(spark, sf_dir, "customer")
     nparts = spark.sparkContext.defaultParallelism
+    row = (
+        customer.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(
+                (F.col("c") * (F.col("c") - 1)).cast("bigint") / 2
+            ).alias("b")
+        )
+        .collect()[0]
+    )
+    bound = int(row["b"] or 0)
+    if bound > FS_CANDIDATE_BUDGET:
+        raise CandidateBudgetExceeded(
+            f"similar_customer_names nation-block pair bound {bound:,} "
+            f"exceeds budget {FS_CANDIDATE_BUDGET:,}: a constant block "
+            "count is quadratic in corpus size. Use "
+            "fellegi_sunter_snb_linkage (sorted-neighborhood windows "
+            "over the name order — linear candidates, same bounded "
+            "levenshtein evidence)."
+        )
     a = customer.select(
         F.col("c_nationkey").alias("nk"),
         F.col("c_custkey").alias("id_a"),

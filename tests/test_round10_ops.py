@@ -72,3 +72,26 @@ def test_snb_recall_bounds_and_denominator(spark):
     assert row["nation_links"] == truth
     assert 0 <= row["snb_found"] <= row["nation_links"]
     assert 0.0 <= row["pairs_completeness"] <= 1.0
+
+
+def test_sampled_recall_equals_full_when_all_blocks_fit(spark):
+    """At sf0.001 every custkey is < SNB_STRATUM_SIZE, so each stratum
+    IS a whole nation block and all 25 fit the budget: the sampled
+    metric must equal the full-population metric exactly — the
+    degenerate-case identity that pins the sampling machinery."""
+    full = queries_relational27.snb_window_recall(spark, SF).collect()[0]
+    samp = queries_relational27.snb_sampled_recall(spark, SF).collect()[0]
+    # sf0.001 custkeys all < 1000, so every stratum IS a nation block
+    assert samp["sampled_strata"] == 25
+    assert samp["nation_links"] == full["nation_links"]
+    assert samp["snb_found"] == full["snb_found"]
+    assert samp["pairs_completeness"] == full["pairs_completeness"]
+
+
+def test_sampled_recall_admits_at_least_one_block(spark, monkeypatch):
+    """A budget below every stratum's bound still admits exactly one
+    stratum (the smallest) — the metric never refuses outright."""
+    monkeypatch.setattr(queries_relational27, "SNB_SAMPLE_BUDGET", 0)
+    row = queries_relational27.snb_sampled_recall(spark, SF).collect()[0]
+    assert row["sampled_strata"] == 1
+    assert row["nation_links"] >= 0

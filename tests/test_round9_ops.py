@@ -202,5 +202,7 @@ def test_fellegi_block_budget_fails_fast(spark, monkeypatch):
 
     monkeypatch.setattr(queries_relational20, "FS_CANDIDATE_BUDGET", 10)
     qs = catalog.queries()
-    with pytest.raises(CandidateBudgetExceeded, match="finer canonical"):
+    with pytest.raises(
+        CandidateBudgetExceeded, match="fellegi_sunter_snb_linkage"
+    ):
         qs["fellegi_sunter_linkage"](spark, SF)
