@@ -581,3 +581,96 @@ def snb_sampled_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("pairs_completeness"),
     )
+
+
+#: initial Fellegi-Sunter EM parameters (published starting point for
+#: the E-step): per-field match probabilities m (P(agree | true match)),
+#: non-match probabilities u (P(agree | non-match), set near each
+#: field's random-agreement rate), and the match prior p. Literals on
+#: both engines, so the posterior arithmetic is a fixed expression
+#: tree over BIGINT pattern counts — bit-identical across engines.
+FS_EM_M = {"name": 0.95, "segment": 0.7, "balance": 0.8}
+FS_EM_U = {"name": 0.02, "segment": 0.25, "balance": 0.05}
+FS_EM_P = 0.05
+
+
+def _fs_em_posterior_sql(gn: str, gs: str, gb: str) -> str:
+    """E-step posterior P(match | pattern) as ANSI SQL over three
+    boolean agreement columns — the SAME string feeds DuckDB and
+    Spark's F.expr, so both engines fold the identical IEEE tree.
+    Every literal is CAST to DOUBLE: DuckDB otherwise parses 0.95 as
+    DECIMAL and the six-factor product overflows scale 38."""
+
+    def d(x: float) -> str:
+        return f"CAST({x} AS DOUBLE)"
+
+    a = (
+        f"(CASE WHEN {gn} THEN {d(FS_EM_M['name'])} ELSE {d(1 - FS_EM_M['name'])} END)"
+        f" * (CASE WHEN {gs} THEN {d(FS_EM_M['segment'])} ELSE {d(1 - FS_EM_M['segment'])} END)"
+        f" * (CASE WHEN {gb} THEN {d(FS_EM_M['balance'])} ELSE {d(1 - FS_EM_M['balance'])} END)"
+    )
+    b = (
+        f"(CASE WHEN {gn} THEN {d(FS_EM_U['name'])} ELSE {d(1 - FS_EM_U['name'])} END)"
+        f" * (CASE WHEN {gs} THEN {d(FS_EM_U['segment'])} ELSE {d(1 - FS_EM_U['segment'])} END)"
+        f" * (CASE WHEN {gb} THEN {d(FS_EM_U['balance'])} ELSE {d(1 - FS_EM_U['balance'])} END)"
+    )
+    return (
+        f"round(({d(FS_EM_P)} * {a}) / "
+        f"(({d(FS_EM_P)} * {a}) + ({d(1 - FS_EM_P)} * {b})), 6)"
+    )
+
+
+@register(
+    "fs_em_posteriors",
+    oracle=f"""
+WITH r AS ({_SNB_RANKED}),
+p AS (
+    SELECT (levenshtein(a.c_name, b.c_name) <= 2) AS agree_name,
+           (a.c_mktsegment = b.c_mktsegment) AS agree_segment,
+           (a.band = b.band) AS agree_balance
+    FROM r a JOIN r b
+      ON b.rn BETWEEN a.rn + 1 AND a.rn + {SNB_WINDOW - 1}
+)
+SELECT agree_name, agree_segment, agree_balance,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       {_fs_em_posterior_sql('agree_name', 'agree_segment', 'agree_balance')}
+           AS match_posterior
+FROM p
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+)
+def fs_em_posteriors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter EM calibration table: the E-step posterior
+    P(match | agreement pattern) for every observed pattern of the
+    three evidence fields, with the pattern's candidate count — the
+    decision table probabilistic linkage actually thresholds, and the
+    quantity EM iterates to learn the m/u weights the integer-weight
+    queries hard-code (their docstrings' "EM-estimated m/u
+    probabilities" now has its computation in the catalog). Candidates
+    come from the LINEAR sorted-neighborhood generator, so the
+    calibration pass inherits the scale path, not the nation block's
+    n²/25.
+
+    Determinism contract: the posterior is a fixed scalar expression
+    over the boolean pattern (published literal m/u/p initials folded
+    in the SAME tree shape on both engines — no float aggregation
+    anywhere), and counts are exact BIGINTs, so the 8-row table is
+    bit-stable. The M-step (re-estimating m/u from these posteriors ×
+    counts) is 8-row model-grain arithmetic done driver-side in
+    production, exactly like centroid updates — one multiply-sum over
+    this table.
+
+    Scale shape: the one aggregation is a 3-boolean groupBy (8 groups,
+    map-side combined); everything upstream is the SNB candidate
+    pipeline measured linear in SCALING.md round-10."""
+    pairs = _snb_scored_pairs(spark, sf_dir)
+    post = F.expr(
+        _fs_em_posterior_sql("agree_name", "agree_segment", "agree_balance")
+    )
+    return (
+        pairs.groupBy("agree_name", "agree_segment", "agree_balance")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .withColumn("match_posterior", post)
+        .orderBy("agree_name", "agree_segment", "agree_balance")
+    )
