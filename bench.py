@@ -54,6 +54,15 @@ findings #1/#2/#6 and ADVICE r07 #2/#4):
   (walls ≥ DRIFT_FLOOR_S) even when its raw-vs-prior ratio is quiet,
   and `corrected_total` ships next to the raw total so the
   cross-round comparable number is first-class.
+- **Corrected-wall floor** (VERDICT r10 #5 / ADVICE r10 #4, r11): the
+  per-run jobs × overhead subtraction over-corrects multi-job queries
+  to 0.0 when overhead samples high, making the low end of
+  `queries_corrected` noise and poisoning best-ever anchors (a 0.0
+  anchor flags its name every round forever; the one-way min ratchet
+  kept it). Reported corrected walls are floored at
+  CORRECTED_FLOOR_FRAC of the same run-set's raw min, and anchors
+  loaded from prior rounds get the identical floor against their own
+  round's raw wall — pre-r11 0.0 records can no longer anchor.
 """
 
 from __future__ import annotations
@@ -189,19 +198,31 @@ def main() -> None:
     #: mean anything; the prior-raw REGRESS_RATIO trigger still covers
     #: them.
     DRIFT_FLOOR_S = 0.5
+    #: corrected-wall floor (VERDICT r10 what's-wrong #2 / ADVICE r10
+    #: #4): the per-run jobs x overhead subtraction over-corrects when
+    #: overhead is sampled high, flooring multi-job queries at 0.0 —
+    #: which poisons the best-ever anchor (a 0.0 anchor flags its name
+    #: every round forever) and makes the low end of queries_corrected
+    #: unusable for cross-round ratios. Reported corrected walls are
+    #: floored at this fraction of the SAME run-set's raw min, and
+    #: best-ever anchors loaded from PRIOR rounds get the identical
+    #: floor (vs their own round's raw wall) so pre-r11 0.0 records
+    #: cannot anchor.
+    CORRECTED_FLOOR_FRAC = 0.05
     FORCE_3RUNS = {
-        # cross-round adjudication set, ROTATED each round: r09's four
-        # names all adjudicated (lsh_near_dup_pairs 3x <=3s, debuts
-        # green), so they age out. r10 entries: the two sub-1.5x
-        # drifters VERDICT r09 #3 mandates repeat evidence for
-        # (clamped_running_balance corrected 4.60->6.21s with zero
-        # runs, temporal_reachability_khop 1.95->2.82s unflagged) and
-        # the round's two debuts (first-ever walls as 3-run evidence,
-        # not single cold samples).
-        "clamped_running_balance",
-        "temporal_reachability_khop",
-        "fellegi_sunter_snb_linkage",
-        "snb_window_recall",
+        # cross-round adjudication set, ROTATED each round: r10's four
+        # all adjudicated (clamped_running_balance confirmed real at
+        # ~6.3s corrected, khop resolved as overhead 0.17s, debuts
+        # green), so they age out. r11 entries: the two plan-changed
+        # names (snb_sampled_recall gained the distributed cumsum-
+        # window admission + row co-budget; fellegi_sunter_multipass_snb
+        # gained the reversed-name third union arm) and the round's two
+        # debuts (first-ever walls as 3-run evidence, not single cold
+        # samples).
+        "snb_sampled_recall",
+        "fellegi_sunter_multipass_snb",
+        "fs_em_mstep",
+        "snb_canonical_pass_recovery",
     }
 
     import glob
@@ -268,7 +289,11 @@ def main() -> None:
             _meth is None and _k >= 8
         ):
             continue
+        _raws = _pd.get("queries", {})
         for _n, _c in _pd.get("queries_corrected", {}).items():
+            # anchor floor (ADVICE r10 #4): an over-corrected near-zero
+            # wall in any one round must not become a permanent ratchet
+            _c = max(_c, CORRECTED_FLOOR_FRAC * _raws.get(_n, 0.0))
             if _n not in best_corrected or _c < best_corrected[_n]:
                 best_corrected[_n] = _c
 
@@ -526,7 +551,10 @@ def main() -> None:
     corrected = {
         n: round(
             max(
-                0.0,
+                # floor at CORRECTED_FLOOR_FRAC x raw min (VERDICT r10
+                # what's-wrong #2): a multi-job over-correction to ~0.0
+                # is noise, not a measurement, and must never anchor
+                CORRECTED_FLOOR_FRAC * min(runs[n]),
                 min(
                     w - nj * _oh_at(off)
                     for w, nj, off in zip(runs[n], run_jobs[n], run_offsets[n])
@@ -605,7 +633,12 @@ def main() -> None:
               "memo:<key> lines are 3-run timed builds of shared "
               "artifacts, queries pay marginal cost; corrected walls = "
               "min over runs of wall - run_jobs x overhead interpolated "
-              "at the run's sweep offset",
+              "at the run's sweep offset, FLOORED at "
+              f"{CORRECTED_FLOOR_FRAC:.0%} of the raw min (and best-ever "
+              "anchors loaded from prior rounds floored identically vs "
+              "their round's raw wall) so over-corrected ~0.0 walls "
+              "neither anchor nor flag forever (VERDICT r10 #5 / "
+              "ADVICE r10 #4)",
               "query_runs": {n: [round(w, 4) for w in ws]
                              for n, ws in runs.items() if len(ws) > 1}}
     # stable name (latest) PLUS a per-round snapshot so per-query

@@ -419,6 +419,9 @@ NESTED_LOOP_ALLOWED = {
     "join_cardinality_estimator_audit": "per join, two 1-row stat "
     "aggregates x one 1-row true count combined by scalar cross "
     "join; the only data-scale stage is the equi-join being audited",
+    "snb_sampled_recall": "1-row admitted-strata count x 1-row metric "
+    "aggregate (the oracle's scalar subquery, Spark-side) — the "
+    "r11 distributed-admission rewrite's only cross join",
 }
 
 
