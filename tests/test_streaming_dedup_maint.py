@@ -268,3 +268,97 @@ def test_recover_state_repairs_interrupted_compaction(spark, tmp_path):
     spark.catalog.refreshByPath(pairs)
     got = live_pairs(spark, state).select("id_a", "id_b").toPandas()
     assert sorted(map(tuple, got.values)) == sorted(map(tuple, want.values))
+
+
+def test_compaction_crash_injection_recovers(spark, tmp_path, monkeypatch):
+    """VERDICT r10 #7: kill compact_state BETWEEN _swap_in's two
+    renames — the actual crash window, injected at the real call site
+    rather than simulated by directory surgery — then prove the next
+    startup (recover_state) restores a state that answers identically
+    and that a re-run compaction completes cleanly."""
+    import shutil
+
+    from parcel_analytics_etl_notebook_spark.streaming import (
+        dedup_maintenance as dm,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(150)
+        .cache()
+    )
+    recrawl = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zz recrawled zz"))
+    )
+    state = _state_with_batches(spark, tmp_path, [(0, docs), (1, recrawl)])
+    want = sorted(
+        map(
+            tuple,
+            dm.live_pairs(spark, state)
+            .select("id_a", "id_b")
+            .toPandas()
+            .values,
+        )
+    )
+
+    pairs = os.path.join(state, dm.PAIRS_DIR)
+    real_rename = os.rename
+    crashed = {}
+
+    def dying_rename(src, dst):
+        # let the rename-aside (pairs -> pairs.old) succeed, then die
+        # on the swap-in (pairs.compact -> pairs): the exact window
+        # recover_state exists for
+        if src == pairs + ".compact" and dst == pairs:
+            crashed["at"] = (src, dst)
+            raise OSError("injected crash between _swap_in renames")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(dm.os, "rename", dying_rename)
+    try:
+        dm.compact_state(spark, state)
+        raise AssertionError("injected crash did not fire")
+    except OSError as e:
+        assert "injected crash" in str(e)
+    finally:
+        monkeypatch.setattr(dm.os, "rename", real_rename)
+
+    # the crash window left the canonical dir missing, data aside
+    assert crashed and not os.path.isdir(pairs)
+    assert os.path.isdir(pairs + ".old")
+    assert os.path.isdir(pairs + ".compact")
+
+    # startup recovery (run_maintenance_stream calls this first):
+    # .compact is the complete compacted table -> finish the swap
+    dm.recover_state(state)
+    assert os.path.isdir(pairs)
+    assert not os.path.isdir(pairs + ".old")
+    assert not os.path.isdir(pairs + ".compact")
+    for sub in (dm.BANDS_DIR, dm.SETS_DIR, dm.PAIRS_DIR, dm.VERSIONS_DIR):
+        spark.catalog.refreshByPath(os.path.join(state, sub))
+    got = sorted(
+        map(
+            tuple,
+            dm.live_pairs(spark, state)
+            .select("id_a", "id_b")
+            .toPandas()
+            .values,
+        )
+    )
+    assert got == want
+
+    # and the interrupted compaction re-runs to completion on the
+    # recovered root, still answer-preserving
+    dm.compact_state(spark, state)
+    got2 = sorted(
+        map(
+            tuple,
+            dm.live_pairs(spark, state)
+            .select("id_a", "id_b")
+            .toPandas()
+            .values,
+        )
+    )
+    assert got2 == want
+    shutil.rmtree(state, ignore_errors=True)

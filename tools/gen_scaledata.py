@@ -34,9 +34,15 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
+#: replica count — the tier name. Default 10 (scaledata/x10, the
+#: SCALING.md measured-curve corpus); VERDICT r10 #4 asks for one more
+#: decade on the flagship linear claims, so SPARK_GRAFT_REPLICAS=100
+#: writes scaledata/x100 with the identical structure-preserving
+#: construction (disjoint key universes per replica; per-replica vocab
+#: permutations / sign-flips — all replica-count-agnostic).
+REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "10"))
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "scaledata", "x10")
-REPLICAS = 10
+                   "scaledata", f"x{REPLICAS}")
 SEED = 20260815
 
 

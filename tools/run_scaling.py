@@ -29,10 +29,15 @@ HEAVY = [
 if len(sys.argv) > 1:
     HEAVY = sys.argv[1:]
 BASE = "/root/testdata/sf0.1"
+#: scale tier to measure against (default x10; set
+#: SPARK_GRAFT_SCALE_TIER=x100 after SPARK_GRAFT_REPLICAS=100
+#: gen_scaledata.py for the second-decade rows, VERDICT r10 #4)
+TIER = os.environ.get("SPARK_GRAFT_SCALE_TIER", "x10")
 X10 = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "scaledata", "x10",
+    "scaledata", TIER,
 )
+DATA_RATIO = float(TIER.lstrip("x"))
 RUNS = 2
 
 
@@ -65,7 +70,7 @@ def main() -> None:
     for name in HEAVY:
         walls = {}
         tripped = None
-        for tag, sf_dir in (("sf0.1", BASE), ("x10", X10)):
+        for tag, sf_dir in (("sf0.1", BASE), (TIER, X10)):
             ws = []
             for _ in range(RUNS):
                 catalog.release_caches(spark)
@@ -90,11 +95,11 @@ def main() -> None:
             print(f"{name:32s} guard tripped at {tripped['at']} -> "
                   f"scale path: {tripped['scale_path']}", flush=True)
             continue
-        ratio = round(walls["x10"] / walls["sf0.1"], 2)
+        ratio = round(walls[TIER] / walls["sf0.1"], 2)
         out[name] = {**walls, "wall_ratio": ratio}
         print(f"{name:32s} sf0.1={walls['sf0.1']:7.2f}s "
-              f"x10={walls['x10']:7.2f}s ratio={ratio}", flush=True)
-    print(json.dumps({"data_ratio": 10.0, "queries": out}))
+              f"{TIER}={walls[TIER]:7.2f}s ratio={ratio}", flush=True)
+    print(json.dumps({"data_ratio": DATA_RATIO, "queries": out}))
     spark.stop()
 
 
