@@ -295,7 +295,8 @@ def fellegi_sunter_multipass_snb(spark: SparkSession, sf_dir: str) -> DataFrame:
     The third key is the typo-robust canonicalized pass (VERDICT r10
     missing #3): for identifier-shaped names (every ``c_name`` here is
     ``Customer#NNNNNNNNN``) a phonetic code degenerates — soundex maps
-    every row to the constant C236 because the alphabetic prefix is
+    every row to the single code C235 (measured: one distinct value
+    over all 15,000 sf0.1 names) because the alphabetic prefix is
     shared and digits carry no phonetic signal — so the canonical key
     production merge/purge uses for ID-like fields is the REVERSED
     string: a typo in the LEADING characters (the exact failure mode
@@ -976,6 +977,17 @@ def fs_em_mstep(spark: SparkSession, sf_dir: str) -> DataFrame:
     n·post / Σ n·post, u_f' = Σ_{agree_f} n·(1−post) / Σ n·(1−post) —
     a literal-seeded deterministic recurrence (Winkler 1988's EM for
     the FS model over pattern counts).
+
+    Read the learned weights against their population: EM estimates
+    the mixture over the CANDIDATE distribution it is fed — here the
+    name-order SNB pairs, whose non-match class still mostly agrees on
+    name because window neighbors are name-adjacent by construction
+    (hence the learned u_name ≈ 0.95, versus the ~0.02 a random-pair
+    sample would give). That is the standard caveat for EM over
+    blocked candidates, not an artifact: production systems either
+    feed multi-pass candidates (less single-key bias) or frequency-
+    adjust u from corpus marginals; the computation below is identical
+    in either case — only the count table changes.
 
     Determinism contract (the ``fs_em_posteriors`` contract extended
     to the loop): the ONLY aggregation over data is the exact BIGINT

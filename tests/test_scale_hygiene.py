@@ -274,6 +274,7 @@ BOUNDED_WINDOW_OK = {
     "ivf_nprobe_recall_curve": "centroid query-rank window over the 8-row centroid frame (model-sized)",
     "vocab_size_oov_sweep": "rank window over the TYPE-grain vocabulary frame; docstring names the per-partition top-V merge as the wider-vocab path",
     "token_budget_waterfill": "sorted-prefix and water-level windows over the SOURCE-grain demand frame (tens of rows — a catalog constant, never data volume)",
+    "snb_sampled_recall": "cumulative-sum admission window over the POST-AGGREGATION stratum frame (n/1000 rows, never the corpus) — the r11 distributed rewrite of the former driver-side collect+sort; bounded three orders of magnitude below the data by the kiloblock grain",
 }
 
 
