@@ -900,21 +900,71 @@ def _em_init_exprs(osuf: str = "") -> list[str]:
 _EM_INIT_EXPRS = _em_init_exprs()
 
 
-def _fs_em_mstep_oracle() -> str:
-    """Unrolled-K EM oracle: the same generated expression strings the
-    Spark plan feeds to F.expr, chained through CTEs i0 → iK."""
-    count_cols = ", ".join(_em_col(n, s, b) for n, s, b in _EM_PATTERNS)
-    counts = ",\n           ".join(_em_count_exprs())
-    inits = ",\n           ".join(_EM_INIT_EXPRS)
-    parts = [
-        f"WITH r AS ({_SNB_RANKED}),",
-        f"""pr AS (
+_EM_SINGLEPASS_PR = f"""WITH r AS ({_SNB_RANKED}),
+pr AS (
     SELECT (levenshtein(a.c_name, b.c_name) <= 2) AS agree_name,
            (a.c_mktsegment = b.c_mktsegment) AS agree_segment,
            (a.band = b.band) AS agree_balance
     FROM r a JOIN r b
       ON b.rn BETWEEN a.rn + 1 AND a.rn + {SNB_WINDOW - 1}
+)"""
+
+_EM_MULTIPASS_PR = f"""WITH r1 AS (
+    SELECT c_custkey, row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+    FROM customer
 ),
+r2 AS (
+    SELECT c_custkey, row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+    FROM customer
+),
+r3 AS (
+    SELECT c_custkey,
+           row_number() OVER (ORDER BY reverse(c_name), c_custkey) AS rn
+    FROM customer
+),
+cand AS (
+    SELECT DISTINCT id_a, id_b FROM (
+        SELECT least(a.c_custkey, b.c_custkey) AS id_a,
+               greatest(a.c_custkey, b.c_custkey) AS id_b
+        FROM r1 a JOIN r1 b
+          ON b.rn BETWEEN a.rn + 1 AND a.rn + {SNB_WINDOW - 1}
+        UNION ALL
+        SELECT least(a.c_custkey, b.c_custkey) AS id_a,
+               greatest(a.c_custkey, b.c_custkey) AS id_b
+        FROM r2 a JOIN r2 b
+          ON b.rn BETWEEN a.rn + 1 AND a.rn + {SNB_WINDOW - 1}
+        UNION ALL
+        SELECT least(a.c_custkey, b.c_custkey) AS id_a,
+               greatest(a.c_custkey, b.c_custkey) AS id_b
+        FROM r3 a JOIN r3 b
+          ON b.rn BETWEEN a.rn + 1 AND a.rn + {SNB_WINDOW - 1}
+    )
+),
+pr AS (
+    SELECT (levenshtein(x.c_name, y.c_name) <= 2) AS agree_name,
+           (x.c_mktsegment = y.c_mktsegment) AS agree_segment,
+           (floor(x.c_acctbal / 500) = floor(y.c_acctbal / 500)) AS agree_balance
+    FROM cand c
+    JOIN customer x ON c.id_a = x.c_custkey
+    JOIN customer y ON c.id_b = y.c_custkey
+)"""
+
+
+def _fs_em_mstep_oracle(
+    pr_sql: str = _EM_SINGLEPASS_PR, iters: int | None = None
+) -> str:
+    """Unrolled-K EM oracle: the same generated expression strings the
+    Spark plan feeds to F.expr, chained through CTEs i0 → iK.
+    ``pr_sql`` supplies the candidate CTE chain ending in ``pr`` (the
+    3-boolean agreement frame) — single-pass SNB by default, the
+    multipass union for ``fs_em_mstep_multipass``; ``iters`` overrides
+    the unroll depth (default FS_EM_ITERS)."""
+    iters = FS_EM_ITERS if iters is None else iters
+    count_cols = ", ".join(_em_col(n, s, b) for n, s, b in _EM_PATTERNS)
+    counts = ",\n           ".join(_em_count_exprs())
+    inits = ",\n           ".join(_EM_INIT_EXPRS)
+    parts = [
+        f"""{pr_sql},
 em_counts AS (
     SELECT {counts}
     FROM pr
@@ -931,7 +981,7 @@ i0 AS (
         for n, s, b in _EM_PATTERNS
     )
     steps = ",\n           ".join(_em_step_exprs())
-    for k in range(1, FS_EM_ITERS + 1):
+    for k in range(1, iters + 1):
         parts.append(
             f"""p{k} AS (
     SELECT *, {posts}
@@ -949,7 +999,7 @@ i{k} AS (
         )
     sel = ", ".join(_EM_PARAM_COLS)
     union = "\n    UNION ALL\n    ".join(
-        f"SELECT iter, {sel} FROM i{k}" for k in range(FS_EM_ITERS + 1)
+        f"SELECT iter, {sel} FROM i{k}" for k in range(iters + 1)
     )
     rounded = ", ".join(f"round({c}, 6) AS {c}" for c in _EM_PARAM_COLS)
     parts.append(
@@ -1007,19 +1057,39 @@ def fs_em_mstep(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the right cluster shape for EM over pattern counts: the
     sufficient statistics are 8 integers, so iteration happens at
     model grain, exactly like centroid updates."""
-    pairs = _snb_scored_pairs(spark, sf_dir)
-    # ONE aggregation over data, then every iteration lives side-by-side
-    # (suffixed columns) in a single widening projection chain over the
-    # 1-row frame. A per-iteration unionByName would instead plant SIX
-    # copies of the whole SNB candidate pipeline in the physical plan
-    # (the plan-budget ledger caught exactly that: 42 shuffles); this
-    # shape re-reads nothing — same shuffle count as fs_em_posteriors.
+    return _em_trajectory(_snb_scored_pairs(spark, sf_dir))
+
+
+def _em_trajectory(pairs: DataFrame, iters: int | None = None) -> DataFrame:
+    """The EM iteration chain over any 3-boolean agreement frame: ONE
+    aggregation over data (the 8 exact pattern counts), then every
+    iteration lives side-by-side (suffixed columns) in a single
+    widening projection chain over the 1-row frame. A per-iteration
+    unionByName would instead plant K+1 copies of the whole candidate
+    pipeline in the physical plan (the plan-budget ledger caught
+    exactly that: 42 shuffles); this shape re-reads nothing — same
+    shuffle count as fs_em_posteriors. Shared by ``fs_em_mstep``
+    (single-pass candidates) and ``fs_em_mstep_multipass`` (3-arm
+    union candidates); ``iters`` overrides the depth.
+
+    Depth bound: CollapseProject folds the whole chain into one
+    Project whose expression tree grows EXPONENTIALLY with depth
+    (posteriors feed s feeds seven ratios feed eight posteriors...),
+    and past ~6 iterations janino hits the JVM's 64 KB method limit —
+    Spark then burns ~20s on the failed compile before falling back to
+    interpreted eval (measured on the K=18 multipass draft: 25s flat
+    at BOTH 1× and 10×, pure fixed cost; persist-barrier segmentation
+    only traded compile cost for per-segment materialization jobs,
+    12–17s). Keep in-plan unrolls at FS_EM_ITERS-scale; deeper loops
+    belong on the driver over the collected sufficient statistics —
+    see :func:`_em_trajectory_driver`."""
+    iters = FS_EM_ITERS if iters is None else iters
     cur = pairs.agg(*[F.expr(e) for e in _em_count_exprs()]).select(
         "*",
         *[F.expr(e) for e in _em_init_exprs("_0")],
         F.expr(_em_n_expr()).alias("ntot"),
     )
-    for k in range(1, FS_EM_ITERS + 1):
+    for k in range(1, iters + 1):
         cur = cur.select(
             "*",
             *[
@@ -1051,7 +1121,7 @@ def fs_em_mstep(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for c in _EM_PARAM_COLS
                     ],
                 )
-                for k in range(FS_EM_ITERS + 1)
+                for k in range(iters + 1)
             ]
         )
     )
@@ -1063,6 +1133,229 @@ def fs_em_mstep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iter")
     )
+
+
+def _em_trajectory_driver(
+    spark: SparkSession, pairs: DataFrame, iters: int
+) -> DataFrame:
+    """The EM recurrence iterated on the DRIVER over the collected
+    sufficient statistics — the production shape the E-step docstring
+    names ("8-row model-grain arithmetic done driver-side, exactly
+    like centroid updates"), and the right one for deep unrolls: the
+    in-plan chain hits janino's 64 KB method limit past ~6 iterations
+    (see :func:`_em_trajectory`), while here Spark does the ONE data
+    pass (the exact BIGINT pattern counts) and the iteration is eight
+    integers × K — zero additional jobs, zero compile cost, identical
+    at any depth.
+
+    Bit-faithfulness contract: every float operation below mirrors the
+    generated SQL expression tree NODE FOR NODE in the same
+    left-associative order (Python floats and JVM/DuckDB doubles are
+    all IEEE-754 binary64 with round-to-nearest-even per op, and the
+    counts are < 2^53 so int→double conversions are exact), so the
+    trajectory is bit-identical to the unrolled-CTE oracle — the same
+    guarantee the in-plan chain gives, verified by the same
+    hash-compare harness. Rounding stays IN SPARK (the final
+    ``round(x, 6)`` projection), so presentation semantics are the
+    engine's, not Python's."""
+    row = pairs.agg(*[F.expr(e) for e in _em_count_exprs()]).collect()[0]
+    cnt = {pat: row[_em_col(*pat)] for pat in _EM_PATTERNS}
+
+    def pick(m: dict, field_bit: int, bit: int) -> float:
+        # mirrors _em_post_expr's t(): col if bit else (1.0 - col)
+        keys = ["name", "segment", "balance"]
+        v = m[keys[field_bit]]
+        return v if bit else 1.0 - v
+
+    p = FS_EM_P
+    m = dict(FS_EM_M)
+    u = dict(FS_EM_U)
+    out = [(0, p, m["name"], m["segment"], m["balance"],
+            u["name"], u["segment"], u["balance"])]
+    ntot = float(sum(cnt[pat] for pat in _EM_PATTERNS))
+    for k in range(1, iters + 1):
+        posts = {}
+        for n_, s_, b_ in _EM_PATTERNS:
+            a = pick(m, 0, n_) * pick(m, 1, s_) * pick(m, 2, b_)
+            uu = pick(u, 0, n_) * pick(u, 1, s_) * pick(u, 2, b_)
+            den = (p * a) + ((1.0 - p) * uu)
+            posts[(n_, s_, b_)] = (p * a) / den if den > 0 else None
+        s = 0.0
+        for pat in _EM_PATTERNS:  # fixed written order, left-assoc
+            s = s + (cnt[pat] * posts[pat])
+        p = s / ntot if ntot > 0 else None
+        new_m, new_u = {}, {}
+        for field_bit, fname in ((0, "name"), (1, "segment"), (2, "balance")):
+            mm = 0.0
+            for pat in _EM_PATTERNS:
+                if pat[field_bit] == 1:
+                    mm = mm + (cnt[pat] * posts[pat])
+            new_m[fname] = mm / s if s > 0 else None
+            um = 0.0
+            for pat in _EM_PATTERNS:
+                if pat[field_bit] == 1:
+                    um = um + (cnt[pat] * (1.0 - posts[pat]))
+            new_u[fname] = um / (ntot - s) if (ntot - s) > 0 else None
+        m, u = new_m, new_u
+        out.append((k, p, m["name"], m["segment"], m["balance"],
+                    u["name"], u["segment"], u["balance"]))
+    traj = spark.createDataFrame(
+        out,
+        "iter bigint, p double, m_name double, m_segment double, "
+        "m_balance double, u_name double, u_segment double, "
+        "u_balance double",
+    )
+    return traj.select(
+        "iter",
+        *[F.expr(f"round({c}, 6)").alias(c) for c in _EM_PARAM_COLS],
+    ).orderBy("iter")
+
+
+def _multipass_cand_ids(customer: DataFrame) -> DataFrame:
+    """The 3-arm multipass candidate union (name, balance,
+    reversed-name orders), deduped — shared by the linkage query, the
+    recovery metric, and the multipass EM calibration."""
+    keyed = customer.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.reverse(F.col("c_name")).alias("rev_name"),
+    )
+    return (
+        _snb_candidate_ids(keyed, ["c_name", "c_custkey"])
+        .unionByName(_snb_candidate_ids(keyed, ["c_acctbal", "c_custkey"]))
+        .unionByName(_snb_candidate_ids(keyed, ["rev_name", "c_custkey"]))
+        .dropDuplicates()
+    )
+
+
+#: unroll depth for the MULTIPASS EM variant: its candidate mixture
+#: is farther from the initials (three heterogeneous arms), so the
+#: recurrence converges slower than the single-pass table. Measured
+#: 6-decimal fixed points: iter 17 at sf0.1 (the bench corpus — 18
+#: lands the final rows ON it), iter 24 at sf0.01, not yet by 30 at
+#: the 150-row sf0.001 (tiny mixtures mix slowly; the trajectory is
+#: still monotone-converging there). Iterations are 1-row projection
+#: chains, so depth costs plan size, never data passes.
+FS_EM_ITERS_MULTIPASS = 18
+
+
+@register(
+    "fs_em_mstep_multipass",
+    oracle=_fs_em_mstep_oracle(_EM_MULTIPASS_PR, FS_EM_ITERS_MULTIPASS),
+)
+def fs_em_mstep_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EM loop of ``fs_em_mstep`` over the MULTIPASS (3-arm union)
+    candidate distribution — the less-single-key-biased sample that
+    query's docstring caveat names. Under name-order candidates alone,
+    the learned u_name saturates near 0.95 (window neighbors are
+    name-adjacent by construction, so even non-matches mostly agree on
+    name); the balance- and reversed-key arms contribute candidate
+    pairs whose names genuinely differ, pulling the learned u_name
+    toward its population value and giving the name field back its
+    discriminating weight. Same recurrence, same bit-stability
+    contract (one exact-BIGINT count aggregate, shared expression
+    strings, unrolled-K oracle) — only the count table changes, which
+    is exactly the point the caveat makes. The unroll is deeper
+    (``FS_EM_ITERS_MULTIPASS`` = 18): this mixture converges slower,
+    and 18 iterations land the trajectory on its measured 6-decimal
+    fixed point at the sf0.1 bench corpus (stable from iter 17 on),
+    so there the final row IS the converged weight set; smaller
+    corpora mix slower (sf0.01 fixes at iter 24) and read the tail as
+    near-converged.
+
+    Scale shape: the multipass candidate union (3 linear generators +
+    one candidate-grain dedup shuffle) + one 8-group conditional
+    aggregate — that is the ONLY data pass. The 18 iterations run on
+    the driver over the eight collected BIGINTs
+    (:func:`_em_trajectory_driver` — the centroid-update shape): the
+    in-plan expression chain is the right tool at FS_EM_ITERS depth
+    but hits janino's 64 KB method limit at this one (measured 25s of
+    pure failed-compile cost), while eight integers × 18 iterations is
+    microseconds anywhere. Bit-stability is preserved because the
+    driver loop mirrors the oracle's expression tree node for node
+    (IEEE-754 binary64 on every engine) and rounding stays in Spark."""
+    customer = table(spark, sf_dir, "customer")
+    pairs = _fs_score_candidates(_multipass_cand_ids(customer), customer)
+    return _em_trajectory_driver(spark, pairs, FS_EM_ITERS_MULTIPASS)
+
+
+@register(
+    "fs_field_marginal_u",
+    oracle=f"""
+WITH m AS (
+    SELECT 'balance' AS field,
+           CAST(sum(c * (c - 1)) AS BIGINT) AS num,
+           CAST(sum(c) AS BIGINT) AS n
+    FROM (SELECT count(*) AS c FROM customer
+          GROUP BY floor(c_acctbal / 500))
+    UNION ALL
+    SELECT 'name' AS field,
+           CAST(sum(c * (c - 1)) AS BIGINT) AS num,
+           CAST(sum(c) AS BIGINT) AS n
+    FROM (SELECT count(*) AS c FROM customer GROUP BY c_name)
+    UNION ALL
+    SELECT 'segment' AS field,
+           CAST(sum(c * (c - 1)) AS BIGINT) AS num,
+           CAST(sum(c) AS BIGINT) AS n
+    FROM (SELECT count(*) AS c FROM customer GROUP BY c_mktsegment)
+)
+SELECT field,
+       CASE WHEN n > 1
+            THEN round(CAST(num AS DOUBLE)
+                       / CAST(n * (n - 1) AS DOUBLE), 6)
+       END AS u_marginal
+FROM m
+ORDER BY field
+""",
+)
+def fs_field_marginal_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter u-probabilities from corpus MARGINALS: for each
+    evidence field, the probability that two RANDOM records agree
+    exactly — Σ_v n_v·(n_v−1) / (N·(N−1)) over the field's value
+    counts. This is the classic frequency-based alternative to EM for
+    estimating u (the random-agreement rate; Fellegi & Sunter 1969
+    §3.3 compute u from value frequencies exactly this way), and the
+    companion the EM docstrings name for de-biasing u when the
+    candidate distribution is blocked. On this corpus: u_segment ≈
+    1/5 (five segments near-uniform), u_balance ≈ the band-collision
+    rate, u_name = 0 at the exact-match grain (identifier names are
+    unique) — which is WHY the integer-weight queries define name
+    agreement at edit-distance ≤ 2 and estimate its u at pair grain
+    (``fs_em_mstep``): a marginal can price exact collision only.
+
+    Determinism: numerator and denominator are exact BIGINTs (integer
+    sums — order-free); ONE division per field, rounded to 6, guarded
+    for degenerate single-row corpora. Scale shape: three value-grain
+    aggregates (map-side combined; value cardinality ≪ corpus), no
+    joins, no windows — marginal statistics are the cheapest number in
+    the linkage stack, which is why production systems compute them
+    corpus-wide even when EM runs on a sample."""
+    customer = table(spark, sf_dir, "customer")
+    fields = [
+        ("balance", F.floor(F.col("c_acctbal") / 500)),
+        ("name", F.col("c_name")),
+        ("segment", F.col("c_mktsegment")),
+    ]
+    parts = []
+    for fname, expr in fields:
+        vc = customer.groupBy(expr.alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        parts.append(
+            vc.agg(
+                F.expr("CAST(sum(c * (c - 1)) AS BIGINT)").alias("num"),
+                F.expr("CAST(sum(c) AS BIGINT)").alias("n"),
+            ).select(F.lit(fname).alias("field"), "num", "n")
+        )
+    m = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return m.select(
+        "field",
+        F.expr(
+            "CASE WHEN n > 1 THEN round(CAST(num AS DOUBLE)"
+            " / CAST(n * (n - 1) AS DOUBLE), 6) END"
+        ).alias("u_marginal"),
+    ).orderBy("field")
 
 
 def _fs_link_where(x: str, y: str) -> str:

@@ -160,3 +160,81 @@ def test_sampled_recall_matches_full_metric_when_all_admitted(spark):
     assert sampled["nation_links"] == full["nation_links"]
     assert sampled["snb_found"] == full["snb_found"]
     assert sampled["pairs_completeness"] == full["pairs_completeness"]
+
+
+def test_multipass_em_reaches_fixed_point_and_debiases_u_name(spark):
+    """The deeper unroll's promise, at the corpus where it is claimed
+    (sf0.1, the bench corpus): the final two rows are identical at the
+    6-decimal output grain — the recurrence has genuinely converged
+    and the last row IS the fixed point. At the 150-row sf0.001 the
+    mixture mixes slower (documented), so there the test asserts
+    monotone tail convergence plus the de-biasing claim: the multipass
+    candidate mixture pulls learned u_name far below the single-pass
+    value."""
+    SF1 = "/root/testdata/sf0.1"
+    cols = [
+        "p", "m_name", "m_segment", "m_balance",
+        "u_name", "u_segment", "u_balance",
+    ]
+    multi_big = (
+        queries_relational27.fs_em_mstep_multipass(spark, SF1)
+        .orderBy("iter")
+        .collect()
+    )
+    assert (
+        len(multi_big) == queries_relational27.FS_EM_ITERS_MULTIPASS + 1
+    )
+    last, prev = multi_big[-1], multi_big[-2]
+    for c in cols:
+        assert last[c] == prev[c], (c, prev[c], last[c])
+
+    multi = (
+        queries_relational27.fs_em_mstep_multipass(spark, SF)
+        .orderBy("iter")
+        .collect()
+    )
+    deltas = [
+        abs(multi[k + 1]["p"] - multi[k]["p"])
+        for k in range(len(multi) - 1)
+    ]
+    assert deltas[-1] < max(deltas) / 5  # tail is settling
+    single = (
+        queries_relational27.fs_em_mstep(spark, SF)
+        .orderBy("iter")
+        .collect()[-1]
+    )
+    assert multi[-1]["u_name"] < single["u_name"]
+
+
+def test_marginal_u_matches_exact_pair_probability(spark):
+    """u_marginal is the EXACT random-pair agreement probability —
+    recomputed independently per field from value counts in Python
+    (Σ n_v(n_v−1) / (N(N−1))); name collisions are zero on the
+    identifier-shaped corpus (why name agreement is priced at pair
+    grain instead)."""
+    from collections import Counter
+    from math import floor
+
+    rows = {
+        r["field"]: r["u_marginal"]
+        for r in queries_relational27.fs_field_marginal_u(
+            spark, SF
+        ).collect()
+    }
+    from parcel_analytics_etl_notebook_spark.plans.catalog import table
+
+    pdf = table(spark, SF, "customer").select(
+        "c_name", "c_mktsegment", "c_acctbal"
+    ).toPandas()
+    n = len(pdf)
+    for field, values in (
+        ("name", pdf["c_name"]),
+        ("segment", pdf["c_mktsegment"]),
+        ("balance", pdf["c_acctbal"].map(lambda x: floor(x / 500))),
+    ):
+        cnt = Counter(values)
+        want = round(
+            sum(c * (c - 1) for c in cnt.values()) / (n * (n - 1)), 6
+        )
+        assert rows[field] == want, (field, rows[field], want)
+    assert rows["name"] == 0.0
