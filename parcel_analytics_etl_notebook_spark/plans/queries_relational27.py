@@ -23,6 +23,18 @@ window under ANOTHER (balance-band order), so multi-pass SNB unions
 the candidates of several independent sort keys before the identical
 scoring stage — still linear (passes × (w−1) × n).
 
+Round-11 additions complete the calibration stack: ``fs_em_mstep``
+(the full EM loop, E+M iterated as a bit-stable literal-seeded
+recurrence with an unrolled-K oracle), the reversed-name CANONICAL
+third multipass arm with ``snb_canonical_pass_recovery`` measuring
+what it recovers, ``fs_em_mstep_multipass`` (EM to its measured fixed
+point over the de-biased 3-arm candidates, iterated driver-side over
+the eight collected sufficient statistics), and
+``fs_field_marginal_u`` (the classic marginal-frequency u estimate).
+``snb_sampled_recall``'s stratum admission became fully distributed
+(cumulative-sum window + broadcast semi-join + row co-budget) in the
+same round.
+
 Oracle-parity conventions as in plans/catalog.py.
 """
 
