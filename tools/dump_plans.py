@@ -22,6 +22,24 @@ SF = "/root/testdata/sf0.001"
 # (query, what the plan demonstrates)
 SHOWCASE: list[tuple[str, str]] = [
     (
+        "snb_sampled_recall",
+        "Distributed budget admission (r11): the greedy stratum prefix is "
+        "a cumulative-sum Window over the POST-AGGREGATION stratum frame "
+        "(model-sized — the only single-partition window, annotated), the "
+        "admitted keys broadcast into a left-semi join BEFORE the "
+        "within-stratum self-join, and the admitted-strata count rides a "
+        "1-row BroadcastNestedLoopJoin (the scalar-subquery shape) — no "
+        "driver-side collect anywhere in the admission path.",
+    ),
+    (
+        "fs_em_mstep",
+        "Iterative EM fully inside one plan: ONE data pass (SNB candidate "
+        "generation + an 8-group conditional count aggregate), then all "
+        "K iterations fold into projections over the 1-row frame — no "
+        "joins, no shuffles, no driver round-trips; the trajectory "
+        "materializes via a single Generate (inline) node.",
+    ),
+    (
         "pricing_summary",
         "Scan-level filter pushdown + column pruning: the shipdate predicate "
         "lands in PushedFilters, ReadSchema carries only the aggregated "
