@@ -63,6 +63,25 @@ findings #1/#2/#6 and ADVICE r07 #2/#4):
   CORRECTED_FLOOR_FRAC of the same run-set's raw min, and anchors
   loaded from prior rounds get the identical floor against their own
   round's raw wall — pre-r11 0.0 records can no longer anchor.
+- **Re-anchored best-ever walls + catalog-scaled pools** (VERDICT r11
+  #1, r12): best-ever anchors are no longer the prior rounds' RECORDED
+  corrected walls (pre-floor rounds recorded over-corrections the
+  floor-at-load could only clamp to 5%-of-raw, still below what their
+  own per-run data supports) — each prior v2 round's corrected walls
+  are recomputed from its per-run walls/job-counts/offsets and its own
+  overhead curve under the current floor (`_reanchor_round`), the
+  methodology stamp carries a floor-version suffix so cross-round
+  comparisons stay within like-for-like variants, and both repeat
+  pools scale with catalog size so severity-flagged names actually get
+  served (r11: both pools drained with 8 severity-≥1.4 names skipped
+  "pool exhausted before service"). The recompute additionally bounds
+  anchor CREDIBILITY: a run whose jobs×overhead subtraction removed
+  >60% of its raw wall is an extrapolation (the per-action calibration
+  overstates the marginal cost of inner jobs, worst on high-overhead
+  hosts) and may not anchor — without the bound, the min ratchet
+  anchored exactly those runs, and 37 names drift-flagged against r11
+  (vs 7 genuine movers with it), burning the adjudication pool every
+  round.
 """
 
 from __future__ import annotations
@@ -184,7 +203,13 @@ def main() -> None:
     # repeat is launched only if the first-run wall fits the remaining
     # budget, so a cap cannot overshoot by a full run.
     REPEAT_T1, REPEAT_T2 = 1.0, 0.4
-    NOISE_BUDGET_S, ADJUDICATION_BUDGET_S = 100.0, 90.0
+    # Repeat pools SCALE WITH CATALOG SIZE (VERDICT r11 #1): the fixed
+    # 100/90s pools were sized for a ~230-query catalog; at 312 both
+    # drained with 8 severity-≥1.4 names still unserved ("pool
+    # exhausted before service"). ~0.35s/0.55s per catalog query keeps
+    # the historical floor at today's size and grows headroom with it.
+    NOISE_BUDGET_S = max(100.0, 0.35 * len(qs))
+    ADJUDICATION_BUDGET_S = max(90.0, 0.55 * len(qs))
     REGRESS_RATIO, REPEAT_CEIL_S = 1.5, 10.0
     #: adjudication-pass skip threshold (VERDICT r08 #1): a flagged
     #: name whose first-run CORRECTED wall is within SKIP_RATIO of its
@@ -210,19 +235,22 @@ def main() -> None:
     #: cannot anchor.
     CORRECTED_FLOOR_FRAC = 0.05
     FORCE_3RUNS = {
-        # cross-round adjudication set, ROTATED each round: r10's four
-        # all adjudicated (clamped_running_balance confirmed real at
-        # ~6.3s corrected, khop resolved as overhead 0.17s, debuts
-        # green), so they age out. r11 entries: the two plan-changed
-        # names (snb_sampled_recall gained the distributed cumsum-
-        # window admission + row co-budget; fellegi_sunter_multipass_snb
-        # gained the reversed-name third union arm) and the round's two
-        # debuts (first-ever walls as 3-run evidence, not single cold
-        # samples).
-        "snb_sampled_recall",
-        "fellegi_sunter_multipass_snb",
-        "fs_em_mstep",
-        "snb_canonical_pass_recovery",
+        # cross-round adjudication set, ROTATED each round: r11's four
+        # all adjudicated green, so they age out. r12 entries: the
+        # round's debut (first-ever wall as 3-run evidence), the two
+        # r11 batch-2 debuts whose first-ever walls were single cold
+        # samples (ADVICE r11 #2 — the rotation comment's stated debut
+        # policy missed them), and the two VERDICT r11 mandated
+        # adjudications: embedding_lsh_banded_pairs (6.25→7.98s
+        # corrected with zero runs in r11 — under the 1.5× trigger so
+        # nothing re-ran it) and temporal_reachability_khop (0.17→2.16s
+        # corrected across rounds; the r10 "job-count overhead" verdict
+        # needs a re-look).
+        "fs_em_convergence",
+        "fs_em_mstep_multipass",
+        "fs_field_marginal_u",
+        "embedding_lsh_banded_pairs",
+        "temporal_reachability_khop",
     }
 
     import glob
@@ -275,7 +303,70 @@ def main() -> None:
     # only corrected walls, which measure the plan, are cross-round
     # comparable (and only within methodology v2, so v1 rounds <= r07
     # are excluded).
-    best_corrected: dict[str, float] = {}
+    #: anchor credibility bound (VERDICT r11 #1): a per-run corrected
+    #: wall where MORE THAN this fraction of the raw wall was
+    #: subtracted as jobs×overhead is an extrapolation, not a
+    #: measurement — the per-action calibration (a full Python→JVM
+    #: round trip) over-states the marginal cost of a query's INNER
+    #: jobs, and the error scales with both job count and host
+    #: overhead, so high-overhead rounds mint corrected walls far
+    #: below any value the same plan produces on a quiet host. The
+    #: one-way min ratchet then anchored exactly those rounds:
+    #: measured against r11, credibility-unbounded anchors drift-flag
+    #: 37 names (severity pool burned every round, the judge's
+    #: complaint) vs 7 genuine movers with this bound. Runs with
+    #: subtraction ≤ the bound anchor normally; a name with NO
+    #: credible run in any round anchors at its least-subtracted run.
+    ANCHOR_CRED_FRAC = 0.6
+
+    def _reanchor_candidates(_pd: dict) -> dict[str, list]:
+        """ONE prior round's anchor candidates, recomputed from its
+        per-run records under the CURRENT floor (VERDICT r11 #1 —
+        recorded pre-floor values can neither be trusted at the low
+        end nor repaired by flooring alone). Returns, per name, a list
+        of (floored corrected wall, subtracted fraction) — one per
+        recorded run — using the round's OWN overhead curve, exactly
+        the r11+ formula applied retroactively. Names without per-run
+        records (single runs) use their one recorded wall with the
+        round's max job count — identical to what the round itself
+        computed."""
+        pts = _pd.get("overhead_points") or []
+
+        def _oh(off: float) -> float:
+            if not pts:
+                return 0.0
+            if off <= pts[0][0]:
+                return pts[0][1] / 1000.0
+            for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+                if off <= x1:
+                    f = (off - x0) / (x1 - x0) if x1 > x0 else 0.0
+                    return (y0 + f * (y1 - y0)) / 1000.0
+            return pts[-1][1] / 1000.0
+
+        _raws = _pd.get("queries", {})
+        _runs = _pd.get("query_runs", {})
+        _jruns = _pd.get("n_jobs_runs", {})
+        _offs = _pd.get("query_run_offsets", {})
+        _nj = _pd.get("n_jobs", {})
+        out: dict[str, list] = {}
+        for _n, _w in _raws.items():
+            ws = _runs.get(_n, [_w])
+            js = _jruns.get(_n) or [_nj.get(_n, 0)] * len(ws)
+            ofs = _offs.get(_n) or [0.0] * len(ws)
+            if not (len(js) == len(ws) and len(ofs) == len(ws)):
+                js = [_nj.get(_n, 0)] * len(ws)
+                ofs = [0.0] * len(ws)
+            floor = CORRECTED_FLOOR_FRAC * min(ws)
+            out[_n] = [
+                (
+                    round(max(wi - ji * _oh(oi), floor), 4),
+                    round(min(1.0, (ji * _oh(oi)) / wi) if wi > 0 else 1.0, 4),
+                )
+                for wi, ji, oi in zip(ws, js, ofs)
+            ]
+        return out
+
+    anchor_runs: dict[str, list] = {}
     for _k, _p in prior_pairs:
         try:
             with open(_p) as f:
@@ -285,17 +376,24 @@ def main() -> None:
         _meth = _pd.get("correction_methodology")
         # r08 ran methodology v2 but predates the stamp (the stamp
         # itself was the r09 fix); rounds <= r07 are v1 and excluded.
-        if _meth != "v2-per-run-jobs-offset-interp" and not (
-            _meth is None and _k >= 8
+        # Any "v2-..." stamp (including floor-version suffixes, r12+)
+        # shares the per-run record shape the re-anchor needs.
+        if not (
+            (_meth or "").startswith("v2-") or (_meth is None and _k >= 8)
         ):
             continue
-        _raws = _pd.get("queries", {})
-        for _n, _c in _pd.get("queries_corrected", {}).items():
-            # anchor floor (ADVICE r10 #4): an over-corrected near-zero
-            # wall in any one round must not become a permanent ratchet
-            _c = max(_c, CORRECTED_FLOOR_FRAC * _raws.get(_n, 0.0))
-            if _n not in best_corrected or _c < best_corrected[_n]:
-                best_corrected[_n] = _c
+        for _n, _cands in _reanchor_candidates(_pd).items():
+            anchor_runs.setdefault(_n, []).extend(_cands)
+    best_corrected: dict[str, float] = {}
+    for _n, _cands in anchor_runs.items():
+        credible = [c for c, f in _cands if f <= ANCHOR_CRED_FRAC]
+        if credible:
+            best_corrected[_n] = min(credible)
+        else:
+            # overhead-dominated in EVERY recorded run: the least-
+            # extrapolated one is the best evidence available
+            fmin = min(f for _c, f in _cands)
+            best_corrected[_n] = min(c for c, f in _cands if f == fmin)
 
     sc = spark.sparkContext
     n_jobs: dict[str, int] = {}      # max across runs (cross-round compat)
@@ -604,6 +702,18 @@ def main() -> None:
               "first_run_total": first_run_total,
               "sweep_order_seed": rnd,
               "adjudicated": sorted(adjudicate),
+              # the re-anchored best-ever corrected walls severity/skip
+              # compared against this round (VERDICT r11 #1 audit
+              # trail: recomputed from prior BENCH_DETAIL per-run
+              # records under the current floor, NOT read from their
+              # recorded queries_corrected)
+              "best_ever_anchors": {
+                  n: round(c, 4) for n, c in sorted(best_corrected.items())
+              },
+              # pools scale with catalog size (VERDICT r11 #1)
+              "noise_budget_s": NOISE_BUDGET_S,
+              "adjudication_budget_s": ADJUDICATION_BUDGET_S,
+              "anchor_credibility_frac": ANCHOR_CRED_FRAC,
               # names flagged but not repeated, with the recorded reason
               # (VERDICT r08 #1: every flagged name either has >=2 runs
               # or a corrected-within-SKIP_RATIO skip reason)
@@ -614,7 +724,15 @@ def main() -> None:
               # (over-subtracts); v2 (r08+) = min over runs of
               # per-run wall - per-run jobs x offset-interpolated
               # overhead. Compare v2 rounds against v2 rounds.
-              "correction_methodology": "v2-per-run-jobs-offset-interp",
+              # floor-version suffix (VERDICT r11 #1): corrected walls
+              # are comparable within "v2-" but the floor changes what
+              # the LOW end means — fl5 = floored at 5% of raw min, and
+              # ra1 = best-ever anchors recomputed retroactively from
+              # every prior v2 round's per-run records under that same
+              # floor (see _reanchor_round), so severity/skip ratios no
+              # longer compare against pre-floor over-corrected values.
+              "correction_methodology": "v2-per-run-jobs-offset-interp"
+              "+fl5ra1",
               "bench_policy": "best-of-n (min of runs); randomized sweep "
               f"order seeded by round; noise repeats under {REPEAT_T1}s "
               f"walls (inline, {NOISE_BUDGET_S}s pool, skipped above "

@@ -1025,6 +1025,45 @@ ORDER BY iter"""
     return "\n".join(parts)
 
 
+#: shared delta/flag expression STRINGS (fed verbatim to F.expr AND the
+#: DuckDB oracle, the established bit-stability pattern): the deltas
+#: subtract UNROUNDED binary64 trajectory values in a fixed argument
+#: order, and the convergence flag compares the 6-decimal ROUNDED
+#: parameters — the exact sense in which "6-decimal fixed point at iter
+#: K" is claimed in fs_em_mstep_multipass's depth note.
+_EM_CONV_DELTA = "greatest(" + ", ".join(
+    f"abs({c} - {c}_prev)" for c in _EM_PARAM_COLS
+) + ")"
+_EM_CONV_FLAG = (
+    "CASE WHEN "
+    + " AND ".join(
+        f"round({c}, 6) = round({c}_prev, 6)" for c in _EM_PARAM_COLS
+    )
+    + " THEN TRUE ELSE FALSE END"
+)
+
+
+def _fs_em_convergence_oracle(pr_sql: str, iters: int) -> str:
+    """Convergence-diagnostic oracle: the SAME unrolled trajectory
+    CTEs as :func:`_fs_em_mstep_oracle`, then a one-step self-join
+    (iter vs iter−1) computing the per-iteration max absolute
+    parameter delta and the rounded-fixed-point flag — both via the
+    shared expression strings above."""
+    traj = _fs_em_mstep_oracle(pr_sql, iters)
+    # reuse the full mstep oracle's CTE chain; swap only its final
+    # SELECT (the rounded presentation projection) for the delta join
+    ctes, _, _ = traj.rpartition("SELECT iter,")
+    prev_cols = ", ".join(f"{c} AS {c}_prev" for c in _EM_PARAM_COLS)
+    cols = ", ".join(_EM_PARAM_COLS)
+    return f"""{ctes}SELECT cur.iter AS iter,
+       round({_EM_CONV_DELTA}, 6) AS max_abs_delta_6dp,
+       {_EM_CONV_FLAG} AS converged_6dp
+FROM (SELECT iter, {cols} FROM t) cur
+JOIN (SELECT iter + 1 AS iter, {prev_cols} FROM t) prv
+  ON cur.iter = prv.iter
+ORDER BY iter"""
+
+
 @register("fs_em_mstep", oracle=_fs_em_mstep_oracle())
 def fs_em_mstep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Fellegi-Sunter EM loop — E-step AND M-step, iterated
@@ -1170,6 +1209,28 @@ def _em_trajectory_driver(
     hash-compare harness. Rounding stays IN SPARK (the final
     ``round(x, 6)`` projection), so presentation semantics are the
     engine's, not Python's."""
+    out = _em_trajectory_rows(pairs, iters)
+    traj = spark.createDataFrame(
+        out,
+        "iter bigint, p double, m_name double, m_segment double, "
+        "m_balance double, u_name double, u_segment double, "
+        "u_balance double",
+    )
+    return traj.select(
+        "iter",
+        *[F.expr(f"round({c}, 6)").alias(c) for c in _EM_PARAM_COLS],
+    ).orderBy("iter")
+
+
+def _em_trajectory_rows(pairs: DataFrame, iters: int) -> list[tuple]:
+    """The driver-side EM recurrence shared by the trajectory queries
+    and the convergence diagnostic: ONE exact-BIGINT count aggregate
+    over ``pairs`` (the only data pass), then the iteration over eight
+    integers × K on the driver. Returns the UNROUNDED binary64
+    trajectory as (iter, p, m_name, m_segment, m_balance, u_name,
+    u_segment, u_balance) tuples — presentation rounding stays with
+    the callers, in Spark (see the bit-faithfulness contract in
+    :func:`_em_trajectory_driver`)."""
     row = pairs.agg(*[F.expr(e) for e in _em_count_exprs()]).collect()[0]
     cnt = {pat: row[_em_col(*pat)] for pat in _EM_PATTERNS}
 
@@ -1184,14 +1245,43 @@ def _em_trajectory_driver(
     u = dict(FS_EM_U)
     out = [(0, p, m["name"], m["segment"], m["balance"],
             u["name"], u["segment"], u["balance"])]
-    ntot = float(sum(cnt[pat] for pat in _EM_PATTERNS))
+    # sum() over ZERO rows is SQL NULL, so an empty candidate frame
+    # yields None counts — fold that into the same degenerate path as a
+    # zero denominator (ADVICE r11 #1) instead of crashing on float(None)
+    null_counts = any(cnt[pat] is None for pat in _EM_PATTERNS)
+    ntot = (
+        None if null_counts
+        else float(sum(cnt[pat] for pat in _EM_PATTERNS))
+    )
     for k in range(1, iters + 1):
-        posts = {}
-        for n_, s_, b_ in _EM_PATTERNS:
-            a = pick(m, 0, n_) * pick(m, 1, s_) * pick(m, 2, b_)
-            uu = pick(u, 0, n_) * pick(u, 1, s_) * pick(u, 2, b_)
-            den = (p * a) + ((1.0 - p) * uu)
-            posts[(n_, s_, b_)] = (p * a) / den if den > 0 else None
+        # NULL-propagation mirror (ADVICE r11 #1): the CASE-guarded SQL
+        # oracle turns a zero denominator (or ntot==0 on a degenerate
+        # corpus) into NULL, and NULL then absorbs every downstream
+        # product/sum/CASE — `s > 0` is NULL, so every later iteration
+        # is all-NULL. Mirror that fixpoint by short-circuiting instead
+        # of letting None reach float arithmetic (TypeError).
+        degenerate = (
+            null_counts
+            or p is None
+            or any(v is None for v in m.values())
+            or any(v is None for v in u.values())
+        )
+        if not degenerate:
+            posts = {}
+            for n_, s_, b_ in _EM_PATTERNS:
+                a = pick(m, 0, n_) * pick(m, 1, s_) * pick(m, 2, b_)
+                uu = pick(u, 0, n_) * pick(u, 1, s_) * pick(u, 2, b_)
+                den = (p * a) + ((1.0 - p) * uu)
+                posts[(n_, s_, b_)] = (p * a) / den if den > 0 else None
+            # in SQL even 0 * NULL is NULL, so ONE NULL posterior nulls
+            # the fixed-order sums regardless of its count weight
+            degenerate = any(v is None for v in posts.values())
+        if degenerate:
+            p = None
+            m = {f: None for f in ("name", "segment", "balance")}
+            u = {f: None for f in ("name", "segment", "balance")}
+            out.append((k, None, None, None, None, None, None, None))
+            continue
         s = 0.0
         for pat in _EM_PATTERNS:  # fixed written order, left-assoc
             s = s + (cnt[pat] * posts[pat])
@@ -1211,16 +1301,7 @@ def _em_trajectory_driver(
         m, u = new_m, new_u
         out.append((k, p, m["name"], m["segment"], m["balance"],
                     u["name"], u["segment"], u["balance"]))
-    traj = spark.createDataFrame(
-        out,
-        "iter bigint, p double, m_name double, m_segment double, "
-        "m_balance double, u_name double, u_segment double, "
-        "u_balance double",
-    )
-    return traj.select(
-        "iter",
-        *[F.expr(f"round({c}, 6)").alias(c) for c in _EM_PARAM_COLS],
-    ).orderBy("iter")
+    return out
 
 
 def _multipass_cand_ids(customer: DataFrame) -> DataFrame:
@@ -1290,6 +1371,67 @@ def fs_em_mstep_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = table(spark, sf_dir, "customer")
     pairs = _fs_score_candidates(_multipass_cand_ids(customer), customer)
     return _em_trajectory_driver(spark, pairs, FS_EM_ITERS_MULTIPASS)
+
+
+#: depth for the convergence DIAGNOSTIC: deliberately past every
+#: measured multipass fixed point (iter 17 at sf0.1, 24 at sf0.01) so
+#: the query EXHIBITS the fixed point — converged_6dp flips to true and
+#: stays true — rather than assuming it; at sf0.001 the same rows show
+#: the not-yet-converged tail the FS_EM_ITERS_MULTIPASS note documents.
+#: Depth is driver-side (eight integers × K), so 30 costs nothing.
+FS_EM_CONV_ITERS = 30
+
+
+@register(
+    "fs_em_convergence",
+    oracle=_fs_em_convergence_oracle(_EM_MULTIPASS_PR, FS_EM_CONV_ITERS),
+)
+def fs_em_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence diagnostic for the multipass EM recurrence (VERDICT
+    r11 next #8): one row per iteration 1..K with the max absolute
+    UNROUNDED parameter delta vs the previous iteration and a
+    ``converged_6dp`` flag — true iff every 6-decimal ROUNDED parameter
+    equals its predecessor, i.e. the exact sense in which
+    ``fs_em_mstep_multipass`` claims "6-decimal fixed point at iter K".
+    This makes the fixed-point claim oracle-checkable at ANY sf instead
+    of resting on a hand-measured constant.
+
+    Shape: the same single data pass as the trajectory queries (3-arm
+    candidate union + one 8-group exact-BIGINT aggregate); the K=30
+    recurrence runs driver-side over the eight collected counts
+    (:func:`_em_trajectory_rows` — janino's 64 KB method limit rules
+    out the in-plan unroll at this depth, measured in round 11). The
+    delta/flag arithmetic then runs IN SPARK on the driver-built
+    31-row trajectory frame via the shared expression strings
+    ``_EM_CONV_DELTA`` / ``_EM_CONV_FLAG`` — identical text feeds the
+    DuckDB oracle's unrolled-CTE self-join, so both engines fold the
+    same IEEE tree over bit-identical inputs. The iter-vs-iter−1 join
+    is model-grain (31 rows), broadcast by hint (LocalTableScan carries
+    no size stats, so unhinted it planned a two-exchange SMJ)."""
+    customer = table(spark, sf_dir, "customer")
+    pairs = _fs_score_candidates(_multipass_cand_ids(customer), customer)
+    out = _em_trajectory_rows(pairs, FS_EM_CONV_ITERS)
+    traj = spark.createDataFrame(
+        out,
+        "iter bigint, p double, m_name double, m_segment double, "
+        "m_balance double, u_name double, u_segment double, "
+        "u_balance double",
+    )
+    prv = traj.select(
+        (F.col("iter") + F.lit(1)).cast("bigint").alias("iter"),
+        *[F.col(c).alias(f"{c}_prev") for c in _EM_PARAM_COLS],
+    )
+    return (
+        traj.join(F.broadcast(prv), "iter")
+        .select(
+            "iter",
+            F.expr(f"round({_EM_CONV_DELTA}, 6)").alias(
+                "max_abs_delta_6dp"
+            ),
+            F.expr(_EM_CONV_FLAG).alias("converged_6dp"),
+        )
+        .orderBy("iter")
+    )
 
 
 @register(

@@ -238,3 +238,29 @@ def test_marginal_u_matches_exact_pair_probability(spark):
         )
         assert rows[field] == want, (field, rows[field], want)
     assert rows["name"] == 0.0
+
+
+def test_em_trajectory_driver_degenerate_corpus_nulls(spark):
+    """ADVICE r11 #1: on a degenerate corpus (zero candidate pairs —
+    the collected conditional counts are SQL-NULL, or any posterior
+    denominator hits 0) the driver-side recurrence must mirror the
+    CASE-guarded oracle's NULL fixpoint — iter 0 stays the literal
+    initials, every later iteration is all-NULL — instead of raising
+    TypeError on None arithmetic."""
+    empty = spark.createDataFrame(
+        [],
+        "agree_name boolean, agree_segment boolean, agree_balance boolean",
+    )
+    rows = (
+        queries_relational27._em_trajectory_driver(spark, empty, 3)
+        .orderBy("iter")
+        .collect()
+    )
+    assert [r["iter"] for r in rows] == [0, 1, 2, 3]
+    r0 = rows[0]
+    assert r0["p"] == round(queries_relational27.FS_EM_P, 6)
+    for r in rows[1:]:
+        assert all(
+            r[c] is None
+            for c in queries_relational27._EM_PARAM_COLS
+        ), f"iter {r['iter']} should be all-NULL on a degenerate corpus"
