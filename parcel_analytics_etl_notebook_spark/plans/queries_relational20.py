@@ -258,6 +258,40 @@ _FS_THRESHOLD = 35
 FS_CANDIDATE_BUDGET = 20_000_000
 
 
+def _fs_links_are_band_and_name() -> bool:
+    """Prove, from the weight table itself, the algebra the blocked
+    joins exploit: enumerate all 2³ agreement patterns and check that
+    ``score >= _FS_THRESHOLD`` is EQUIVALENT to ``agree_name AND
+    agree_balance`` (segment never decides). This is what lets
+    ``fellegi_sunter_linkage`` and ``snb_window_recall`` push the
+    balance band into the equi-join key (the broadcast join then emits
+    ~1/|bands| of each nation block) and run the levenshtein only on
+    band-agreeing pairs — the optimizer cannot derive this from the
+    CASE arithmetic, but the weight table can (guide §8: use what you
+    know that the optimizer does not)."""
+    ok = True
+    for an in (True, False):
+        for asg in (True, False):
+            for ab in (True, False):
+                score = (
+                    _FS_W["name"][0 if an else 1]
+                    + _FS_W["segment"][0 if asg else 1]
+                    + _FS_W["balance"][0 if ab else 1]
+                )
+                ok = ok and ((score >= _FS_THRESHOLD) == (an and ab))
+    return ok
+
+
+# import-time check so a future weight/threshold change fails LOUDLY
+# here instead of silently changing what the rewritten joins compute
+assert _fs_links_are_band_and_name(), (
+    "the FS weight table changed: score >= threshold is no longer "
+    "equivalent to (name AND balance) agreement — remove the band "
+    "join-key rewrite in fellegi_sunter_linkage / snb_window_recall "
+    "before shipping"
+)
+
+
 @register(
     "fellegi_sunter_linkage",
     scale_guard={
@@ -344,23 +378,29 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "threshold; snb_window_recall measures the blocking recall."
         )
     band = lambda c: F.floor(F.col(c) / 500)  # noqa: E731
+    # score >= threshold  <=>  band AND name agreement (proven at
+    # import by _fs_links_are_band_and_name), so the band joins as a
+    # second equi-key: the broadcast join emits ~1/|bands| of each
+    # nation block, and the bounded levenshtein — the expensive term —
+    # runs only on those rows instead of the whole n²/25 block.
     a = customer.select(
         F.col("c_nationkey").alias("nk"),
+        band("c_acctbal").alias("band"),
         F.col("c_custkey").alias("id_a"),
         F.col("c_name").alias("name_a"),
         F.col("c_mktsegment").alias("seg_a"),
-        band("c_acctbal").alias("band_a"),
     ).repartition(nparts)
     b = customer.select(
         F.col("c_nationkey").alias("nk"),
+        band("c_acctbal").alias("band"),
         F.col("c_custkey").alias("id_b"),
         F.col("c_name").alias("name_b"),
         F.col("c_mktsegment").alias("seg_b"),
-        band("c_acctbal").alias("band_b"),
     )
     agree_name = F.levenshtein("name_a", "name_b", 2) >= 0
     agree_segment = F.col("seg_a") == F.col("seg_b")
-    agree_balance = F.col("band_a") == F.col("band_b")
+    # true by construction of the (nk, band) join key
+    agree_balance = F.lit(True)
     score = (
         F.when(agree_name, _FS_W["name"][0]).otherwise(_FS_W["name"][1])
         + F.when(agree_segment, _FS_W["segment"][0]).otherwise(
@@ -371,8 +411,11 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        a.join(F.broadcast(b), on="nk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(F.broadcast(b), on=["nk", "band"])
+        # name agreement in the FILTER is the whole threshold test:
+        # survivors provably score >= _FS_THRESHOLD (segment can only
+        # add), so no score filter remains
+        .filter((F.col("id_a") < F.col("id_b")) & agree_name)
         .select(
             "id_a",
             "id_b",
@@ -381,7 +424,6 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             agree_balance.alias("agree_balance"),
             score.cast("bigint").alias("score"),
         )
-        .filter(F.col("score") >= _FS_THRESHOLD)
         .orderBy("id_a", "id_b")
     )
 

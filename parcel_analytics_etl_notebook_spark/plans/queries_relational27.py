@@ -102,14 +102,24 @@ _SNB_SCORE = (
 )
 
 
-def _fs_score_candidates(cand: DataFrame, customer: DataFrame) -> DataFrame:
+def _fs_score_candidates(
+    cand: DataFrame, customer: DataFrame, links_only: bool = False
+) -> DataFrame:
     """Attach agreement flags + the summed Fellegi-Sunter score to a
     canonical (id_a < id_b) candidate frame: one equi-join per side on
     c_custkey, then the weighted CASE chain. Candidates are generated
     NARROW (ids only) and widened here, so the window explode and the
     rank-key shuffle move 2 longs per row instead of 2 longs + 3
     attribute columns — and every SNB variant (single-pass, multi-pass,
-    recall eval) scores through this one code path."""
+    recall eval) scores through this one code path.
+
+    ``links_only``: keep only rows with score >= _FS_THRESHOLD, applied
+    as the EQUIVALENT ``agree_balance AND agree_name`` predicate
+    (proven from the weight table at import by queries_relational20.
+    _fs_links_are_band_and_name) with the cheap band equality FIRST —
+    the bounded levenshtein then runs only on band-agreeing candidates
+    (~1/|bands| of them) instead of every candidate (r12 opt). Callers
+    that need disagreement patterns (the EM stack) must NOT set it."""
     attrs = customer.select(
         "c_custkey",
         "c_name",
@@ -140,29 +150,33 @@ def _fs_score_candidates(cand: DataFrame, customer: DataFrame) -> DataFrame:
             _FS_W["balance"][1]
         )
     )
-    return (
-        cand.join(xa, "id_a")
-        .join(xb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            agree_name.alias("agree_name"),
-            agree_segment.alias("agree_segment"),
-            agree_balance.alias("agree_balance"),
-            score.cast("bigint").alias("score"),
-        )
+    joined = cand.join(xa, "id_a").join(xb, "id_b")
+    if links_only:
+        # AND short-circuits left-to-right in codegen: band equality
+        # prunes before the levenshtein ever runs
+        joined = joined.filter(agree_balance & agree_name)
+    return joined.select(
+        "id_a",
+        "id_b",
+        agree_name.alias("agree_name"),
+        agree_segment.alias("agree_segment"),
+        agree_balance.alias("agree_balance"),
+        score.cast("bigint").alias("score"),
     )
 
 
-def _snb_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _snb_scored_pairs(
+    spark: SparkSession, sf_dir: str, links_only: bool = False
+) -> DataFrame:
     """All sorted-neighborhood candidate pairs with agreement flags and
-    the summed Fellegi-Sunter score (pre-threshold). Shared by the
-    linkage query and the recall evaluation."""
+    the summed Fellegi-Sunter score (``links_only`` prunes to the
+    provable score >= threshold set before scoring — see
+    _fs_score_candidates)."""
     customer = table(spark, sf_dir, "customer")
     cand = _snb_candidate_ids(
         customer.select("c_custkey", "c_name"), ["c_name", "c_custkey"]
     )
-    return _fs_score_candidates(cand, customer)
+    return _fs_score_candidates(cand, customer, links_only=links_only)
 
 
 @register(
@@ -215,9 +229,11 @@ def fellegi_sunter_snb_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the identical scoring stage, and the EM-estimated m/u
     weights drop in as constants exactly as in the nation-block
     variant."""
-    return _snb_scored_pairs(spark, sf_dir).filter(
-        F.col("score") >= _FS_THRESHOLD
-    ).orderBy("id_a", "id_b")
+    # links_only applies the threshold as its proven (band AND name)
+    # equivalent inside the scoring join — no residual score filter
+    return _snb_scored_pairs(spark, sf_dir, links_only=True).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def _snb_candidate_ids(
@@ -338,10 +354,10 @@ def fellegi_sunter_multipass_snb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_snb_candidate_ids(keyed, ["rev_name", "c_custkey"]))
         .dropDuplicates()
     )
-    return (
-        _fs_score_candidates(cand, customer)
-        .filter(F.col("score") >= _FS_THRESHOLD)
-        .orderBy("id_a", "id_b")
+    # links_only applies the threshold as its proven (band AND name)
+    # equivalent inside the scoring join — no residual score filter
+    return _fs_score_candidates(cand, customer, links_only=True).orderBy(
+        "id_a", "id_b"
     )
 
 
@@ -438,34 +454,41 @@ def snb_window_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "candidate side itself is linear "
             "(fellegi_sunter_snb_linkage)."
         )
-    snb = _snb_scored_pairs(spark, sf_dir).select("id_a", "id_b")
+    # SNB side: the left-join probe needs only the candidate-pair IDS —
+    # the scoring joins _snb_scored_pairs adds are cardinality-
+    # preserving (inner equi-joins on the unique c_custkey) and every
+    # added column is dropped by the select, so building them spent two
+    # joins plus ~105k levenshteins on columns nobody read (r12 opt).
+    snb = _snb_candidate_ids(
+        customer.select("c_custkey", "c_name"), ["c_name", "c_custkey"]
+    )
     band = lambda c: F.floor(F.col(c) / 500)  # noqa: E731
+    # Ground-truth side: score >= threshold <=> band AND name agreement
+    # (proven at import by queries_relational20._fs_links_are_band_and_
+    # name — segment never decides), so the balance band joins as a
+    # second equi-key and the bounded levenshtein runs on ~1/|bands| of
+    # the nation block instead of all n²/25 pairs. The DENOMINATOR is
+    # still the exhaustive metric — only pairs that provably score
+    # below threshold are skipped, exactly what the oracle's WHERE
+    # clause discards.
     a = customer.select(
         F.col("c_nationkey").alias("nk"),
+        band("c_acctbal").alias("band"),
         F.col("c_custkey").alias("id_a"),
         F.col("c_name").alias("name_a"),
-        F.col("c_mktsegment").alias("seg_a"),
-        band("c_acctbal").alias("band_a"),
     )
     b = customer.select(
         F.col("c_nationkey").alias("nk"),
+        band("c_acctbal").alias("band"),
         F.col("c_custkey").alias("id_b"),
         F.col("c_name").alias("name_b"),
-        F.col("c_mktsegment").alias("seg_b"),
-        band("c_acctbal").alias("band_b"),
-    )
-    score = (
-        F.when(F.levenshtein("name_a", "name_b", 2) >= 0, _FS_W["name"][0])
-        .otherwise(_FS_W["name"][1])
-        + F.when(F.col("seg_a") == F.col("seg_b"), _FS_W["segment"][0])
-        .otherwise(_FS_W["segment"][1])
-        + F.when(F.col("band_a") == F.col("band_b"), _FS_W["balance"][0])
-        .otherwise(_FS_W["balance"][1])
     )
     blocked = (
-        a.join(F.broadcast(b), "nk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(score >= _FS_THRESHOLD)
+        a.join(F.broadcast(b), ["nk", "band"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.levenshtein("name_a", "name_b", 2) >= 0)
+        )
         .select("id_a", "id_b")
     )
     hit = blocked.join(
@@ -618,7 +641,11 @@ def snb_sampled_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("sel_nk", "sel_kb")
     )
-    snb = _snb_scored_pairs(spark, sf_dir).select("id_a", "id_b")
+    # candidate IDS only — see snb_window_recall (the scoring joins are
+    # cardinality-preserving and their columns dropped; r12 opt)
+    snb = _snb_candidate_ids(
+        customer.select("c_custkey", "c_name"), ["c_name", "c_custkey"]
+    )
     band = lambda c: F.floor(F.col(c) / 500)  # noqa: E731
     sampled = customer.withColumn("kb", kb).join(
         F.broadcast(sel_df),
@@ -626,34 +653,29 @@ def snb_sampled_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("kb") == F.col("sel_kb")),
         "left_semi",
     )
+    # score >= threshold <=> band AND name agreement (proven at import
+    # by queries_relational20._fs_links_are_band_and_name): the band
+    # joins as an extra equi-key, levenshtein only on band survivors
     a = sampled.select(
         F.col("c_nationkey").alias("nk"),
         F.col("kb"),
+        band("c_acctbal").alias("band"),
         F.col("c_custkey").alias("id_a"),
         F.col("c_name").alias("name_a"),
-        F.col("c_mktsegment").alias("seg_a"),
-        band("c_acctbal").alias("band_a"),
     )
     b = sampled.select(
         F.col("c_nationkey").alias("nk"),
         F.col("kb"),
+        band("c_acctbal").alias("band"),
         F.col("c_custkey").alias("id_b"),
         F.col("c_name").alias("name_b"),
-        F.col("c_mktsegment").alias("seg_b"),
-        band("c_acctbal").alias("band_b"),
-    )
-    score = (
-        F.when(F.levenshtein("name_a", "name_b", 2) >= 0, _FS_W["name"][0])
-        .otherwise(_FS_W["name"][1])
-        + F.when(F.col("seg_a") == F.col("seg_b"), _FS_W["segment"][0])
-        .otherwise(_FS_W["segment"][1])
-        + F.when(F.col("band_a") == F.col("band_b"), _FS_W["balance"][0])
-        .otherwise(_FS_W["balance"][1])
     )
     blocked = (
-        a.join(F.broadcast(b), ["nk", "kb"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(score >= _FS_THRESHOLD)
+        a.join(F.broadcast(b), ["nk", "kb", "band"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.levenshtein("name_a", "name_b", 2) >= 0)
+        )
         .select("id_a", "id_b")
     )
     hit = blocked.join(
@@ -1624,15 +1646,14 @@ def snb_canonical_pass_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
     )
     c3 = _snb_candidate_ids(keyed, ["rev_name", "c_custkey"])
-    l12 = (
-        _fs_score_candidates(c12, customer)
-        .filter(F.col("score") >= _FS_THRESHOLD)
-        .select("id_a", "id_b", F.lit(1).alias("src"))
+    # links_only applies the threshold as its proven (band AND name)
+    # equivalent inside the scoring join — levenshtein only on
+    # band-agreeing candidates (see _fs_score_candidates; r12 opt)
+    l12 = _fs_score_candidates(c12, customer, links_only=True).select(
+        "id_a", "id_b", F.lit(1).alias("src")
     )
-    l3 = (
-        _fs_score_candidates(c3, customer)
-        .filter(F.col("score") >= _FS_THRESHOLD)
-        .select("id_a", "id_b", F.lit(2).alias("src"))
+    l3 = _fs_score_candidates(c3, customer, links_only=True).select(
+        "id_a", "id_b", F.lit(2).alias("src")
     )
     per_pair = (
         l12.unionByName(l3)
