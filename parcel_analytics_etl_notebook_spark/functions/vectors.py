@@ -42,71 +42,99 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
 
 
 def _f64(x: float) -> str:
-    """Exact SQL double literal: repr round-trips IEEE doubles, and the
-    string→double CAST parses them without DECIMAL coercion."""
-    return f"CAST('{float(x)!r}' AS DOUBLE)"
+    """Exact SQL double literal: repr round-trips IEEE doubles and the
+    ``...D`` suffix parses them as DOUBLE without DECIMAL coercion."""
+    return f"{float(x)!r}D"
+
+
+def _arr64(weights: list[float]) -> str:
+    """SQL array<double> literal for a driver-side constant vector —
+    FLAT (64 sibling literals), so analysis cost is linear and shallow,
+    and ConstantFolding collapses it to ONE Literal node on first
+    optimizer contact."""
+    return "array(" + ",".join(_f64(w) for w in weights) + ")"
+
+
+def dot_literal_sql(vec: str, weights: list[float]) -> str:
+    """SQL string for the dot product of vector column ``vec`` with a
+    DRIVER-SIDE constant vector, as a ``zip_with + aggregate`` fold.
+
+    Bit-identical doubles to the old per-term unrolled chain AND to
+    ``dot(vec, F.array(lits))``: the fold computes ((0 + p₀) + p₁) + …
+    left-associatively, element casts widen float→double exactly, and
+    multiplication by a constant (±1.0 included) is one correctly-
+    rounded double op in both forms.
+
+    r12 form change (unrolled chain → HOF, measured at sf0.1): the
+    64-term-per-plane chain made a 48-plane fingerprint a ~6,000-node
+    Catalyst tree — re-analyzed/re-optimized on EVERY action touching
+    the plan and janino-compiled into a method big enough for a JIT
+    bailout (vectors.cosine_prenormed_hof docstring: 8–11 µs/row
+    unrolled vs 4.5 µs/row HOF at 200k×dim64). The HOF form is ~10
+    nodes + one flat array literal per plane: build 0.76→0.21s, exec
+    0.74→0.56s on the banded-LSH bucketing pass, zero changed output
+    rows. NOTE: folds over the FULL array — callers pass weights of
+    exactly the vector dim (all current sites do)."""
+    return (
+        f"aggregate(zip_with(CAST({vec} AS ARRAY<DOUBLE>), "
+        f"{_arr64(weights)}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
 
 
 def dot_literal(vec: str, weights: list[float]) -> Column:
-    """Dot product with a DRIVER-SIDE constant vector, unrolled into a
-    left-associative codegen'd sum.
+    """Dot product with a driver-side constant vector — ONE ``F.expr``
+    parse of :func:`dot_literal_sql` (composing the same tree from
+    Python ``Column`` ops costs hundreds of py4j round trips per call;
+    dominates k-means iteration time at small SF). ``vec`` is a column
+    NAME. Use whenever one side is a Python constant (trained
+    centroids, power-iteration direction, LSH hyperplanes)."""
+    return F.expr(dot_literal_sql(vec, weights))
 
-    Bit-identical to ``dot(vec, F.array(lits))``: the HOF fold computes
-    ((0 + p₀) + p₁) + …, and this emits the same chain — but as a plain
-    expression tree that whole-stage codegen compiles, where HOF lambdas
-    stay interpreted. Built as ONE ``F.expr`` string: composing the
-    same tree from python ``Column`` ops costs hundreds of py4j round
-    trips per call (dominates k-means iteration time at small SF); a
-    single JVM-side parse is ~free. ``vec`` is therefore a column NAME.
-    Use whenever one side is a Python constant (trained centroids,
-    power-iteration direction, LSH hyperplanes)."""
-    expr = "CAST(0.0 AS DOUBLE)"
-    for d, wd in enumerate(weights):
-        # ±1 weights (LSH hyperplanes, SimHash) emit `expr ± x` instead
-        # of `expr + x * ±1.0` — IEEE-identical (x*1.0 == x and
-        # a + (-x) == a - x exactly), but the janino source for a
-        # 48-plane fingerprint shrinks ~40%, which is most of its
-        # whole-stage-codegen compile time (VERDICT r09 #5).
-        if wd == 1.0:
-            expr = f"({expr} + CAST({vec}[{d}] AS DOUBLE))"
-        elif wd == -1.0:
-            expr = f"({expr} - CAST({vec}[{d}] AS DOUBLE))"
-        else:
-            expr = f"({expr} + CAST({vec}[{d}] AS DOUBLE) * {_f64(wd)})"
-    return F.expr(expr)
+
+def signed_bits_sql(vec: str, planes: list[list[float]]) -> str:
+    """SQL for the hyperplane-LSH bucket Σ_j (dot(vec, plane_j) > 0)
+    << j as BIGINT — the shared emission for every sign-projection
+    fingerprint (8-plane LSH, 4×12 banded LSH, SimHash64). Bit-exact
+    vs any composition order: the per-plane terms are integers, and
+    each dot is :func:`dot_literal_sql` (bit-identical doubles to the
+    unrolled chain). One string → one parse → a flat, small tree."""
+    terms = [
+        f"(CASE WHEN {dot_literal_sql(vec, [float(s) for s in p])} > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j, p in enumerate(planes)
+    ]
+    return "(CAST(0 AS BIGINT) + " + " + ".join(terms) + ")"
 
 
 def norm_literal_sq(vec: str, dim: int) -> Column:
-    """Σ v[d]² unrolled (same fold order as l2_norm, codegen'd; one
-    F.expr parse — see dot_literal)."""
-    expr = "CAST(0.0 AS DOUBLE)"
-    for d in range(dim):
-        expr = (
-            f"({expr} + CAST({vec}[{d}] AS DOUBLE) * CAST({vec}[{d}] AS DOUBLE))"
-        )
-    return F.expr(expr)
+    """Σ v[d]² (same fold order as l2_norm; one F.expr parse — see
+    dot_literal_sql for the r12 HOF form change; ``dim`` must equal
+    the stored vector length, as everywhere in this catalog)."""
+    return F.expr(
+        f"aggregate(CAST({vec} AS ARRAY<DOUBLE>), CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + v * v)"
+    )
 
 
 def _unrolled_dot_sql(a: str, b: str, dim: int) -> str:
-    expr = "CAST(0.0 AS DOUBLE)"
-    for d in range(dim):
-        expr = f"({expr} + CAST({a}[{d}] AS DOUBLE) * CAST({b}[{d}] AS DOUBLE))"
-    return expr
+    """Column-vs-column dot as a HOF fold (name kept from the unrolled
+    era; same ((0+p₀)+p₁)+… IEEE chain, see dot_literal_sql)."""
+    return (
+        f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), "
+        f"CAST({b} AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
 
 
 def cosine_cols(a: str, b: str, dim: int) -> Column:
-    """Cosine between two vector COLUMNS with statically-known ``dim``,
-    unrolled into one ``F.expr`` (same left-associative fold order as
-    :func:`cosine_similarity` → identical IEEE doubles, oracle-safe).
-
-    CAVEAT: at dim≈64 the fused tree (dot + 2 norms + guard, the norms
-    appearing twice) exceeds the JVM's 64 KB codegen method limit, so
-    the WHOLE expression falls back to interpreted eval — slower than
-    the HOF form it was meant to beat (measured: ann_cosine_topk
-    1.40s → 3.52s when this crept onto the hot path in round 2). On
-    hot paths precompute per-side norm columns and use
-    :func:`cosine_prenormed` instead; keep this form only for small
-    ``dim`` or one-off expressions."""
+    """Cosine between two vector COLUMNS in one ``F.expr`` (same
+    left-associative fold order as :func:`cosine_similarity` →
+    identical IEEE doubles, oracle-safe). Since the r12 HOF form the
+    old 64 KB-codegen-overflow caveat is gone (the fused expression is
+    a handful of folds), but the norms still evaluate once per PAIR
+    here — on hot pair-scoring paths precompute per-side norm columns
+    and use :func:`cosine_prenormed`."""
     dot = _unrolled_dot_sql(a, b, dim)
     na = f"sqrt({_unrolled_dot_sql(a, a, dim)})"
     nb = f"sqrt({_unrolled_dot_sql(b, b, dim)})"
@@ -122,14 +150,12 @@ def cosine_prenormed(a: str, b: str, na: str, nb: str, dim: int) -> Column:
     ``F.sqrt(norm_literal_sq(...))`` so the IEEE values match the fused
     form exactly).
 
-    This is the hot-path form: the fully fused :func:`cosine_cols`
-    inlines dot + both norms + the zero-guard into one expression —
-    for dim=64 that overflows the JVM's 64 KB codegen method limit and
-    the whole expression falls back to interpreted eval (measured 2.5×
-    on ann_cosine_topk at sf0.1). Splitting the norms into their own
-    projected columns keeps every codegen unit under the limit while
-    producing bit-identical doubles: same left-associative fold per
-    chain, same ``dot / (na * nb)`` division order."""
+    This is the hot-path form: :func:`cosine_cols` recomputes both
+    norms once per PAIR; splitting them into per-side projected
+    columns makes the per-pair work one dot fold while producing
+    bit-identical doubles: same left-associative fold per chain, same
+    ``dot / (na * nb)`` division order (the r09 64 KB-overflow story
+    is gone with the r12 HOF form — see dot_literal_sql)."""
     dot_sql = _unrolled_dot_sql(a, b, dim)
     return F.expr(
         f"CASE WHEN {na} = 0 OR {nb} = 0 THEN CAST(NULL AS DOUBLE) "

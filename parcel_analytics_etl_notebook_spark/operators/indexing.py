@@ -308,17 +308,31 @@ def stable_global_index(
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     bucketed = _bucketed(df, order_cols, n, boundaries)
     if bucketed is not None:
-        # relational offsets: no driver collect, no extra action — the
-        # explode-based prefix fold over the bucket-grain counts frame,
-        # broadcast back (left join: the minimum bucket has no row)
-        with_pid, max_pid = bucketed
-        off = _bucket_offsets(
-            with_pid,
-            [F.count(F.lit(1)).cast("bigint").alias("__off")],
-            max_pid,
-        )
+        # bucket offsets: ONE counts aggregate collected to the driver
+        # and attached as a literal map / tiny broadcast (r12 opt). The
+        # collect is bounded by the BUCKET count (≤ _MAX_BUCKETS =
+        # 65,536 rows at any corpus size — model-grain, same class as
+        # the boundary collects), counts are exact BIGINTs so the
+        # driver prefix sum is bit-identical to the old explode-fold's
+        # shuffled SUM, and the swap removes the fold's two extra
+        # exchanges + broadcast-join stages from every index build
+        # (measured: 9–10 → ~5 jobs per call on the sf0.1 bench; the
+        # counts pass doubles as the persist materialization the first
+        # consumer paid anyway).
+        with_pid, _max_pid = bucketed
+        counts = {
+            r["__pid"]: r["__c"]
+            for r in with_pid.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        }
+        offsets: dict[int, int] = {}
+        running = 0
+        for pid in sorted(counts):
+            offsets[pid] = running
+            running += counts[pid]
         return (
-            with_pid.join(off, "__pid", "left")
+            _attach_offset(with_pid, offsets)
             .withColumn(
                 # widen BEFORE adding: int32 row_number wraps negative
                 # past 2^31 rows under non-ANSI arithmetic — the exact
@@ -350,6 +364,124 @@ def stable_global_index(
         F.col("__off").cast("bigint") + F.row_number().over(w).cast("bigint"),
     )
     return indexed.drop("__pid", "__off")
+
+
+def windowed_adjacent_pairs(
+    df: DataFrame,
+    order_cols: list[str],
+    window: int,
+    id_col: str,
+    num_partitions: int | None = None,
+    boundaries: list[float | str] | None = None,
+) -> DataFrame:
+    """All (id_a, id_b) pairs whose 1-based positions in the TOTAL
+    order ``order_cols`` satisfy rank_a < rank_b ≤ rank_a + window − 1
+    — the sorted-neighborhood blocking primitive — WITHOUT the
+    explode-by-rank + rank-equi-join the old construction spent (r12
+    opt: that join shuffled (window−1)·n probe rows plus n build rows
+    by rank and cost two exchanges; here the pairs fall out of the ONE
+    bucket-partitioned sort every global index already pays).
+
+    Construction: literal-boundary bucket tag (``_bucketed``), bucket
+    offsets via the same bounded driver collect as
+    :func:`stable_global_index`, then
+    - **in-bucket pairs**: ``lead(id, i)`` for i ∈ [1, window) over the
+      (__pid)-partitioned order window — map-side after the one sort,
+      nulls past the bucket end drop out;
+    - **cross-bucket pairs**: a row can pair past its bucket only from
+      the bucket's last window−1 rows, and its partner only within the
+      NEXT buckets' first window−1 rows (rank arithmetic, see below) —
+      so tails × broadcast(heads) under the rank-distance predicate
+      with pid_b > pid_a is exactly the missing set, and both sides
+      are ≤ (window−1)·buckets rows — model-grain at any corpus size.
+
+    Rank proof for the stitch: if rank_b − rank_a < window and b sits
+    in a later bucket, then fewer than window−1 rows precede b in its
+    own bucket (they would all have to fit between a and b), and fewer
+    than window−1 rows follow a in a's bucket (they would all have to
+    fit between a and b too) — so tails/heads of width window−1 cover
+    every cross-bucket pair, and pid_b > pid_a excludes the in-bucket
+    pairs the leads already emitted. Equal rows share a bucket
+    (boundaries compare strictly) so ties never straddle the stitch
+    incorrectly; ``order_cols`` must be a total order as everywhere.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must name at least one column")
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    bucketed = _bucketed(df, order_cols, n, boundaries)
+    if bucketed is None:
+        # exotic leading key types: rank once, explode the rank range,
+        # equi-join back (the pre-r12 shape; no catalog query routes a
+        # fact-scale frame here)
+        ranked = stable_global_index(df, order_cols, out_col="__rn")
+        probe = ranked.select(
+            F.col(id_col).alias("id_a"),
+            F.explode(
+                F.sequence(
+                    F.col("__rn") + 1, F.col("__rn") + F.lit(window - 1)
+                )
+            ).alias("__rn_b"),
+        )
+        build = ranked.select(
+            F.col("__rn").alias("__rn_b"), F.col(id_col).alias("id_b")
+        )
+        return probe.join(build, "__rn_b").select("id_a", "id_b")
+    with_pid, _max_pid = bucketed
+    counts = {
+        r["__pid"]: r["__c"]
+        for r in with_pid.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    running = 0
+    for pid in sorted(counts):
+        offsets[pid] = running
+        running += counts[pid]
+    w_rank = Window.partitionBy("__pid").orderBy(*order_cols)
+    w_all = Window.partitionBy("__pid")
+    ranked = (
+        _attach_offset(with_pid, offsets)
+        .withColumn("__within", F.row_number().over(w_rank))
+        .withColumn("__bcnt", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "__rn",
+            F.coalesce(F.col("__off"), F.lit(0).cast("bigint"))
+            + F.col("__within").cast("bigint"),
+        )
+    )
+    in_bucket = (
+        ranked.select(
+            F.col(id_col).alias("id_a"),
+            # leads materialize in the Window/Project pair; the explode
+            # runs over the plain array column (window expressions are
+            # not allowed inside a Generate)
+            F.array(
+                *[F.lead(id_col, i).over(w_rank) for i in range(1, window)]
+            ).alias("__leads"),
+        )
+        .select("id_a", F.explode("__leads").alias("id_b"))
+        .where(F.col("id_b").isNotNull())
+    )
+    tails = ranked.where(
+        F.col("__within") > F.col("__bcnt") - (window - 1)
+    ).select(
+        F.col("__pid").alias("__pid_a"),
+        F.col("__rn").alias("__rn_a"),
+        F.col(id_col).alias("id_a"),
+    )
+    heads = ranked.where(F.col("__within") <= window - 1).select(
+        F.col("__pid").alias("__pid_b"),
+        F.col("__rn").alias("__rn_b"),
+        F.col(id_col).alias("id_b"),
+    )
+    cross = tails.join(
+        F.broadcast(heads),
+        (F.col("__pid_b") > F.col("__pid_a"))
+        & (F.col("__rn_b") > F.col("__rn_a"))
+        & (F.col("__rn_b") <= F.col("__rn_a") + (window - 1)),
+    ).select("id_a", "id_b")
+    return in_bucket.unionByName(cross)
 
 
 def _bucket_offsets(

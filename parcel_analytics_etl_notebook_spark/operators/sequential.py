@@ -4,18 +4,20 @@ Some per-key computations have NO windowed closed form because each
 step depends nonlinearly on the previous one — the canonical example
 is a clamped running sum (a balance floored at zero: ledgers,
 inventory with no backorders, token buckets). The distributed shape
-is: shuffle once on the key, then run the sequential loop per key
-inside an Arrow grouped-map (`applyInPandas`) — each GROUP must fit
-in one executor, which is exactly the contract per-key state has in
-any engine (compare applyInPandasWithState, this operator's streaming
-twin in streaming/). The catalog query `clamped_running_balance`
-oracle-checks the loop against a DuckDB recursive CTE stating the
-same recurrence.
+is: shuffle once on the key, then run the sequential recurrence per
+key — since r12 as a JVM higher-order ``aggregate`` fold over the
+key's ``sort_array(collect_list(...))`` (no Python boundary; the
+pre-r12 Arrow grouped-map paid one Python call + Arrow batch per
+group, a measured ~5s fixed floor at the bench SF). Each KEY's events
+must fit in one executor, which is exactly the contract per-key state
+has in any engine (compare applyInPandasWithState, this operator's
+streaming twin in streaming/). The catalog query
+`clamped_running_balance` oracle-checks the fold against a DuckDB
+recursive CTE stating the same recurrence.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
@@ -48,11 +50,25 @@ def clamped_balance_per_key(events: DataFrame) -> DataFrame:
     prefix-min — two windows), but the TWO-sided clamp does not: each
     saturation erases history in a direction-dependent way, so no
     prefix identity exists and per-key sequential state is genuinely
-    required. That makes this the honest Pandas-UDF case the engine's
-    UDF policy reserves: one hash shuffle on user_id, then an O(group)
-    Python loop per key over Arrow-delivered batches. Deltas are
-    integer cents BEFORE the loop so no float accumulation can
-    diverge from the oracle's recursive CTE."""
+    required.
+
+    r12 opt — the sequential loop moved from an Arrow grouped-map into
+    a JVM higher-order ``aggregate`` fold: the old ``applyInPandas``
+    shape paid one Python call + one Arrow batch + one pandas
+    ``sort_values`` PER GROUP (1,500 groups of ~67 rows at the bench
+    SF — pure per-group overhead, the ~5s "fixed Arrow floor" the r10
+    adjudication measured), where the same recurrence over a
+    ``sort_array(collect_list(...))`` per key is one hash aggregate
+    plus an exact-BIGINT fold with NO Python boundary (plan diff:
+    FlatMapGroupsInPandas/ArrowEvalPython removed). Identical
+    arithmetic: deltas become integer cents before the fold, the fold
+    order is the (ts, event_id) sort the loop used (unique per key —
+    the struct sort's delta_c tiebreak can never reorder real rows),
+    and every branch matches the loop body, so results are
+    bit-identical to the recursive-CTE oracle. Per-key state still
+    bounds memory exactly as applyInPandasWithState does in the
+    streaming twin; the collected array is O(events per key), the
+    same data-model invariant the grouped-map relied on."""
     base = events.select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("__us"),
@@ -61,30 +77,30 @@ def clamped_balance_per_key(events: DataFrame) -> DataFrame:
             "delta_c"
         ),
     )
-
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__us", "event_id"])
-        bal = 0
-        floor_hits = 0
-        cap_hits = 0
-        for d in pdf["delta_c"].astype("int64"):
-            s = bal + int(d)
-            if s < 0:
-                floor_hits += 1
-                bal = 0
-            elif s > BALANCE_CAP_C:
-                cap_hits += 1
-                bal = BALANCE_CAP_C
-            else:
-                bal = s
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
-                "floor_hits": [floor_hits],
-                "cap_hits": [cap_hits],
-                "final_balance_c": [bal],
-            }
-        )
-
-    return base.groupBy("user_id").applyInPandas(run, CLAMPED_SCHEMA)
+    per_key = base.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("__us", "event_id", "delta_c"))
+        ).alias("__evs")
+    )
+    cap = int(BALANCE_CAP_C)
+    fold = F.expr(
+        "aggregate(__evs, "
+        "named_struct('bal', CAST(0 AS BIGINT), 'fh', CAST(0 AS BIGINT), "
+        "'ch', CAST(0 AS BIGINT)), "
+        "(acc, e) -> CASE "
+        f"WHEN acc.bal + e.delta_c < CAST(0 AS BIGINT) THEN "
+        "named_struct('bal', CAST(0 AS BIGINT), 'fh', acc.fh + "
+        "CAST(1 AS BIGINT), 'ch', acc.ch) "
+        f"WHEN acc.bal + e.delta_c > CAST({cap} AS BIGINT) THEN "
+        f"named_struct('bal', CAST({cap} AS BIGINT), 'fh', acc.fh, "
+        "'ch', acc.ch + CAST(1 AS BIGINT)) "
+        "ELSE named_struct('bal', acc.bal + e.delta_c, 'fh', acc.fh, "
+        "'ch', acc.ch) END)"
+    )
+    return per_key.select(
+        "user_id",
+        F.size("__evs").cast("bigint").alias("n_events"),
+        fold.getField("fh").alias("floor_hits"),
+        fold.getField("ch").alias("cap_hits"),
+        fold.getField("bal").alias("final_balance_c"),
+    )

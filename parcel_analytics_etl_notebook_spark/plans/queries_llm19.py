@@ -144,7 +144,10 @@ def simhash64_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__n") > MAX_LSH_BUCKET)
         .select("band", "val")
     )
-    capped = long.join(hot, on=["band", "val"], how="left_anti")
+    # persist the capped long index (r12): both self-join sides read
+    # it, so the melt + hot-bucket aggregate + anti-join otherwise run
+    # once per side
+    capped = long.join(hot, on=["band", "val"], how="left_anti").persist()
     a, b = capped.alias("a"), capped.alias("b")
     cand = (
         a.join(
@@ -361,10 +364,13 @@ def incremental_lsh_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shingle"),
     )
     shc = drop_hot_shingles(sh, max_df=MAX_SHINGLE_DF)
+    # persist: BOTH pair sides read this frame, and without the barrier
+    # the whole tokens → shingles → df-cap subtree (two aggregates and
+    # an anti-join deep) is planned and executed once per side (r12)
     sets = shc.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("shingle")).alias("sh_set"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).persist()
     sa = sets.select(
         F.col("doc_id").alias("id_a"),
         F.col("sh_set").alias("set_a"),
@@ -414,16 +420,10 @@ def _emb_band_signs(k: int) -> list[list[int]]:
 
 def _emb_band_col(vec_col: str, k: int):
     from parcel_analytics_etl_notebook_spark.functions.vectors import (
-        dot_literal,
+        signed_bits_sql,
     )
 
-    bucket = F.lit(0).cast("bigint")
-    for j, signs in enumerate(_emb_band_signs(k)):
-        dot = dot_literal(vec_col, [float(s) for s in signs])
-        bucket = bucket + F.when(
-            dot > 0, F.lit(1 << j).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return bucket
+    return F.expr(signed_bits_sql(vec_col, _emb_band_signs(k)))
 
 
 def _emb_band_sql(vec_col: str, k: int) -> str:

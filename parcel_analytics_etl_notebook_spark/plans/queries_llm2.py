@@ -387,18 +387,14 @@ _LSH_SIGNS = [
 
 
 def _lsh_bucket_col(vec_col: str):
-    """bucket = Σ_j (dot(v, plane_j) > 0) << j — the ±1 planes are
-    Python constants, so each dot unrolls into a codegen'd sum
-    (functions/vectors.dot_literal; bit-identical to the HOF fold)."""
-    from parcel_analytics_etl_notebook_spark.functions.vectors import dot_literal
+    """bucket = Σ_j (dot(v, plane_j) > 0) << j — one F.expr parse of
+    the shared sign-projection emission (functions/vectors.
+    signed_bits_sql; bit-identical doubles per dot, integer bit sum)."""
+    from parcel_analytics_etl_notebook_spark.functions.vectors import (
+        signed_bits_sql,
+    )
 
-    bucket = F.lit(0).cast("bigint")
-    for j, signs in enumerate(_LSH_SIGNS):
-        dot = dot_literal(vec_col, [float(s) for s in signs])
-        bucket = bucket + F.when(dot > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return bucket
+    return F.expr(signed_bits_sql(vec_col, _LSH_SIGNS))
 
 
 def _lsh_bucket_sql(vec_col: str) -> str:

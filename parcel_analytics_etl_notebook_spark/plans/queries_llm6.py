@@ -1144,7 +1144,11 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = sh.select(
         "doc_id", F.explode(F.array_distinct(wins)).alias("f")
     ).persist()
-    capped = drop_hot_shingles(fp, shingle_col="f", max_df=_WINNOW_MAX_DF)
+    # persist the CAPPED index too (r12): both self-join sides read it,
+    # so the df-count aggregate + anti-join otherwise run once per side
+    capped = drop_hot_shingles(
+        fp, shingle_col="f", max_df=_WINNOW_MAX_DF
+    ).persist()
     a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(

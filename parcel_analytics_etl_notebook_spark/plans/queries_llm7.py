@@ -167,8 +167,13 @@ def prefix_filter_pairs(
             F.array_distinct(shingle_hashes_from_tokens(F.col("__th"), 3))
         ).alias("shingle"),
     ).persist()  # inverted index: referenced by df, prefix, and verify
+    # persist the PREFIX frame too (r12 opt): the budget probe and BOTH
+    # sides of the candidate self-join read it, so without the barrier
+    # the df-groupBy + join + per-doc ranking window subtree is planned
+    # and executed three times per run
+    prefix = _prefix_frame(sh).persist()
     if candidate_budget is not None:
-        est = _prefix_candidate_bound(sh)
+        est = _prefix_candidate_bound(prefix)
         if est > candidate_budget:
             if on_over_budget == "cap":
                 from parcel_analytics_etl_notebook_spark.operators.dedup_fuzzy import (  # noqa: E501
@@ -176,6 +181,7 @@ def prefix_filter_pairs(
                 )
 
                 sh = drop_hot_shingles(sh, max_df=cap_df).persist()
+                prefix = _prefix_frame(sh).persist()
             else:
                 raise CandidateBudgetExceeded(
                     f"prefix-filter candidate bound {est:,} exceeds budget "
@@ -187,14 +193,16 @@ def prefix_filter_pairs(
                     "(lsh_near_dup_pairs) — both measured ~linear at 10x "
                     "(SCALING.md)."
                 )
-    return _prefix_filter_join(sh)
+    return _prefix_filter_join(sh, prefix)
 
 
-def _prefix_candidate_bound(sh: DataFrame) -> int:
+def _prefix_candidate_bound(prefix: DataFrame) -> int:
     """Σ_s c_s·(c_s−1)/2 over PREFIX-shingle occupancy: every candidate
     pair shares ≥ 1 prefix shingle, so this sum (all-integer, computed
-    before any pairing) bounds the candidate join's output from above."""
-    counts = _prefix_frame(sh).groupBy("shingle").agg(
+    before any pairing) bounds the candidate join's output from above.
+    Takes the (persisted) prefix frame so the probe shares one
+    materialization with the join (r12 opt)."""
+    counts = prefix.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("c")
     )
     row = counts.agg(
@@ -227,11 +235,11 @@ def _prefix_frame(sh: DataFrame) -> DataFrame:
     ).select("doc_id", "shingle", "n", "r")
 
 
-def _prefix_filter_join(sh: DataFrame) -> DataFrame:
+def _prefix_filter_join(sh: DataFrame, prefix: DataFrame) -> DataFrame:
     """Candidate join + exact verification over a (doc_id, shingle)
     inverted index: AllPairs size filter, PPJoin positional filter,
-    then true-intersection Jaccard ≥ 3/5."""
-    prefix = _prefix_frame(sh)
+    then true-intersection Jaccard ≥ 3/5. ``prefix`` is the (persisted)
+    output of :func:`_prefix_frame` over ``sh``."""
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin positional filter (Xiao et al. 2008), added after the r08
     # 10x scale run measured the plain AllPairs candidate join at 34x

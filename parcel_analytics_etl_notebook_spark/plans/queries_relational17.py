@@ -202,7 +202,9 @@ def kcore_bounded_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = (
             edges.join(deg, edges.a == deg.v, "left_semi")
             .join(deg, edges.b == deg.v, "left_semi")
-            .localCheckpoint()
+            # eager=False (r12): lineage bound without a blocking job
+            # per peel round — materializes in the final action
+            .localCheckpoint(eager=False)
         )
         verts = (
             edges.select(F.col("a").alias("v"))

@@ -174,8 +174,12 @@ def connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     orig = copurchase_edges_frame(spark, sf_dir)
     cur = orig
     for _ in range(_CC_PAIRS):
-        cur = _star_round(cur, "large").localCheckpoint()
-        cur = _star_round(cur, "small").localCheckpoint()
+        # eager=False (r12): lineage still truncates (the plan-size
+        # bound the checkpoint exists for) but materialization folds
+        # into the final action's pipeline instead of one blocking
+        # driver job per half-round — 6 fewer jobs, same rows
+        cur = _star_round(cur, "large").localCheckpoint(eager=False)
+        cur = _star_round(cur, "small").localCheckpoint(eager=False)
     verts = (
         orig.select(F.col("a").alias("v"))
         .unionAll(orig.select(F.col("b").alias("v")))
@@ -551,7 +555,7 @@ def temporal_reachability_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     verts = esym.select(F.col("u").alias("p")).distinct()
     frontier = verts.filter(F.col("p") % _TKH_SEED_MOD == 0).select(
         "p", F.lit(0).alias("ad")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # lazy: see connected_components_star
     stats = [
         frontier.agg(
             F.lit(0).cast("bigint").alias("hop"),
@@ -569,7 +573,7 @@ def temporal_reachability_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(step)
             .groupBy("p")
             .agg(F.min("ad").alias("ad"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # lazy: see above
         )
         stats.append(
             frontier.agg(

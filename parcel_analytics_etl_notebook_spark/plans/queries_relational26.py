@@ -5,11 +5,12 @@ One query with NO windowed closed form: the token-bucket balance
 would still be window-expressible (prefix sum minus running
 prefix-min); the two-sided clamp is not — each saturation erases
 history direction-dependently, so per-key sequential state is
-genuinely required. The engine runs it as the documented Arrow
-grouped-map shape (operators/sequential.py); the oracle states the
-same recurrence as a DuckDB recursive CTE, so the imperative loop is
-hash-checked against a declarative fixpoint — the strongest
-cross-engine check a stateful operator can get.
+genuinely required. The engine runs it as a per-key JVM aggregate
+fold (operators/sequential.py; the Arrow grouped-map shape until
+r12); the oracle states the same recurrence as a DuckDB recursive
+CTE, so the sequential fold is hash-checked against a declarative
+fixpoint — the strongest cross-engine check a stateful operator can
+get.
 
 Oracle-parity conventions as in plans/catalog.py.
 """
@@ -69,15 +70,18 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     nobody reintroduces a Python loop for that case), but the
     TWO-sided clamp has no prefix identity — each saturation erases
     history direction-dependently, so per-key sequential state is
-    required. Engine shape: ONE hash shuffle on user_id, then an
-    O(group) loop inside an Arrow grouped-map
-    (operators/sequential.clamped_balance_per_key); deltas become
-    integer cents BEFORE the loop so no float accumulation exists to
-    diverge. The oracle states the identical recurrence as a recursive
-    CTE, making this the catalog's only imperative operator
-    hash-checked against a declarative fixpoint. At 100 TB the group
-    key bounds per-key state exactly as applyInPandasWithState does in
-    the streaming twin; recursion depth = max events per key, a
-    data-model invariant, not a scale variable."""
+    required. Engine shape (r12): ONE hash shuffle on user_id, then
+    the O(group) recurrence as a JVM higher-order ``aggregate`` fold
+    over each key's sorted event array
+    (operators/sequential.clamped_balance_per_key — no Python
+    boundary; the pre-r12 Arrow grouped-map paid per-group Python
+    calls, the measured ~5s floor); deltas become integer cents
+    BEFORE the fold so no float accumulation exists to diverge. The
+    oracle states the identical recurrence as a recursive CTE, making
+    this the catalog's only sequential operator hash-checked against
+    a declarative fixpoint. At 100 TB the group key bounds per-key
+    state exactly as applyInPandasWithState does in the streaming
+    twin; fold depth = max events per key, a data-model invariant,
+    not a scale variable."""
     out = clamped_balance_per_key(table(spark, sf_dir, "events"))
     return out.orderBy("user_id")

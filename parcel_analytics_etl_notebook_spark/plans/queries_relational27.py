@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from parcel_analytics_etl_notebook_spark.operators.indexing import (
     stable_global_index,
+    windowed_adjacent_pairs,
 )
 from parcel_analytics_etl_notebook_spark.plans.catalog import register, table
 from parcel_analytics_etl_notebook_spark.plans.queries_relational20 import (
@@ -237,25 +238,72 @@ def fellegi_sunter_snb_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _snb_candidate_ids(
-    customer: DataFrame, order_cols: list[str]
+    customer: DataFrame,
+    order_cols: list[str],
+    boundaries: list | None = None,
 ) -> DataFrame:
     """Canonical (id_a < id_b) candidate pairs from ONE
     sorted-neighborhood pass under ``order_cols`` (must end in
-    c_custkey for a total order). Linear: (w−1)·n − O(w²) rows."""
-    ranked = stable_global_index(customer, order_cols, out_col="rn")
-    probe = ranked.select(
-        F.col("c_custkey").alias("ck_a"),
-        F.explode(
-            F.sequence(F.col("rn") + 1, F.col("rn") + F.lit(SNB_WINDOW - 1))
-        ).alias("rn_b"),
+    c_custkey for a total order). Linear: (w−1)·n − O(w²) rows.
+
+    r12 opt: pairs come from ``windowed_adjacent_pairs`` — in-bucket
+    ``lead``s over the one bucket-partitioned sort plus a model-grain
+    cross-boundary stitch — instead of the old explode-by-rank +
+    rank-equi-join, which shuffled (w−1)·n probe rows + n build rows
+    by rank and cost two extra exchanges per pass. ``boundaries``
+    (optional, bucket-balance-only) lets multipass callers batch the
+    three passes' boundary probes into two driver actions."""
+    pairs = windowed_adjacent_pairs(
+        customer,
+        order_cols,
+        SNB_WINDOW,
+        "c_custkey",
+        boundaries=boundaries,
     )
-    build = ranked.select(
-        F.col("rn").alias("rn_b"), F.col("c_custkey").alias("ck_b")
+    return pairs.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
     )
-    return probe.join(build, "rn_b").select(
-        F.least("ck_a", "ck_b").alias("id_a"),
-        F.greatest("ck_a", "ck_b").alias("id_b"),
+
+
+def _multipass_boundaries(keyed: DataFrame) -> dict[str, list]:
+    """Bucket-boundary sets for the three multipass sort keys in TWO
+    driver actions instead of five (r12 opt): one aggregate returns
+    the c_acctbal percentile cuts AND the row count, one bounded
+    sample collect of c_name serves both the name-order cuts and —
+    reversed driver-side — the rev_name cuts (UTF-8 byte order equals
+    code-point order, so Python's sort of the reversed sample is the
+    engine's string order; boundary quality affects bucket BALANCE
+    only, never results — see operators/indexing._bucketed)."""
+    n = keyed.sparkSession.sparkContext.defaultParallelism
+    probs = [i / n for i in range(1, n)]
+    row = keyed.agg(
+        F.percentile_approx(
+            F.col("c_acctbal").cast("double"), probs, max(1000, n)
+        ).alias("bs"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).first()
+    bal = [float(b) for b in (row["bs"] or []) if b is not None]
+    cnt = row["cnt"] or 0
+    out: dict[str, list] = {"c_acctbal": bal, "c_name": [], "rev_name": []}
+    if cnt == 0:
+        return out
+    target = min(200_000, max(25_600, 4 * n))
+    frac = min(1.0, (target * 1.25) / cnt)
+    vals = sorted(
+        r[0]
+        for r in keyed.select("c_name")
+        .where(F.col("c_name").isNotNull())
+        .sample(fraction=frac, seed=42)
+        .limit(4 * target)
+        .collect()
     )
+    if not vals:
+        return out
+    out["c_name"] = sorted({vals[(len(vals) * i) // n] for i in range(1, n)})
+    rev = sorted(v[::-1] for v in vals)
+    out["rev_name"] = sorted({rev[(len(rev) * i) // n] for i in range(1, n)})
+    return out
 
 
 @register(
@@ -348,10 +396,19 @@ def fellegi_sunter_multipass_snb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.reverse(F.col("c_name")).alias("rev_name"),
     )
+    bnd = _multipass_boundaries(keyed)
     cand = (
-        _snb_candidate_ids(keyed, ["c_name", "c_custkey"])
-        .unionByName(_snb_candidate_ids(keyed, ["c_acctbal", "c_custkey"]))
-        .unionByName(_snb_candidate_ids(keyed, ["rev_name", "c_custkey"]))
+        _snb_candidate_ids(keyed, ["c_name", "c_custkey"], bnd["c_name"])
+        .unionByName(
+            _snb_candidate_ids(
+                keyed, ["c_acctbal", "c_custkey"], bnd["c_acctbal"]
+            )
+        )
+        .unionByName(
+            _snb_candidate_ids(
+                keyed, ["rev_name", "c_custkey"], bnd["rev_name"]
+            )
+        )
         .dropDuplicates()
     )
     # links_only applies the threshold as its proven (band AND name)
@@ -1336,10 +1393,19 @@ def _multipass_cand_ids(customer: DataFrame) -> DataFrame:
         "c_acctbal",
         F.reverse(F.col("c_name")).alias("rev_name"),
     )
+    bnd = _multipass_boundaries(keyed)
     return (
-        _snb_candidate_ids(keyed, ["c_name", "c_custkey"])
-        .unionByName(_snb_candidate_ids(keyed, ["c_acctbal", "c_custkey"]))
-        .unionByName(_snb_candidate_ids(keyed, ["rev_name", "c_custkey"]))
+        _snb_candidate_ids(keyed, ["c_name", "c_custkey"], bnd["c_name"])
+        .unionByName(
+            _snb_candidate_ids(
+                keyed, ["c_acctbal", "c_custkey"], bnd["c_acctbal"]
+            )
+        )
+        .unionByName(
+            _snb_candidate_ids(
+                keyed, ["rev_name", "c_custkey"], bnd["rev_name"]
+            )
+        )
         .dropDuplicates()
     )
 
@@ -1640,12 +1706,17 @@ def snb_canonical_pass_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.reverse(F.col("c_name")).alias("rev_name"),
     )
+    bnd = _multipass_boundaries(keyed)
     c12 = (
-        _snb_candidate_ids(keyed, ["c_name", "c_custkey"])
-        .unionByName(_snb_candidate_ids(keyed, ["c_acctbal", "c_custkey"]))
+        _snb_candidate_ids(keyed, ["c_name", "c_custkey"], bnd["c_name"])
+        .unionByName(
+            _snb_candidate_ids(
+                keyed, ["c_acctbal", "c_custkey"], bnd["c_acctbal"]
+            )
+        )
         .dropDuplicates()
     )
-    c3 = _snb_candidate_ids(keyed, ["rev_name", "c_custkey"])
+    c3 = _snb_candidate_ids(keyed, ["rev_name", "c_custkey"], bnd["rev_name"])
     # links_only applies the threshold as its proven (band AND name)
     # equivalent inside the scoring join — levenshtein only on
     # band-agreeing candidates (see _fs_score_candidates; r12 opt)

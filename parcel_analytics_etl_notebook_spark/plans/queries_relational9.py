@@ -758,8 +758,11 @@ def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if i % _PR_CHECKPOINT_EVERY == 0 and i < _PR_ITERS:
             # bound lineage/plan depth on the |nodes|-row frame; at a
-            # larger node alphabet swap for reliable checkpoint()
-            ranks = ranks.localCheckpoint()
+            # larger node alphabet swap for reliable checkpoint().
+            # eager=False (r12): lineage truncation without a blocking
+            # per-checkpoint driver job — materializes in the final
+            # action's pipeline
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         F.col("node").alias("event_type"),
         F.round("rank", 6).alias("pagerank"),

@@ -683,8 +683,8 @@ def test_prefix_candidate_bound_is_upper_bound(spark, docs_tokens):
             F.array_distinct(shingle_hashes_from_tokens(F.col("__th"), 3))
         ).alias("shingle"),
     )
-    bound = _prefix_candidate_bound(sh)
     prefix = _prefix_frame(sh)
+    bound = _prefix_candidate_bound(prefix)
     a, b = prefix.alias("a"), prefix.alias("b")
     actual = (
         a.join(
