@@ -75,6 +75,9 @@ def connected_components(
         # On a cluster prefer reliable checkpoint() to survive executor loss.
         # The `changed` flag rides along so convergence detection is a
         # count over the checkpointed partitions — no extra join.
+        # eager=False (r12): the convergence count() right below is the
+        # first action anyway, so it materializes the checkpoint — one
+        # job per iteration instead of two, identical blocks.
         new_labels = (
             labels.join(neighbor_min, on="vertex", how="left")
             .select(
@@ -86,7 +89,7 @@ def connected_components(
                 .cast("int")
                 .alias("changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("changed") == 1).count()
         labels.unpersist()

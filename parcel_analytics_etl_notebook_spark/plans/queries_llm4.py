@@ -91,6 +91,13 @@ def dup_ngram_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("gram"),
         )
+        # ONE exchange serves the whole query (r12): hash-partitioning
+        # by gram satisfies the (doc, gram) distinct (partitioning by a
+        # SUBSET of the grouping keys co-locates every duplicate), the
+        # df groupBy(gram), and the join back on gram — the previous
+        # shape exchanged by (doc, gram) for the distinct and then
+        # re-exchanged both join sides by gram (3 shuffles → 1).
+        .repartition("gram")
         .distinct()
     )
     gc = g.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))

@@ -27,6 +27,13 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # allow shuffled-hash join where its size conditions fit (guide §9 /
+    # §3.1): SHJ skips the per-partition sorts SMJ pays on both sides.
+    # Row-identical output; measured r12 at sf0.1: star_fact_orders
+    # 1.59→0.91s, enriched_orders 1.19→0.70s, winnowing 5.6→4.6s. The
+    # OOM risk the default guards (a build-side partition that cannot
+    # fit) is bounded by AQE partition sizing + skew splitting above.
+    "spark.sql.join.preferSortMergeJoin": "false",
     # parquet nested-schema pruning (on by default; pinned for clarity)
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",

@@ -419,6 +419,23 @@ NESTED_LOOP_ALLOWED = {
     "join_cardinality_estimator_audit": "per join, two 1-row stat "
     "aggregates x one 1-row true count combined by scalar cross "
     "join; the only data-scale stage is the equi-join being audited",
+    # sorted-neighborhood window stitch (r12 windowed_adjacent_pairs):
+    # cross-bucket pairs join the last w-1 rows per bucket against a
+    # broadcast of the first w-1 rows per bucket under a rank-distance
+    # predicate — BOTH sides bounded by (w-1)·bucket_count rows at any
+    # corpus size (model-grain by construction, never data-sized)
+    "fellegi_sunter_snb_linkage": "SNB boundary stitch (bounded "
+    "tails x broadcast heads, see windowed_adjacent_pairs)",
+    "fellegi_sunter_multipass_snb": "SNB boundary stitch x3 passes "
+    "(bounded sides, see windowed_adjacent_pairs)",
+    "snb_canonical_pass_recovery": "SNB boundary stitch x3 passes "
+    "(bounded sides, see windowed_adjacent_pairs)",
+    "snb_window_recall": "SNB boundary stitch (bounded sides) + the "
+    "pre-existing 1-row budget-bound scalar",
+    "fs_em_mstep": "SNB boundary stitch (bounded sides) feeding the "
+    "1-row count table",
+    "fs_em_posteriors": "SNB boundary stitch (bounded sides) feeding "
+    "the posterior table",
     "snb_sampled_recall": "1-row admitted-strata count x 1-row metric "
     "aggregate (the oracle's scalar subquery, Spark-side) — the "
     "r11 distributed-admission rewrite's only cross join",
@@ -434,9 +451,8 @@ PYTHON_EVAL_ALLOWED = {
     "embedding_zscore_by_label": "applyInPandas grouped-map surface",
     "image_meta_profile": "mapInPandas binary header decode",
     "multimodal_features": "mapInPandas feature extraction over payloads",
-    "clamped_running_balance": "applyInPandas per-key sequential loop — "
-    "the clamp makes prefix sums non-associative (no window form "
-    "exists); oracle-checked against a recursive-CTE fixpoint",
+    # clamped_running_balance left this list in r12: its per-key clamp
+    # recurrence now runs as a JVM aggregate fold (no Python eval node)
 }
 
 
