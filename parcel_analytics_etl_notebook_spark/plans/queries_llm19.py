@@ -364,13 +364,13 @@ def incremental_lsh_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shingle"),
     )
     shc = drop_hot_shingles(sh, max_df=MAX_SHINGLE_DF)
-    # persist: BOTH pair sides read this frame, and without the barrier
-    # the whole tokens → shingles → df-cap subtree (two aggregates and
-    # an anti-join deep) is planned and executed once per side (r12)
+    # NOT persisted (r12 measured): the two pair sides share the final
+    # exchange via AQE ReusedExchange already; the tried persist only
+    # added a barrier and jobs (see incremental_lsh_near_dup)
     sets = shc.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("shingle")).alias("sh_set"),
         F.count(F.lit(1)).alias("n"),
-    ).persist()
+    )
     sa = sets.select(
         F.col("doc_id").alias("id_a"),
         F.col("sh_set").alias("set_a"),

@@ -27,13 +27,13 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # allow shuffled-hash join where its size conditions fit (guide §9 /
-    # §3.1): SHJ skips the per-partition sorts SMJ pays on both sides.
-    # Row-identical output; measured r12 at sf0.1: star_fact_orders
-    # 1.59→0.91s, enriched_orders 1.19→0.70s, winnowing 5.6→4.6s. The
-    # OOM risk the default guards (a build-side partition that cannot
-    # fit) is bounded by AQE partition sizing + skew splitting above.
-    "spark.sql.join.preferSortMergeJoin": "false",
+    # preferSortMergeJoin stays at its DEFAULT (true): an r12
+    # interleaved A/B (same session, alternating the runtime conf per
+    # run — see OPTIMIZATION_r12.md §7) measured shuffled-hash join a
+    # wash-to-slower on this catalog (market_basket_lift min 2.40 vs
+    # 2.13s, star_fact_orders 0.76 vs 0.68s); an earlier two-session
+    # A/B that "showed" SHJ 1.7× faster was a session-ordering artifact
+    # (the second JVM is warmer). Kept as a documented negative result.
     # parquet nested-schema pruning (on by default; pinned for clarity)
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
