@@ -98,6 +98,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (exact, minhash/LSH/simhash/ngram, near-dup groups), ANN, text QA,
 # sessionization, global index, contamination. Keep ≤ ~25 entries so the
 # printed JSON line stays < 1 KB.
+#: near-zero anchor guard for severity ratios (shared by main() and
+#: the module-level severity function so tests can exercise the same
+#: arithmetic the sweep runs)
+SKIP_EPS_S = 0.05
+
+
+def severity_ratio(
+    c_now: float,
+    j_now: int,
+    c_anchor: float,
+    j_anchor: int,
+    oh_s: float,
+) -> float:
+    """Overhead-EQUALIZED severity: compare predicted RAW walls under
+    TODAY's overhead (VERDICT r12 next #6). Corrected walls alone
+    mis-rank job-count rewrites: a plan that cuts jobs with flat raw
+    wall gets LESS subtracted, so its corrected wall RISES while the
+    query got strictly cheaper — under corrected-only anchoring the
+    r12 SNB/EM job-count wins would drift-flag every round forever.
+    Charging BOTH sides their own job count at the SAME (current)
+    overhead compares total plan cost on an equal-host footing:
+    ``(c_now + j_now·oh) / (c_anchor + j_anchor·oh)``. Equal job
+    counts reduce to the old corrected-ratio behaviour (both sides
+    shift by the same amount); a job-count regression (j_now ≫
+    j_anchor) now also surfaces here instead of only through the
+    host-noisy raw-vs-prior trigger."""
+    return (c_now + j_now * oh_s) / max(
+        c_anchor + j_anchor * oh_s, SKIP_EPS_S
+    )
+
+
 HEADLINE_QUERIES = frozenset(
     {
         "lifecycle_kpis",
@@ -215,9 +246,9 @@ def main() -> None:
     #: name whose first-run CORRECTED wall is within SKIP_RATIO of its
     #: prior-round corrected wall is overhead noise, not a plan change —
     #: skip its repeats (reason recorded) so the pool reaches real
-    #: movers. SKIP_EPS_S absorbs near-zero priors (a 0.01s->0.04s
-    #: corrected move is not a 4x regression).
-    SKIP_RATIO, SKIP_EPS_S = 1.5, 0.05
+    #: movers. Module-level SKIP_EPS_S absorbs near-zero priors (a
+    #: 0.01s->0.04s corrected move is not a 4x regression).
+    SKIP_RATIO = 1.5
     #: best-ever drift trigger floor (VERDICT r09 #3): corrected walls
     #: under this are too overhead-shaped for a cross-round ratio to
     #: mean anything; the prior-raw REGRESS_RATIO trigger still covers
@@ -235,22 +266,19 @@ def main() -> None:
     #: cannot anchor.
     CORRECTED_FLOOR_FRAC = 0.05
     FORCE_3RUNS = {
-        # cross-round adjudication set, ROTATED each round: r11's four
-        # all adjudicated green, so they age out. r12 entries: the
-        # round's debut (first-ever wall as 3-run evidence), the two
-        # r11 batch-2 debuts whose first-ever walls were single cold
-        # samples (ADVICE r11 #2 — the rotation comment's stated debut
-        # policy missed them), and the two VERDICT r11 mandated
-        # adjudications: embedding_lsh_banded_pairs (6.25→7.98s
-        # corrected with zero runs in r11 — under the 1.5× trigger so
-        # nothing re-ran it) and temporal_reachability_khop (0.17→2.16s
-        # corrected across rounds; the r10 "job-count overhead" verdict
-        # needs a re-look).
+        # cross-round adjudication set, ROTATED each round (r12's
+        # banded_pairs/khop adjudicated green and age out). r13
+        # entries are the VERDICT r12 mandated evidence set: the three
+        # "job-count work must pay on walls" names (next-round #1 done
+        # criterion — driver-style bench at or below their r11 walls),
+        # the #3 occupancy-window rewrite, and the #4 top headline
+        # wall whose decomposition this round targets.
+        "fs_em_mstep",
         "fs_em_convergence",
-        "fs_em_mstep_multipass",
-        "fs_field_marginal_u",
-        "embedding_lsh_banded_pairs",
-        "temporal_reachability_khop",
+        "orders_global_index",
+        "snb_canonical_pass_recovery",
+        "incremental_lsh_apply_delta",
+        "ngram_jaccard_pairs",
     }
 
     import glob
@@ -286,15 +314,18 @@ def main() -> None:
     prior_pairs = [(k, p) for (k, p) in prior_files if k < rnd]
     prior_files = [p for (_k, p) in prior_pairs]
     prior_corrected: dict[str, float] = {}
+    prior_njobs: dict[str, int] = {}
     if prior_files:
         try:
             with open(prior_files[-1]) as f:
                 _pd = json.load(f)
             prior = _pd.get("queries", {})
             prior_corrected = _pd.get("queries_corrected", {})
+            prior_njobs = _pd.get("n_jobs", {})
         except (OSError, ValueError):
             prior = {}
             prior_corrected = {}
+            prior_njobs = {}
     # BEST-EVER corrected wall per name across ALL prior rounds
     # (VERDICT r09 #3): anchoring severity and skip decisions to the
     # PRIOR round let sub-1.5x drift compound unflagged forever (a name
@@ -324,12 +355,15 @@ def main() -> None:
         per-run records under the CURRENT floor (VERDICT r11 #1 —
         recorded pre-floor values can neither be trusted at the low
         end nor repaired by flooring alone). Returns, per name, a list
-        of (floored corrected wall, subtracted fraction) — one per
-        recorded run — using the round's OWN overhead curve, exactly
-        the r11+ formula applied retroactively. Names without per-run
-        records (single runs) use their one recorded wall with the
-        round's max job count — identical to what the round itself
-        computed."""
+        of (floored corrected wall, subtracted fraction, job count) —
+        one per recorded run — using the round's OWN overhead curve,
+        exactly the r11+ formula applied retroactively. Names without
+        per-run records (single runs) use their one recorded wall with
+        the round's max job count — identical to what the round itself
+        computed. The job count rides along so anchor comparisons can
+        be overhead-EQUALIZED (VERDICT r12 next #6, severity_ratio):
+        without it, a rewrite that cuts jobs at flat raw wall RAISES
+        its corrected wall and drift-flags as a regression forever."""
         pts = _pd.get("overhead_points") or []
 
         def _oh(off: float) -> float:
@@ -361,6 +395,7 @@ def main() -> None:
                 (
                     round(max(wi - ji * _oh(oi), floor), 4),
                     round(min(1.0, (ji * _oh(oi)) / wi) if wi > 0 else 1.0, 4),
+                    int(ji),
                 )
                 for wi, ji, oi in zip(ws, js, ofs)
             ]
@@ -384,16 +419,21 @@ def main() -> None:
             continue
         for _n, _cands in _reanchor_candidates(_pd).items():
             anchor_runs.setdefault(_n, []).extend(_cands)
-    best_corrected: dict[str, float] = {}
+    # name -> (best corrected wall, THAT run's job count): the jobs ride
+    # along so severity/skip/drift compare overhead-equalized predicted
+    # raw walls instead of bare corrected walls (VERDICT r12 next #6)
+    best_corrected: dict[str, tuple[float, int]] = {}
     for _n, _cands in anchor_runs.items():
-        credible = [c for c, f in _cands if f <= ANCHOR_CRED_FRAC]
+        credible = [(c, j) for c, f, j in _cands if f <= ANCHOR_CRED_FRAC]
         if credible:
             best_corrected[_n] = min(credible)
         else:
             # overhead-dominated in EVERY recorded run: the least-
             # extrapolated one is the best evidence available
-            fmin = min(f for _c, f in _cands)
-            best_corrected[_n] = min(c for c, f in _cands if f == fmin)
+            fmin = min(f for _c, f, _j in _cands)
+            best_corrected[_n] = min(
+                (c, j) for c, f, j in _cands if f == fmin
+            )
 
     sc = spark.sparkContext
     n_jobs: dict[str, int] = {}      # max across runs (cross-round compat)
@@ -526,6 +566,30 @@ def main() -> None:
             - run_jobs[name][i] * _oh_at(run_offsets[name][i]),
         )
 
+    def _anchor_of(n: str):
+        """(corrected wall, jobs) anchor: best-ever job-paired record,
+        falling back to the prior round's recorded corrected wall with
+        its n_jobs (VERDICT r12 next #6)."""
+        if n in best_corrected:
+            return best_corrected[n]
+        if n in prior_corrected:
+            return (prior_corrected[n], int(prior_njobs.get(n, 0)))
+        return None
+
+    def _sev_of(n: str) -> float | None:
+        """Overhead-equalized severity of run 0 vs the anchor (see
+        severity_ratio) — None when no anchor exists."""
+        a = _anchor_of(n)
+        if a is None:
+            return None
+        return severity_ratio(
+            _cest(n),
+            run_jobs[n][0],
+            a[0],
+            a[1],
+            _oh_at(run_offsets[n][0]),
+        )
+
     # ---- pass 1: one run per query, randomized order ----
     # Seeded by round number: deterministic within a round (reruns
     # comparable) but a DIFFERENT tail each round, so host drift that
@@ -554,28 +618,29 @@ def main() -> None:
         )
         # best-ever drift trigger (VERDICT r09 #3): a name whose raw
         # wall never moves >1.5x vs the PRIOR round can still compound
-        # 1.4x/round forever; flag when this round's corrected estimate
-        # exceeds REGRESS_RATIO x the best corrected wall ANY round
-        # recorded (material walls only — DRIFT_FLOOR_S keeps centisecond
-        # corrected walls from flooding the pool with ratio noise).
+        # 1.4x/round forever; flag when this round's OVERHEAD-EQUALIZED
+        # estimate exceeds REGRESS_RATIO x the best job-paired anchor
+        # ANY round recorded (material walls only — DRIFT_FLOOR_S keeps
+        # centisecond corrected walls from flooding the pool with ratio
+        # noise; VERDICT r12 next #6: the equalized ratio keeps
+        # job-count rewrites from drift-flagging as regressions).
+        _sev0 = _sev_of(name)
         drifted = (
             name in best_corrected
             and _cest(name) >= DRIFT_FLOOR_S
-            and _cest(name)
-            > REGRESS_RATIO * best_corrected[name] + SKIP_EPS_S
+            and _sev0 is not None
+            and _sev0 > REGRESS_RATIO
         )
         if name in FORCE_3RUNS or regressed or drifted:
             # defer to the severity-ordered adjudication pass. Severity
-            # is the CORRECTED-wall ratio vs BEST-EVER corrected
-            # (VERDICT r08 #1: raw-wall severity ranked multi-job
-            # overhead noise above real plan regressions; VERDICT r09
-            # #3: prior-round anchoring let drift compound); new names
-            # (no record) adjudicate at a nominal 2.0 severity.
-            anchor = best_corrected.get(name, prior_corrected.get(name))
-            if anchor is not None:
-                sev = _cest(name) / max(anchor, SKIP_EPS_S)
-            else:
-                sev = 2.0
+            # is the overhead-EQUALIZED ratio vs the BEST-EVER
+            # job-paired anchor (VERDICT r08 #1: raw-wall severity
+            # ranked multi-job overhead noise above real plan
+            # regressions; VERDICT r09 #3: prior-round anchoring let
+            # drift compound; VERDICT r12 #6: corrected-only ratios
+            # mis-ranked job-count wins); new names (no record)
+            # adjudicate at a nominal 2.0 severity.
+            sev = _sev0 if _sev0 is not None else 2.0
             if name in FORCE_3RUNS:
                 sev += 100.0  # mandated adjudications always serviced first
             adjudicate[name] = sev
@@ -597,14 +662,15 @@ def main() -> None:
     for name in sorted(adjudicate, key=lambda n: -adjudicate[n]):
         want = 3 if name in FORCE_3RUNS else 2
         w0 = runs[name][0]
-        skip_anchor = best_corrected.get(name, prior_corrected.get(name))
-        if name not in FORCE_3RUNS and skip_anchor is not None:
-            c0 = _cest(name)
-            if c0 <= SKIP_RATIO * skip_anchor + SKIP_EPS_S:
+        skip_sev = _sev_of(name)
+        if name not in FORCE_3RUNS and skip_sev is not None:
+            if skip_sev <= SKIP_RATIO:
+                a = _anchor_of(name)
                 adjudication_skips[name] = (
-                    f"first-run corrected {c0:.2f}s within {SKIP_RATIO}x "
-                    f"of best-ever corrected {skip_anchor:.2f}s — raw "
-                    "move is overhead, repeats not spent"
+                    f"first-run equalized severity {skip_sev:.2f} within "
+                    f"{SKIP_RATIO}x of best-ever job-paired anchor "
+                    f"({a[0]:.2f}s @ {a[1]} jobs) — raw move is "
+                    "overhead/job-count, repeats not spent"
                 )
                 continue
         while len(runs[name]) < want and adj_spent + w0 < ADJUDICATION_BUDGET_S:
@@ -707,8 +773,12 @@ def main() -> None:
               # trail: recomputed from prior BENCH_DETAIL per-run
               # records under the current floor, NOT read from their
               # recorded queries_corrected)
+              # shape r13+: [corrected wall, jobs of that run] — the
+              # job count pairs the anchor for overhead-equalized
+              # severity (VERDICT r12 next #6, see severity_ratio)
               "best_ever_anchors": {
-                  n: round(c, 4) for n, c in sorted(best_corrected.items())
+                  n: [round(c, 4), j]
+                  for n, (c, j) in sorted(best_corrected.items())
               },
               # pools scale with catalog size (VERDICT r11 #1)
               "noise_budget_s": NOISE_BUDGET_S,
@@ -731,21 +801,30 @@ def main() -> None:
               # every prior v2 round's per-run records under that same
               # floor (see _reanchor_round), so severity/skip ratios no
               # longer compare against pre-floor over-corrected values.
+              # jp1 (r13, VERDICT r12 #6): anchors are job-paired and
+              # severity/skip/drift ratios are overhead-EQUALIZED
+              # predicted raw walls under the current host's overhead
+              # (severity_ratio) — corrected walls THEMSELVES are
+              # reported exactly as before, so queries_corrected stays
+              # cross-round comparable within v2.
               "correction_methodology": "v2-per-run-jobs-offset-interp"
-              "+fl5ra1",
+              "+fl5ra1jp1",
               "bench_policy": "best-of-n (min of runs); randomized sweep "
               f"order seeded by round; noise repeats under {REPEAT_T1}s "
               f"walls (inline, {NOISE_BUDGET_S}s pool, skipped above "
               f"{REPEAT_CEIL_S}s); >={REGRESS_RATIO}x-prior / new-name / "
               "forced adjudication repeats in a severity-ordered second "
               f"pass (reserved {ADJUDICATION_BUDGET_S}s pool, no ceiling; "
-              "severity = corrected-wall ratio vs BEST-EVER corrected "
-              "across all prior v2 rounds, VERDICT r09 #3 — drift can "
-              "no longer compound under the prior-round trigger, and a "
-              f"corrected estimate >{REGRESS_RATIO}x best-ever (walls "
+              "severity = overhead-EQUALIZED ratio vs the BEST-EVER "
+              "JOB-PAIRED anchor across all prior v2 rounds "
+              "(severity_ratio: (c+jobs*oh)/(c_a+jobs_a*oh) at the "
+              "current host's overhead — VERDICT r09 #3 / r12 #6; "
+              "drift can no longer compound under the prior-round "
+              "trigger, job-count rewrites no longer mis-flag), and an "
+              f"equalized estimate >{REGRESS_RATIO}x best-ever (walls "
               f">={DRIFT_FLOOR_S}s) flags even when raw-vs-prior does "
-              "not; non-forced names skipped when first-run corrected "
-              f"<= {SKIP_RATIO}x best-ever corrected + {SKIP_EPS_S}s, "
+              "not; non-forced names skipped when first-run equalized "
+              f"severity <= {SKIP_RATIO}, "
               "reason in adjudication_skips; "
               f"prior raw = newest BENCH_DETAIL round < r{rnd:02d}); "
               "memo:<key> lines are 3-run timed builds of shared "

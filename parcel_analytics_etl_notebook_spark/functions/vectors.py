@@ -43,8 +43,19 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
 
 def _f64(x: float) -> str:
     """Exact SQL double literal: repr round-trips IEEE doubles and the
-    ``...D`` suffix parses them as DOUBLE without DECIMAL coercion."""
-    return f"{float(x)!r}D"
+    ``...D`` suffix parses them as DOUBLE without DECIMAL coercion.
+    Non-finite values (a NaN/inf creeping into trained centroids or
+    power-iteration weights) have no ``...D`` literal form — emit the
+    CAST-string form the pre-r12 emission used so they parse instead
+    of surfacing as an opaque SQL parse error (ADVICE r12)."""
+    v = float(x)
+    if v != v:  # NaN
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{v!r}D"
 
 
 def _arr64(weights: list[float]) -> str:

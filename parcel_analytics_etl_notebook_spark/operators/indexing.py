@@ -145,6 +145,15 @@ def _bucket_sort_key(df: DataFrame, col_name: str) -> Column | None:
     return None
 
 
+#: bucket-offset attachment strategy (r13 A/B knob): True = ONE
+#: groupBy(__pid).count() collect + literal map (the r12 shape — fewer
+#: exchanges/jobs, but an extra BLOCKING driver action per index build
+#: that serializes ahead of the final pass); False = the lazy
+#: explode-fold (:func:`_bucket_offsets`) broadcast back — no driver
+#: round trip, two extra bucket-grain (≤65k-row) exchanges. Both are
+#: scale-clean; the choice is empirical (tools/ab_profile.py).
+OFFSETS_VIA_COLLECT = True
+
 #: fine-chunk width of the two-level coarse→fine bucket lookup; also
 #: the cutoff below which the single-level unrolled comparison is used
 _CHUNK = 256
@@ -282,12 +291,60 @@ def _bucketed(
     return tagged, len(bs)
 
 
+def equidepth_from_key_counts(
+    key_counts: list[tuple[float | None, int]], n: int
+) -> tuple[list[float], dict[int, int]]:
+    """Equi-depth cut points AND exact bucket offsets from an exact
+    (key value, count) distribution — both probe outputs of a
+    :func:`stable_global_index` build derived from ONE aggregate
+    action instead of two (r13 opt, VERDICT r12 #1: the per-index
+    ``groupBy(__pid).count().collect()`` was an extra blocking driver
+    action that serialized ahead of the final pass).
+
+    Callers whose leading sort key has BOUNDED distinct cardinality
+    (dates: calendar-bounded at any corpus size) collect
+    ``groupBy(key).count()`` once and hand the result here; the cut
+    selection mirrors the boundary-comparison bucketing exactly
+    (bucket = #cuts strictly below the key, NULLs to -1), so the
+    returned offsets are bit-identical to what the counts pass would
+    have collected. Keys must be on the SORT-KEY scale
+    (:func:`_bucket_sort_key` — e.g. ``unix_date`` for dates)."""
+    null_cnt = sum(c for v, c in key_counts if v is None)
+    vals = sorted((float(v), int(c)) for v, c in key_counts if v is not None)
+    total = sum(c for _, c in vals)
+    cuts: list[float] = []
+    if vals and n > 1:
+        run, nxt = 0, 1
+        for v, c in vals[:-1]:  # the max value is never a useful cut
+            run += c
+            if run >= (total * nxt) // n:
+                cuts.append(v)
+                nxt += 1
+                if nxt >= n:
+                    break
+    # mirror _bucketed: bucket(v) = #cuts with v > cut, NULL -> -1
+    offsets: dict[int, int] = {}
+    running = 0
+    if null_cnt:
+        offsets[-1] = 0
+        running = null_cnt
+    pid_counts: dict[int, int] = {}
+    for v, c in vals:
+        pid = sum(1 for b in cuts if v > b)
+        pid_counts[pid] = pid_counts.get(pid, 0) + c
+    for pid in sorted(pid_counts):
+        offsets[pid] = running
+        running += pid_counts[pid]
+    return cuts, offsets
+
+
 def stable_global_index(
     df: DataFrame,
     order_cols: list[str],
     out_col: str = "global_idx",
     num_partitions: int | None = None,
     boundaries: list[float | str] | None = None,
+    offsets: dict[int, int] | None = None,
 ) -> DataFrame:
     """Add a 1-based dense global index following ``order_cols``.
 
@@ -304,6 +361,11 @@ def stable_global_index(
     """
     if not order_cols:
         raise ValueError("order_cols must name at least one column")
+    if offsets is not None and boundaries is None:
+        raise ValueError(
+            "offsets requires the matching boundaries (both come from "
+            "one probe — see equidepth_from_key_counts)"
+        )
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     bucketed = _bucketed(df, order_cols, n, boundaries)
@@ -319,21 +381,40 @@ def stable_global_index(
         # (measured: 9–10 → ~5 jobs per call on the sf0.1 bench; the
         # counts pass doubles as the persist materialization the first
         # consumer paid anyway).
-        with_pid, _max_pid = bucketed
-        counts = {
-            r["__pid"]: r["__c"]
-            for r in with_pid.groupBy("__pid")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .collect()
-        }
-        offsets: dict[int, int] = {}
-        running = 0
-        for pid in sorted(counts):
-            offsets[pid] = running
-            running += counts[pid]
+        with_pid, max_pid = bucketed
+        if offsets is not None:
+            # the caller's probe already produced exact offsets in the
+            # same action as the boundaries — zero extra jobs here
+            offd = _attach_offset(with_pid, offsets)
+        elif OFFSETS_VIA_COLLECT:
+            counts = {
+                r["__pid"]: r["__c"]
+                for r in with_pid.groupBy("__pid")
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .collect()
+            }
+            offsets = {}
+            running = 0
+            for pid in sorted(counts):
+                offsets[pid] = running
+                running += counts[pid]
+            offd = _attach_offset(with_pid, offsets)
+        else:
+            # lazy explode-fold offsets (the pre-r12 shape): no driver
+            # collect, no extra blocking action — the bucket-grain
+            # counts fold broadcasts back (left join: the minimum
+            # bucket has no offset row)
+            offd = with_pid.join(
+                _bucket_offsets(
+                    with_pid,
+                    [F.count(F.lit(1)).cast("bigint").alias("__off")],
+                    max_pid,
+                ),
+                "__pid",
+                "left",
+            )
         return (
-            _attach_offset(with_pid, offsets)
-            .withColumn(
+            offd.withColumn(
                 # widen BEFORE adding: int32 row_number wraps negative
                 # past 2^31 rows under non-ANSI arithmetic — the exact
                 # scale this operator exists for
@@ -407,6 +488,12 @@ def windowed_adjacent_pairs(
     """
     if not order_cols:
         raise ValueError("order_cols must name at least one column")
+    if window < 2:
+        # window=1 means "no successor pairs" by the rank predicate; the
+        # fallback's F.sequence(rn+1, rn+window-1) would instead emit a
+        # DESCENDING [rn+1, rn] sequence (spurious self-pairs) and the
+        # main path an empty F.array() — fail loudly (ADVICE r12)
+        raise ValueError(f"window must be >= 2, got {window}")
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     bucketed = _bucketed(df, order_cols, n, boundaries)
     if bucketed is None:
@@ -426,22 +513,34 @@ def windowed_adjacent_pairs(
             F.col("__rn").alias("__rn_b"), F.col(id_col).alias("id_b")
         )
         return probe.join(build, "__rn_b").select("id_a", "id_b")
-    with_pid, _max_pid = bucketed
-    counts = {
-        r["__pid"]: r["__c"]
-        for r in with_pid.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .collect()
-    }
-    offsets: dict[int, int] = {}
-    running = 0
-    for pid in sorted(counts):
-        offsets[pid] = running
-        running += counts[pid]
+    with_pid, max_pid = bucketed
+    if OFFSETS_VIA_COLLECT:
+        counts = {
+            r["__pid"]: r["__c"]
+            for r in with_pid.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        }
+        offsets: dict[int, int] = {}
+        running = 0
+        for pid in sorted(counts):
+            offsets[pid] = running
+            running += counts[pid]
+        offd = _attach_offset(with_pid, offsets)
+    else:
+        offd = with_pid.join(
+            _bucket_offsets(
+                with_pid,
+                [F.count(F.lit(1)).cast("bigint").alias("__off")],
+                max_pid,
+            ),
+            "__pid",
+            "left",
+        )
     w_rank = Window.partitionBy("__pid").orderBy(*order_cols)
     w_all = Window.partitionBy("__pid")
     ranked = (
-        _attach_offset(with_pid, offsets)
+        offd
         .withColumn("__within", F.row_number().over(w_rank))
         .withColumn("__bcnt", F.count(F.lit(1)).over(w_all))
         .withColumn(

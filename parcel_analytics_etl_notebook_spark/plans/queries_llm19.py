@@ -20,7 +20,7 @@ Oracle-parity conventions as in plans/catalog.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parcel_analytics_etl_notebook_spark.functions.textfns import tokens
@@ -46,6 +46,10 @@ from parcel_analytics_etl_notebook_spark.plans.queries_llm import (
 #: crawl", already applied), doc_id % 10 == 1 is batch B ("today's"),
 #: everything else is the standing corpus.
 _BATCH_MOD = 10
+
+#: r13 A/B knob for the r12-added capped-index persist in
+#: simhash64_near_dup_pairs (VERDICT r12 #2 adjudication)
+R12_PERSIST_CAPPED = True
 
 
 # --------------------------------------------------------------------------
@@ -146,8 +150,10 @@ def simhash64_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist the capped long index (r12): both self-join sides read
     # it, so the melt + hot-bucket aggregate + anti-join otherwise run
-    # once per side
-    capped = long.join(hot, on=["band", "val"], how="left_anti").persist()
+    # once per side (r13 A/B knob — VERDICT r12 #2 adjudication)
+    capped = long.join(hot, on=["band", "val"], how="left_anti")
+    if R12_PERSIST_CAPPED:
+        capped = capped.persist()
     a, b = capped.alias("a"), capped.alias("b")
     cand = (
         a.join(
@@ -255,19 +261,43 @@ ORDER BY sp.id_a, sp.id_b
 """
 
 
-def _capped_bands(banded: DataFrame, pred) -> DataFrame:
-    """Re-apply the MAX_LSH_BUCKET hot-bucket cap WITHIN a population:
-    bucket occupancy is a property of the standing table at apply time,
-    so each timeline step recounts it over its own population (a bucket
-    under the cap at step 0 may exceed it once a batch lands)."""
-    pop = banded.filter(pred) if pred is not None else banded
-    hot = (
-        pop.groupBy("band", "sig_band")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > MAX_LSH_BUCKET)
-        .select("band", "sig_band")
-    )
-    return pop.join(hot, on=["band", "sig_band"], how="left_anti")
+def _capped_populations(
+    banded: DataFrame, preds: list
+) -> list[DataFrame]:
+    """Re-apply the MAX_LSH_BUCKET hot-bucket cap WITHIN each
+    population: bucket occupancy is a property of the standing table
+    at apply time, so each timeline step recounts it over its own
+    population (a bucket under the cap at step 0 may exceed it once a
+    batch lands).
+
+    All populations derive from ONE (band, sig_band) occupancy window
+    with one conditional count per predicate (VERDICT r12 next #3):
+    the per-population shape — three groupBy aggregates + three
+    anti-joins, each recomputing the banded-signature lineage from
+    parquet (the minhash hash chain is the expensive part) — becomes a
+    single Exchange every consumer reuses. Row r survives population k
+    iff pred_k(r) and its bucket's pred_k count <= cap — exactly the
+    old pop/anti-join semantics (pinned by test_capped_populations_
+    match_per_population_antijoin). The window partitioning (band,
+    sig_band) is also the self-join key downstream, so the join needs
+    no further shuffle of these rows."""
+    w = Window.partitionBy("band", "sig_band")
+    counted = banded
+    for i, pred in enumerate(preds):
+        n = (
+            F.count(F.when(pred, F.lit(1))).over(w)
+            if pred is not None
+            else F.count(F.lit(1)).over(w)
+        )
+        counted = counted.withColumn(f"__n{i}", n)
+    drop = [f"__n{i}" for i in range(len(preds))]
+    out = []
+    for i, pred in enumerate(preds):
+        keep = F.col(f"__n{i}") <= MAX_LSH_BUCKET
+        if pred is not None:
+            keep = pred & keep
+        out.append(counted.filter(keep).drop(*drop))
+    return out
 
 
 @register("incremental_lsh_apply_delta", oracle=_apply_delta_oracle())
@@ -316,9 +346,7 @@ def incremental_lsh_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = with_minhash(docs, num_hashes=16)
     banded = lsh_banded(sig, bands=4, sig_len=16, max_bucket=None)
 
-    b0 = _capped_bands(banded, m >= 2)
-    b1 = _capped_bands(banded, m != 1)
-    b2 = _capped_bands(banded, None)
+    b0, b1, b2 = _capped_populations(banded, [m >= 2, m != 1, None])
 
     def self_pairs(pop: DataFrame, tag: str, batch_mod: int | None) -> DataFrame:
         a, b = pop.alias("a"), pop.alias("b")

@@ -137,6 +137,10 @@ class CandidateBudgetExceeded(RuntimeError):
 #: byte-identical, the quadratic regime fails fast.
 PREFIX_CANDIDATE_BUDGET = 2_000_000
 
+#: r13 A/B knob for the r12-added prefix-frame persist (VERDICT r12 #2
+#: adjudication — interleaved same-session protocol)
+R12_PERSIST_PREFIX = True
+
 
 def prefix_filter_pairs(
     docs: DataFrame,
@@ -170,8 +174,10 @@ def prefix_filter_pairs(
     # persist the PREFIX frame too (r12 opt): the budget probe and BOTH
     # sides of the candidate self-join read it, so without the barrier
     # the df-groupBy + join + per-doc ranking window subtree is planned
-    # and executed three times per run
-    prefix = _prefix_frame(sh).persist()
+    # and executed three times per run (r13 A/B knob — VERDICT r12 #2)
+    prefix = _prefix_frame(sh)
+    if R12_PERSIST_PREFIX:
+        prefix = prefix.persist()
     if candidate_budget is not None:
         est = _prefix_candidate_bound(prefix)
         if est > candidate_budget:

@@ -47,7 +47,11 @@ from parcel_analytics_etl_notebook_spark.operators.indexing import (
     stable_global_index,
     windowed_adjacent_pairs,
 )
-from parcel_analytics_etl_notebook_spark.plans.catalog import register, table
+from parcel_analytics_etl_notebook_spark.plans.catalog import (
+    MEMO_BUILDERS,
+    register,
+    table,
+)
 from parcel_analytics_etl_notebook_spark.plans.queries_relational20 import (
     _FS_THRESHOLD,
     _FS_W,
@@ -172,10 +176,14 @@ def _snb_scored_pairs(
     """All sorted-neighborhood candidate pairs with agreement flags and
     the summed Fellegi-Sunter score (``links_only`` prunes to the
     provable score >= threshold set before scoring — see
-    _fs_score_candidates)."""
+    _fs_score_candidates). Candidates read the shared memo's pass-1
+    rows (exactly the single-pass generator's output — see
+    :func:`_build_snb_cands`; r13 opt)."""
     customer = table(spark, sf_dir, "customer")
-    cand = _snb_candidate_ids(
-        customer.select("c_custkey", "c_name"), ["c_name", "c_custkey"]
+    cand = (
+        snb_cands_frame(spark, sf_dir)
+        .filter(F.col("p1") == 1)
+        .select("id_a", "id_b")
     )
     return _fs_score_candidates(cand, customer, links_only=links_only)
 
@@ -304,6 +312,77 @@ def _multipass_boundaries(keyed: DataFrame) -> dict[str, list]:
     rev = sorted(v[::-1] for v in vals)
     out["rev_name"] = sorted({rev[(len(rev) * i) // n] for i in range(1, n)})
     return out
+
+
+def _build_snb_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagged multipass SNB candidate table: one row per DISTINCT
+    canonical (id_a, id_b) candidate pair with per-pass membership
+    flags — p1 = name order, p2 = balance order, p3 = reversed-name
+    order. Within one pass each unordered pair occurs at most once
+    (ranks are unique and pairs are (rn, rn+d), d >= 1), so the flags
+    carry the passes losslessly and every SNB consumer is a filter:
+    pass-1 candidates = ``p1 = 1`` (exactly the single-pass generator's
+    output), the 3-arm deduped union = all rows, the recovery metric's
+    c12/c3 split = ``p1 = 1 OR p2 = 1`` / ``p3 = 1``.
+
+    The groupBy that builds the flags IS the dedup shuffle the union
+    consumers paid per query — moved into the one shared build."""
+    customer = table(spark, sf_dir, "customer")
+    keyed = customer.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.reverse(F.col("c_name")).alias("rev_name"),
+    )
+    bnd = _multipass_boundaries(keyed)
+    tagged = (
+        _snb_candidate_ids(keyed, ["c_name", "c_custkey"], bnd["c_name"])
+        .withColumn("__p", F.lit(1))
+        .unionByName(
+            _snb_candidate_ids(
+                keyed, ["c_acctbal", "c_custkey"], bnd["c_acctbal"]
+            ).withColumn("__p", F.lit(2))
+        )
+        .unionByName(
+            _snb_candidate_ids(
+                keyed, ["rev_name", "c_custkey"], bnd["rev_name"]
+            ).withColumn("__p", F.lit(3))
+        )
+    )
+    return tagged.groupBy("id_a", "id_b").agg(
+        F.max(F.when(F.col("__p") == 1, 1).otherwise(0)).alias("p1"),
+        F.max(F.when(F.col("__p") == 2, 1).otherwise(0)).alias("p2"),
+        F.max(F.when(F.col("__p") == 3, 1).otherwise(0)).alias("p3"),
+    )
+
+
+def snb_cands_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multipass SNB candidate artifact, computed ONCE per session
+    per sf_dir (catalog.memo_frame) and shared by every SNB/FS/EM
+    consumer (VERDICT r12 next #1): nine catalog queries each rebuilt
+    one-to-three ranked window passes (sort + boundary probe + offsets
+    action per pass) to re-derive this exact table every run. In a
+    production merge/purge pipeline the candidate table is materialized
+    once and every scoring/calibration stage reads it — the same
+    contract as ``near_dup_pairs_frame``. ``fellegi_sunter_multipass_
+    snb`` itself stays un-memoized so its registered plan (and the
+    shuffle-budget ledger entry) keeps describing the real 3-pass
+    builder pipeline; a standalone single-pass consumer pays the 3-pass
+    build on first touch (bounded: 3 linear window passes), a sweep
+    amortizes it to zero."""
+    from parcel_analytics_etl_notebook_spark.plans.catalog import memo_frame
+
+    return memo_frame(
+        spark,
+        sf_dir,
+        "snb_multipass_cands",
+        lambda: _build_snb_cands(spark, sf_dir),
+    )
+
+
+# bench.py pre-materializes each shared artifact as its own timed
+# ledger line so per-query walls are marginal + order-independent
+MEMO_BUILDERS["snb_multipass_cands"] = snb_cands_frame
 
 
 @register(
@@ -516,8 +595,12 @@ def snb_window_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # preserving (inner equi-joins on the unique c_custkey) and every
     # added column is dropped by the select, so building them spent two
     # joins plus ~105k levenshteins on columns nobody read (r12 opt).
-    snb = _snb_candidate_ids(
-        customer.select("c_custkey", "c_name"), ["c_name", "c_custkey"]
+    # r13: the ids come from the shared memo's pass-1 rows instead of a
+    # fresh ranked pass (see _build_snb_cands).
+    snb = (
+        snb_cands_frame(spark, sf_dir)
+        .filter(F.col("p1") == 1)
+        .select("id_a", "id_b")
     )
     band = lambda c: F.floor(F.col(c) / 500)  # noqa: E731
     # Ground-truth side: score >= threshold <=> band AND name agreement
@@ -699,9 +782,12 @@ def snb_sampled_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sel_nk", "sel_kb")
     )
     # candidate IDS only — see snb_window_recall (the scoring joins are
-    # cardinality-preserving and their columns dropped; r12 opt)
-    snb = _snb_candidate_ids(
-        customer.select("c_custkey", "c_name"), ["c_name", "c_custkey"]
+    # cardinality-preserving and their columns dropped; r12 opt).
+    # r13: pass-1 rows of the shared memo (see _build_snb_cands).
+    snb = (
+        snb_cands_frame(spark, sf_dir)
+        .filter(F.col("p1") == 1)
+        .select("id_a", "id_b")
     )
     band = lambda c: F.floor(F.col(c) / 500)  # noqa: E731
     sampled = customer.withColumn("kb", kb).join(
@@ -1383,31 +1469,14 @@ def _em_trajectory_rows(pairs: DataFrame, iters: int) -> list[tuple]:
     return out
 
 
-def _multipass_cand_ids(customer: DataFrame) -> DataFrame:
+def _multipass_cand_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 3-arm multipass candidate union (name, balance,
-    reversed-name orders), deduped — shared by the linkage query, the
-    recovery metric, and the multipass EM calibration."""
-    keyed = customer.select(
-        "c_custkey",
-        "c_name",
-        "c_acctbal",
-        F.reverse(F.col("c_name")).alias("rev_name"),
-    )
-    bnd = _multipass_boundaries(keyed)
-    return (
-        _snb_candidate_ids(keyed, ["c_name", "c_custkey"], bnd["c_name"])
-        .unionByName(
-            _snb_candidate_ids(
-                keyed, ["c_acctbal", "c_custkey"], bnd["c_acctbal"]
-            )
-        )
-        .unionByName(
-            _snb_candidate_ids(
-                keyed, ["rev_name", "c_custkey"], bnd["rev_name"]
-            )
-        )
-        .dropDuplicates()
-    )
+    reversed-name orders), deduped — shared by the recovery metric and
+    the multipass EM calibration. r13: reads the shared flagged memo
+    (every row is a distinct union member by construction — the memo's
+    groupBy IS the dedup; see :func:`_build_snb_cands`) instead of
+    rebuilding three ranked passes per caller."""
+    return snb_cands_frame(spark, sf_dir).select("id_a", "id_b")
 
 
 #: unroll depth for the MULTIPASS EM variant: its candidate mixture
@@ -1457,7 +1526,9 @@ def fs_em_mstep_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver loop mirrors the oracle's expression tree node for node
     (IEEE-754 binary64 on every engine) and rounding stays in Spark."""
     customer = table(spark, sf_dir, "customer")
-    pairs = _fs_score_candidates(_multipass_cand_ids(customer), customer)
+    pairs = _fs_score_candidates(
+        _multipass_cand_ids(spark, sf_dir), customer
+    )
     return _em_trajectory_driver(spark, pairs, FS_EM_ITERS_MULTIPASS)
 
 
@@ -1497,7 +1568,9 @@ def fs_em_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     is model-grain (31 rows), broadcast by hint (LocalTableScan carries
     no size stats, so unhinted it planned a two-exchange SMJ)."""
     customer = table(spark, sf_dir, "customer")
-    pairs = _fs_score_candidates(_multipass_cand_ids(customer), customer)
+    pairs = _fs_score_candidates(
+        _multipass_cand_ids(spark, sf_dir), customer
+    )
     out = _em_trajectory_rows(pairs, FS_EM_CONV_ITERS)
     traj = spark.createDataFrame(
         out,
@@ -1700,23 +1773,15 @@ def snb_canonical_pass_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     once). Everything is linear in the corpus with the same constants
     as ``fellegi_sunter_multipass_snb``."""
     customer = table(spark, sf_dir, "customer")
-    keyed = customer.select(
-        "c_custkey",
-        "c_name",
-        "c_acctbal",
-        F.reverse(F.col("c_name")).alias("rev_name"),
-    )
-    bnd = _multipass_boundaries(keyed)
-    c12 = (
-        _snb_candidate_ids(keyed, ["c_name", "c_custkey"], bnd["c_name"])
-        .unionByName(
-            _snb_candidate_ids(
-                keyed, ["c_acctbal", "c_custkey"], bnd["c_acctbal"]
-            )
-        )
-        .dropDuplicates()
-    )
-    c3 = _snb_candidate_ids(keyed, ["rev_name", "c_custkey"], bnd["rev_name"])
+    # r13: both candidate families are filters over the shared flagged
+    # memo (see _build_snb_cands) — c12 = pass-1 OR pass-2 members
+    # (distinct by construction, exactly the old union+dropDuplicates),
+    # c3 = pass-3 members (a within-pass set already).
+    cands = snb_cands_frame(spark, sf_dir)
+    c12 = cands.filter(
+        (F.col("p1") == 1) | (F.col("p2") == 1)
+    ).select("id_a", "id_b")
+    c3 = cands.filter(F.col("p3") == 1).select("id_a", "id_b")
     # links_only applies the threshold as its proven (band AND name)
     # equivalent inside the scoring join — levenshtein only on
     # band-agreeing candidates (see _fs_score_candidates; r12 opt)

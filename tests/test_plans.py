@@ -423,19 +423,13 @@ NESTED_LOOP_ALLOWED = {
     # cross-bucket pairs join the last w-1 rows per bucket against a
     # broadcast of the first w-1 rows per bucket under a rank-distance
     # predicate — BOTH sides bounded by (w-1)·bucket_count rows at any
-    # corpus size (model-grain by construction, never data-sized)
-    "fellegi_sunter_snb_linkage": "SNB boundary stitch (bounded "
-    "tails x broadcast heads, see windowed_adjacent_pairs)",
+    # corpus size (model-grain by construction, never data-sized).
+    # r13: the SNB consumers now read the shared candidate memo
+    # (snb_cands_frame — a LogicalRDD scan), so the stitch appears
+    # only in the un-memoized 3-pass builder's own plan; their
+    # allowlist entries were retired with the rewrite.
     "fellegi_sunter_multipass_snb": "SNB boundary stitch x3 passes "
     "(bounded sides, see windowed_adjacent_pairs)",
-    "snb_canonical_pass_recovery": "SNB boundary stitch x3 passes "
-    "(bounded sides, see windowed_adjacent_pairs)",
-    "snb_window_recall": "SNB boundary stitch (bounded sides) + the "
-    "pre-existing 1-row budget-bound scalar",
-    "fs_em_mstep": "SNB boundary stitch (bounded sides) feeding the "
-    "1-row count table",
-    "fs_em_posteriors": "SNB boundary stitch (bounded sides) feeding "
-    "the posterior table",
     "snb_sampled_recall": "1-row admitted-strata count x 1-row metric "
     "aggregate (the oracle's scalar subquery, Spark-side) — the "
     "r11 distributed-admission rewrite's only cross join",
