@@ -66,6 +66,33 @@ def test_snb_cands_memo_flags_equal_per_pass_generators(spark):
     assert len(memo_sets["p1"]) > 0
 
 
+def test_multi_windowed_pairs_equal_per_pass(spark):
+    """multi_windowed_adjacent_pairs (one union-counts collect for all
+    passes) returns, per pass, exactly the per-pass
+    windowed_adjacent_pairs result — numeric AND string sort keys,
+    NULL keys (bucket -1), ragged bucket boundaries."""
+    from parcel_analytics_etl_notebook_spark.operators.indexing import (
+        multi_windowed_adjacent_pairs,
+        windowed_adjacent_pairs,
+    )
+
+    rows = [(i, float(i % 7) * 100, f"name{i % 5:02d}" if i % 11 else None)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, bal double, nm string")
+    passes = [
+        (["bal", "id"], [150.0, 350.0, 550.0]),
+        (["nm", "id"], ["name01", "name03"]),
+    ]
+    multi = multi_windowed_adjacent_pairs(df, passes, 4, "id")
+    for (order_cols, bnd), got in zip(passes, multi):
+        want = windowed_adjacent_pairs(df, order_cols, 4, "id",
+                                       boundaries=bnd)
+        ws = {(r["id_a"], r["id_b"]) for r in want.collect()}
+        gs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+        assert gs == ws, order_cols
+        assert len(gs) > 0
+
+
 def test_capped_populations_match_per_population_antijoin(spark):
     """The one-window occupancy rewrite of the apply-delta hot-bucket
     cap returns, for every predicate, exactly the rows the old
